@@ -1,0 +1,73 @@
+"""Readers (reference ``/root/reference/pandasql/io.py``).
+
+Every reader returns a lazy :class:`pandasql_spark.core.DataFrame`.
+
+Scale notes: ``read_csv``/``read_json``/``read_parquet`` are distributed
+Spark scans — partitioned, predicate-pushdown-capable (parquet), schema
+inferred by sampling (the reference's 1,000-row sample at
+``memory_utils.py:15-35`` is the same idea, single-node). ``read_pickle``
+and ``read_numpy`` are driver-side by nature (pickle is not splittable);
+they parallelize the resulting frame out to executors and are only meant
+for small inputs — matching the reference, where they are thin
+``pd.read_*`` wrappers (``io.py:31-40``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from ..core import DataFrame
+from ..session import get_spark
+
+
+def read_csv(
+    path: str,
+    name: str | None = None,
+    header: bool = True,
+    infer_schema: bool = True,
+    spark: SparkSession | None = None,
+    **options: Any,
+) -> DataFrame:
+    """CSV → DataFrame (reference ``read_csv``, io.py:12-28). The
+    reference's memory-estimation / chunking / CLI-import machinery is
+    subsumed by Spark's distributed scan. ``name`` is accepted for API
+    parity and used as a temp-view name when given."""
+    spark = spark or get_spark()
+    sdf = spark.read.options(**options).csv(path, header=header, inferSchema=infer_schema)
+    df = DataFrame(sdf=sdf)
+    if name:
+        sdf.createOrReplaceTempView(name)
+    return df
+
+
+def read_json(path: str, name: str | None = None, spark: SparkSession | None = None,
+              **options: Any) -> DataFrame:
+    """JSON lines → DataFrame (reference ``read_json``, io.py:31-32)."""
+    spark = spark or get_spark()
+    sdf = spark.read.options(**options).json(path)
+    df = DataFrame(sdf=sdf)
+    if name:
+        sdf.createOrReplaceTempView(name)
+    return df
+
+
+def read_parquet(path: str, spark: SparkSession | None = None) -> DataFrame:
+    """Parquet → DataFrame (beyond-reference; the scale-native format)."""
+    spark = spark or get_spark()
+    return DataFrame(sdf=spark.read.parquet(path))
+
+
+def read_pickle(path: str, spark: SparkSession | None = None) -> DataFrame:
+    """Pickled pandas frame → DataFrame (reference io.py:39-40).
+    Driver-side read, then parallelized out — small inputs only."""
+    return DataFrame(pd.read_pickle(path))
+
+
+def read_numpy(array, columns=None, spark: SparkSession | None = None) -> DataFrame:
+    """ndarray → DataFrame. The reference's version calls a nonexistent
+    ``pd.read_numpy`` (latent bug, io.py:35-36); ours actually works."""
+    pdf = pd.DataFrame(array, columns=columns)
+    return DataFrame(pdf)
