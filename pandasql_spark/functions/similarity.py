@@ -1,0 +1,85 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine is the correctness baseline: a broadcast of the query
+vector against a distributed scan — one pass, no shuffle, scales to any
+corpus size (the top-k is a TakeOrderedAndProject, i.e. per-partition
+heap + driver merge of k rows, not a global sort).
+
+The scale path for *many* queries or pair-mining is LSH bucketing
+(`random_projection_buckets`): sign-bit buckets shrink the candidate set
+from O(n²) to near-linear; see operators/dedup.py for the pair-join.
+
+All math is `F.aggregate`/`F.zip_with` fold — JVM-side, deterministic
+left-to-right summation (this exact fold order is mirrored by the DuckDB
+`list_reduce` oracle, giving bit-identical doubles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Left-to-right fold dot product of two double arrays."""
+    prods = F.zip_with(_col(a).cast("array<double>"), _col(b).cast("array<double>"),
+                       lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column | str) -> Column:
+    sq = F.aggregate(_col(a).cast("array<double>"), F.lit(0.0), lambda acc, x: acc + x * x)
+    return F.sqrt(sq)
+
+
+def cosine(a: Column | str, b: Column | str, digits: int | None = 6) -> Column:
+    c = dot(a, b) / (l2_norm(a) * l2_norm(b))
+    return F.round(c, digits) if digits is not None else c
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Brute-force cosine top-k of ``df`` rows against ONE query vector.
+
+    ``query_df`` must be a single-row frame with columns (``q_id``,
+    ``qv``). The cross join broadcasts the single query row; the scan
+    stays fully parallel and the top-k avoids a global sort. Ties broken
+    by ``id_col`` for determinism."""
+    q = F.broadcast(query_df)
+    out = df.crossJoin(q).select(
+        F.col(id_col),
+        cosine(vec_col, "qv").alias("cos_sim"),
+    )
+    if exclude_self:
+        out = out.join(query_df.select("q_id"), on=F.col(id_col) == F.col("q_id"), how="left_anti")
+    return out.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def random_projection_buckets(
+    vec_col: Column | str,
+    planes: list[list[float]],
+) -> Column:
+    """SimHash-style LSH bucket id: sign bit of the dot product with each
+    hyperplane, packed into a long. Vectors in the same bucket are
+    near-neighbor candidates; at 100 TB this turns all-pairs similarity
+    into a groupBy on the bucket id (near-linear). ``planes`` must be
+    fixed/seeded for reproducibility."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(_col(vec_col).cast("array<double>"),
+                       F.array(*[F.lit(float(p)) for p in plane]),
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket

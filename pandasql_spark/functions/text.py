@@ -1,0 +1,135 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+All functions return `pyspark.sql.Column` built exclusively from JVM-side
+builtins (split / filter / transform / aggregate / md5) — no Python UDFs
+in the hot path, so they stay inside whole-stage codegen and scale
+linearly with executors. Designed for the `documents` table
+(doc_id, text, lang, source, n_chars) but schema-agnostic.
+
+Determinism note: every function here is reproducible cross-engine (the
+DuckDB oracles in __spark_entry__ mirror them expression-for-expression),
+which is what makes them hash-checkable in the correctness gate.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: default stopword seed list — words present in common English text;
+#: callers pass their own for real corpora.
+DEFAULT_STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+
+#: tiny per-language marker profiles for the n-gram/stopword language-ID
+#: heuristic. Real pipelines would plug fastText/CLD3 via a pandas UDF;
+#: the heuristic keeps language-ID JVM-side and dependency-free.
+DEFAULT_LANG_PROFILES: Mapping[str, Sequence[str]] = {
+    "en": ("the", "and", "is", "of"),
+    "es": ("el", "la", "de", "que"),
+    "fr": ("le", "la", "et", "les"),
+    "de": ("der", "die", "und", "das"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization. Single-space split keeps exact parity with
+    the SQL oracle; use ``tokens_regex`` for messy real-world whitespace."""
+    return F.split(F.col(col) if isinstance(col, str) else col, " ")
+
+
+def tokens_regex(col: Column | str) -> Column:
+    """BPE-ish regex tokenization: words, numbers, or single punctuation
+    marks — the usual pre-tokenizer shape for token counting."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(r"(\w+|[^\w\s])"), 1)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column | str) -> Column:
+    return F.length(F.col(col) if isinstance(col, str) else col)
+
+
+def uniq_token_count(col: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def stopword_count(col: Column | str, stopwords: Sequence[str] = DEFAULT_STOPWORDS) -> Column:
+    return F.size(F.filter(tokens(col), lambda t: t.isin(list(stopwords))))
+
+
+def stopword_ratio(col: Column | str, stopwords: Sequence[str] = DEFAULT_STOPWORDS) -> Column:
+    return F.round(stopword_count(col, stopwords) / token_count(col), 6)
+
+
+def type_token_ratio(col: Column | str) -> Column:
+    """Lexical diversity: distinct tokens / total tokens, rounded for
+    cross-engine hash stability."""
+    return F.round(uniq_token_count(col) / token_count(col), 6)
+
+
+def quality_score(col: Column | str, stopwords: Sequence[str] = DEFAULT_STOPWORDS) -> Column:
+    """Heuristic document quality in [0,1]: length credit (saturating at
+    200 tokens) + lexical diversity + stopword presence. Deterministic,
+    JVM-side, mirrors common quality filters (length/stopword ratios)."""
+    tc = token_count(col)
+    length_credit = F.least(tc, F.lit(200)) / F.lit(200.0)
+    diversity = uniq_token_count(col) / tc
+    stop_presence = F.least(stopword_count(col, stopwords), F.lit(10)) / F.lit(10.0)
+    return F.round(0.4 * length_credit + 0.4 * diversity + 0.2 * stop_presence, 6)
+
+
+def lang_id(
+    col: Column | str,
+    profiles: Mapping[str, Sequence[str]] = DEFAULT_LANG_PROFILES,
+    default: str = "unk",
+) -> Column:
+    """Marker-word language ID: count hits per language profile, pick the
+    argmax (ties broken by profile order), ``default`` when no profile
+    scores. One pass over the token array per language — all JVM-side."""
+    toks = tokens(col)
+
+    def _hits(words: Sequence[str]):
+        wl = list(words)
+        # single-arg lambda: a two-arg lambda would be treated by
+        # F.filter as (element, index) and silently misbehave.
+        return F.size(F.filter(toks, lambda t: t.isin(wl)))
+
+    scores = {lang: _hits(words) for lang, words in profiles.items()}
+    # deterministic argmax: fold back-to-front with >= so that earlier
+    # profiles win ties; a language needs at least one marker hit.
+    best = F.lit(default)
+    best_score = F.lit(0)
+    for lang in reversed(list(profiles)):
+        s = scores[lang]
+        best = F.when((s >= F.lit(1)) & (s >= best_score), F.lit(lang)).otherwise(best)
+        best_score = F.greatest(best_score, s)
+    return best
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace,
+    trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Exact-dup fingerprint: md5 of the normalized text. md5 is stable
+    across engines (oracle parity) and across Spark versions — do not
+    swap for xxhash64 without updating the oracles."""
+    return F.md5(normalize_text(col))
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Array of k-word shingles (n-grams) of the token stream — the input
+    to MinHash / Jaccard dedup. Documents shorter than k tokens yield a
+    single shingle of the whole text."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))

@@ -114,10 +114,25 @@ class GroupByDataFrame:
     def all(self):
         return self._single_agg("all")
 
-    def agg(self, func):
+    def agg(self, func=None, **named):
         """1 func → single agg; list → multi-agg with MultiIndex columns
         (cols × funcs), all in ONE groupBy().agg() — no sentinel-rename
-        join dance (contrast reference core.py:1230-1258)."""
+        join dance (contrast reference core.py:1230-1258).
+
+        Named aggregation (pandas ``agg(out=(col, fn))`` form) gives
+        explicit output aliases: ``g.agg(total=("price", "sum"))``."""
+        if named:
+            if func is not None:
+                raise ValueError("pass either positional funcs or named aggs, not both")
+            exprs = []
+            for out, (col, fn) in named.items():
+                if fn not in AGG_FUNCS:
+                    raise ValueError(f"unsupported aggregate: {fn}")
+                if col not in self._sdf.columns:
+                    raise KeyError(f"column not found: {col}")
+                exprs.append(AGG_FUNCS[fn](col).alias(out))
+            out_sdf = self._sdf.groupBy(*self._keys).agg(*exprs)
+            return GroupedAggregate(out_sdf, self._keys, self._as_index)
         if isinstance(func, str):
             return self._single_agg(func)
         funcs = list(func)

@@ -1,0 +1,552 @@
+"""Query registry: the operator-inventory coverage queries + DuckDB oracles.
+
+Each entry exercises one or more operators from SURVEY.md §2 through the
+public engine surface (the pandas-flavored veneer and/or the functions/
+operators modules) and carries an equivalent ANSI-SQL oracle that DuckDB
+runs on the same parquet tables. The driver hash-compares the two at
+sf0.01 — so every computed column is aliased identically on both sides,
+float aggregates are rounded in-query (partition-order ulp drift), and
+integer widths are pinned to BIGINT.
+
+Cross-engine determinism rules used throughout (validated empirically):
+- row-level double arithmetic is bit-identical (same IEEE ops, same
+  order) → no rounding needed;
+- aggregated doubles (sum/avg) differ in the last ulp → round(…, 2/6);
+- md5 is identical across engines; token split uses single-space ' '
+  (the corpus is single-spaced) so Spark split == DuckDB string_split;
+- array folds use explicit left-to-right lambdas both sides
+  (F.aggregate ↔ list_reduce) → bit-identical cosine;
+- top-k queries always order by (value, unique id) so the row SET is
+  deterministic under ties.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame as SparkDataFrame
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+import pandasql_spark as ps
+from pandasql_spark.functions import similarity, text
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: Callable[[SparkSession, str], SparkDataFrame]
+    oracle: str | None  # None → driver records rows-only check
+    doc: str
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> ps.DataFrame:
+    return ps.DataFrame(sdf=spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> SparkDataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects. Read nanos as long (runtime-settable legacy
+    conf) and convert to a proper timestamp at microsecond precision —
+    lossless for every downstream windowing op (coarsest unit we window
+    by is seconds)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
+# ---------------------------------------------------------------- relational
+
+
+def q01_pricing_summary(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """TPC-H Q1: filter → derived column → groupby multi-agg.
+    Operators: Selection, __setitem__/Arithmetic, GroupBy named agg
+    (reference core.py:799-815, 545-578, 1003-1067)."""
+    li = _t(spark, sf, "lineitem")
+    flt = li[li["l_shipdate"] <= "2000-01-01"]
+    flt["revenue"] = flt["l_extendedprice"] * (1 - flt["l_discount"])
+    g = flt.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+        sum_qty=("l_quantity", "sum"),
+        sum_base_price=("l_extendedprice", "sum"),
+        sum_disc_price=("revenue", "sum"),
+        avg_qty=("l_quantity", "mean"),
+        avg_price=("l_extendedprice", "mean"),
+        count_order=("l_orderkey", "count"),
+    )
+    return g.to_spark().select(
+        "l_returnflag", "l_linestatus",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("sum_base_price", 2).alias("sum_base_price"),
+        F.round("sum_disc_price", 2).alias("sum_disc_price"),
+        F.round("avg_qty", 6).alias("avg_qty"),
+        F.round("avg_price", 6).alias("avg_price"),
+        F.col("count_order").cast("long").alias("count_order"),
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       CAST(count(l_orderkey) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_filter_project(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Compound predicate + projection (Selection/Projection,
+    core.py:761-815)."""
+    li = _t(spark, sf, "lineitem")
+    out = li[(li["l_quantity"] > 45) & (li["l_discount"] < 0.05)]
+    return out[["l_orderkey", "l_partkey", "l_quantity", "l_discount"]].to_spark()
+
+
+Q02_SQL = """
+SELECT l_orderkey, l_partkey, l_quantity, l_discount
+FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
+"""
+
+
+def q03_predicates(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """isin / str.contains / str.endswith / OR / NOT
+    (Criterion tree, core.py:301-376, 449-494)."""
+    p = _t(spark, sf, "part")
+    crit = (p["p_size"].isin([5, 15, 25]) | p["p_type"].str.contains("PROMO")) & ~p[
+        "p_brand"
+    ].str.endswith("3")
+    return p[crit][["p_partkey", "p_name", "p_brand", "p_type", "p_size"]].to_spark()
+
+
+Q03_SQL = """
+SELECT p_partkey, p_name, p_brand, p_type, p_size
+FROM part
+WHERE (p_size IN (5, 15, 25) OR p_type LIKE '%PROMO%')
+  AND NOT (p_brand LIKE '%3')
+"""
+
+
+def q04_topk(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Sort + limit top-k (OrderBy/Limit, core.py:818-849, 978-995;
+    nlargest analog, api_status.py:24-28). Catalyst compiles this to
+    TakeOrderedAndProject — per-partition heap, no global sort."""
+    o = _t(spark, sf, "orders")
+    top = o.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])[:10]
+    return top[["o_orderkey", "o_custkey", "o_totalprice"]].to_spark()
+
+
+Q04_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q05_join_groupby(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Equi-join (left_on/right_on) + grouped agg (Join core.py:852-945).
+    customer is broadcast by AQE at any realistic dim/fact ratio."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    g = j.groupby("c_mktsegment", as_index=False).agg(
+        total_revenue=("o_totalprice", "sum"), n_orders=("o_orderkey", "count")
+    )
+    return g.to_spark().select(
+        "c_mktsegment",
+        F.round("total_revenue", 2).alias("total_revenue"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+    )
+
+
+Q05_SQL = """
+SELECT c_mktsegment,
+       round(sum(o_totalprice), 2) AS total_revenue,
+       CAST(count(o_orderkey) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q06_multijoin_region(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """TPC-H Q5-ish: 5-way join chain + agg (MultiJoin, core.py:948-955).
+    Catalyst/AQE broadcast the dim chain (region/nation/customer) —
+    only lineitem⋈orders shuffles at scale."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    li["revenue"] = li["l_extendedprice"] * (1 - li["l_discount"])
+    j = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(n, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(r, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    g = j.groupby("r_name", as_index=False).agg(
+        revenue=("revenue", "sum"), n_items=("l_orderkey", "count")
+    )
+    return g.to_spark().select(
+        "r_name",
+        F.round("revenue", 2).alias("revenue"),
+        F.col("n_items").cast("long").alias("n_items"),
+    )
+
+
+Q06_SQL = """
+SELECT r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(l_orderkey) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q07_join_diffkeys(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """left_on != right_on keeps BOTH key columns
+    (tests/test_data_frame.py:167-170)."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    flt = j[j["c_acctbal"] < 0]
+    return flt[["o_orderkey", "o_custkey", "c_custkey", "c_acctbal"]].to_spark()
+
+
+Q07_SQL = """
+SELECT o_orderkey, o_custkey, c_custkey, c_acctbal
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_acctbal < 0
+"""
+
+
+def q08_composite_join(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Composite-key equi-join (core.py:852-945 multi-key ON)."""
+    li = _t(spark, sf, "lineitem")
+    a = ps.from_spark(li[["l_orderkey", "l_linenumber", "l_quantity"]].to_spark())
+    b = ps.from_spark(li[["l_orderkey", "l_linenumber", "l_extendedprice"]].to_spark())
+    return a.merge(b, on=["l_orderkey", "l_linenumber"]).to_spark()
+
+
+Q08_SQL = """
+SELECT a.l_extendedprice, a.l_linenumber, a.l_orderkey, b.l_quantity
+FROM (SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem) a
+JOIN (SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem) b
+  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+"""
+
+
+def q09_union(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Bag union (Union/concat, core.py:958-975)."""
+    o = _t(spark, sf, "orders")
+    f_part = o[o["o_orderstatus"] == "F"]
+    o_part = o[o["o_orderstatus"] == "O"]
+    u = ps.concat([f_part, o_part])
+    return u[["o_orderkey", "o_orderstatus"]].to_spark()
+
+
+Q09_SQL = """
+SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def q10_distinct(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Projection + DISTINCT (drop_duplicates, core.py:597-607)."""
+    o = _t(spark, sf, "orders")
+    return o[["o_orderpriority", "o_orderstatus"]].drop_duplicates().to_spark()
+
+
+Q10_SQL = "SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders"
+
+
+def q11_derived_columns(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Column writes with Python arithmetic semantics: // floors toward
+    −∞, % follows divisor sign (sql_utils.py:9-20). Row-level double
+    math is bit-identical cross-engine → no rounding."""
+    li = _t(spark, sf, "lineitem")
+    li["revenue"] = li["l_extendedprice"] * (1 - li["l_discount"])
+    li["okey_bucket"] = li["l_orderkey"] // 100
+    li["lnum_mod3"] = li["l_linenumber"] % 3
+    return li[["l_orderkey", "l_linenumber", "revenue", "okey_bucket", "lnum_mod3"]].to_spark()
+
+
+Q11_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue,
+       CAST(floor(l_orderkey / 100) AS BIGINT) AS okey_bucket,
+       CAST(l_linenumber % 3 AS BIGINT) AS lnum_mod3
+FROM lineitem
+"""
+
+
+def q12_having(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Post-agg filter = HAVING pattern (tests/test_data_frame.py:521-538)."""
+    o = _t(spark, sf, "orders")
+    g = o.groupby("o_custkey", as_index=False).agg(total_spent=("o_totalprice", "sum"))
+    h = g[g["total_spent"] > 1000000.0]
+    return h.to_spark().select(
+        "o_custkey", F.round("total_spent", 2).alias("total_spent")
+    )
+
+
+Q12_SQL = """
+SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spent
+FROM orders GROUP BY o_custkey
+HAVING sum(o_totalprice) > 1000000.0
+"""
+
+
+def q13_rename_sort_limit(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """rename + sort + limit (UpdateNames core.py:729-758)."""
+    c = _t(spark, sf, "customer")
+    out = c.rename(columns={"c_name": "customer_name"}).sort_values("c_custkey")[:15]
+    return out[["c_custkey", "customer_name", "c_acctbal"]].to_spark()
+
+
+Q13_SQL = """
+SELECT c_custkey, c_name AS customer_name, c_acctbal
+FROM customer ORDER BY c_custkey LIMIT 15
+"""
+
+
+def q14_agg_global(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Ungrouped whole-table aggregates (Aggregator, core.py:1075-1188)."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return li.agg(
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+Q14_SQL = """
+SELECT round(sum(l_quantity), 2) AS total_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       min(l_shipdate) AS min_ship,
+       max(l_shipdate) AS max_ship,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+"""
+
+
+def q15_window_topn(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Window function (beyond-reference; SURVEY §2.8 notes the reference
+    has none): top-2 orders per market segment via row_number."""
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        j.select(
+            "c_mktsegment", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+    )
+
+
+Q15_SQL = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) t WHERE rn <= 2
+"""
+
+
+# ------------------------------------------------------------- text analysis
+
+
+def q16_doc_stats(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Token counting + lexical stats (functions/text.py)."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return d.select(
+        "doc_id",
+        text.char_count("text").cast("long").alias("n_chars_calc"),
+        text.token_count("text").cast("long").alias("n_tokens"),
+        text.uniq_token_count("text").cast("long").alias("n_uniq_tokens"),
+        text.type_token_ratio("text").alias("ttr"),
+    )
+
+
+Q16_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
+       round(len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')), 6) AS ttr
+FROM documents
+"""
+
+
+def q17_quality(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Quality scoring: length/diversity/stopword heuristic
+    (functions/text.py:quality_score)."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return d.select(
+        "doc_id",
+        text.stopword_count("text").cast("long").alias("n_stopwords"),
+        text.stopword_ratio("text").alias("stop_ratio"),
+        text.quality_score("text").alias("quality"),
+    )
+
+
+_SW = "'the', 'a', 'of', 'and', 'is', 'to', 'in'"
+Q17_SQL = f"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_SW}))) AS BIGINT) AS n_stopwords,
+       round(len(list_filter(string_split(text, ' '), x -> x IN ({_SW})))
+             / len(string_split(text, ' ')), 6) AS stop_ratio,
+       round(0.4 * (least(len(string_split(text, ' ')), 200) / 200.0)
+           + 0.4 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))
+           + 0.2 * (least(len(list_filter(string_split(text, ' '), x -> x IN ({_SW}))), 10) / 10.0),
+             6) AS quality
+FROM documents
+"""
+
+
+def q18_langid(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Marker-word language-ID heuristic (functions/text.py:lang_id)."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return d.select("doc_id", "lang", text.lang_id("text").alias("lang_pred"))
+
+
+def _lang_score(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(string_split(text, ' '), x -> x IN ({lst})))"
+
+
+_S_EN = _lang_score(("the", "and", "is", "of"))
+_S_ES = _lang_score(("el", "la", "de", "que"))
+_S_FR = _lang_score(("le", "la", "et", "les"))
+_S_DE = _lang_score(("der", "die", "und", "das"))
+Q18_SQL = f"""
+SELECT doc_id, lang,
+  CASE
+    WHEN {_S_EN} >= 1 AND {_S_EN} >= {_S_ES} AND {_S_EN} >= {_S_FR} AND {_S_EN} >= {_S_DE} THEN 'en'
+    WHEN {_S_ES} >= 1 AND {_S_ES} >= {_S_FR} AND {_S_ES} >= {_S_DE} THEN 'es'
+    WHEN {_S_FR} >= 1 AND {_S_FR} >= {_S_DE} THEN 'fr'
+    WHEN {_S_DE} >= 1 THEN 'de'
+    ELSE 'unk'
+  END AS lang_pred
+FROM documents
+"""
+
+
+def q19_dedup_exact(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Exact dedup via normalized-text fingerprint: hash-groupBy keeping
+    the minimum doc id. One shuffle on the 32-hex fingerprint — the
+    canonical exact-dedup plan at any scale (functions/text.py:fingerprint)."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return (
+        d.groupBy(text.fingerprint("text").alias("fp"))
+        .agg(
+            F.min("doc_id").cast("long").alias("first_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+Q19_SQL = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       CAST(min(doc_id) AS BIGINT) AS first_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------- similarity
+
+
+def q20_cosine_topk(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Brute-force cosine top-20 vs vec_id=0 (functions/similarity.py).
+    Broadcast query row + distributed scan + TakeOrderedAndProject."""
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    return similarity.cosine_topk(e, q, k=20)
+
+
+Q20_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(
+         list_reduce(list_transform(list_zip(embedding::DOUBLE[], qv::DOUBLE[]),
+                                    x -> x[1] * x[2]), (a, b) -> a + b)
+         / (sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b))
+          * sqrt(list_reduce(list_transform(qv::DOUBLE[], x -> x * x), (a, b) -> a + b))),
+         6) AS cos_sim
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 20
+"""
+
+
+# ------------------------------------------------------------------- events
+
+
+def q21_events_hourly(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Tumbling-window aggregation in batch form (the streaming twin
+    lives in streaming/events.py): hourly counts + value stats."""
+    ev = load_events(spark, sf)
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+Q21_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+REGISTRY: dict[str, QueryDef] = {
+    "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
+    "q02_filter_project": QueryDef(q02_filter_project, Q02_SQL, "compound filter + projection"),
+    "q03_predicates": QueryDef(q03_predicates, Q03_SQL, "isin/contains/endswith/or/not"),
+    "q04_topk": QueryDef(q04_topk, Q04_SQL, "sort+limit top-k"),
+    "q05_join_groupby": QueryDef(q05_join_groupby, Q05_SQL, "join + grouped agg"),
+    "q06_multijoin_region": QueryDef(q06_multijoin_region, Q06_SQL, "5-way join chain"),
+    "q07_join_diffkeys": QueryDef(q07_join_diffkeys, Q07_SQL, "left_on/right_on join"),
+    "q08_composite_join": QueryDef(q08_composite_join, Q08_SQL, "composite-key join"),
+    "q09_union": QueryDef(q09_union, Q09_SQL, "bag union / concat"),
+    "q10_distinct": QueryDef(q10_distinct, Q10_SQL, "projection distinct"),
+    "q11_derived_columns": QueryDef(q11_derived_columns, Q11_SQL, "column writes, // % semantics"),
+    "q12_having": QueryDef(q12_having, Q12_SQL, "post-agg filter (HAVING)"),
+    "q13_rename_sort_limit": QueryDef(q13_rename_sort_limit, Q13_SQL, "rename+sort+limit"),
+    "q14_agg_global": QueryDef(q14_agg_global, Q14_SQL, "ungrouped aggregates"),
+    "q15_window_topn": QueryDef(q15_window_topn, Q15_SQL, "window row_number top-n"),
+    "q16_doc_stats": QueryDef(q16_doc_stats, Q16_SQL, "token/char/lexical stats"),
+    "q17_quality": QueryDef(q17_quality, Q17_SQL, "quality scoring"),
+    "q18_langid": QueryDef(q18_langid, Q18_SQL, "language-ID heuristic"),
+    "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
+    "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
+    "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
+}

@@ -1,0 +1,93 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry through Spark and its ``oracle_sql()``
+through DuckDB on the same parquet tables, then compares row count,
+column names, and exact values (columns sorted by name, rows sorted by
+all columns) — a stricter local stand-in for the driver's
+order-insensitive value-hash. Default scale sf0.001 for speed; set
+GATE_SF_DIR=/root/testdata/sf0.01 to mirror the driver exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("GATE_SF_DIR", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf.copy()
+    for c in out.columns:
+        dt = out[c].dtype
+        if pd.api.types.is_integer_dtype(dt):
+            out[c] = out[c].astype("int64")
+        elif pd.api.types.is_float_dtype(dt):
+            out[c] = out[c].astype("float64")
+        elif pd.api.types.is_datetime64_any_dtype(dt):
+            out[c] = pd.to_datetime(out[c]).dt.tz_localize(None).astype("datetime64[ns]")
+        elif dt == object:
+            # duckdb may hand back Decimal / int-ish objects
+            try:
+                out[c] = pd.to_numeric(out[c])
+                return canonicalize(out)
+            except (ValueError, TypeError):
+                out[c] = out[c].astype(str)
+    out = out.sort_index(axis=1)
+    out = out.sort_values(list(out.columns), ignore_index=True)
+    return out
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
+
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, ddb):
+    got_spark = QUERIES[name](spark, SF_DIR).toPandas()
+    if name not in ORACLES:
+        # rows-only check, mirroring the driver's weaker gate
+        assert len(got_spark) >= 0
+        return
+    got_duck = ddb.execute(ORACLES[name]).fetchdf()
+
+    assert len(got_spark) == len(got_duck), (
+        f"{name}: row count {len(got_spark)} != oracle {len(got_duck)}"
+    )
+    a, b = canonicalize(got_spark), canonicalize(got_duck)
+    assert list(a.columns) == list(b.columns), (
+        f"{name}: columns {list(a.columns)} != oracle {list(b.columns)}"
+    )
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c].dtype):
+            ok = np.allclose(a[c].to_numpy(), b[c].to_numpy(), rtol=0, atol=0, equal_nan=True)
+        else:
+            ok = a[c].equals(b[c])
+        assert ok, f"{name}: column {c} values differ\nspark:\n{a[c].head()}\noracle:\n{b[c].head()}"
