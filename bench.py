@@ -1,0 +1,81 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Each query materializes via the `noop` writer — full computation of every
+column, no driver fetch cost, which is what a cluster job would measure.
+A warmup query first so JVM/codegen startup isn't billed to q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+
+from pandasql_spark.queries import REGISTRY  # noqa: E402
+from pandasql_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline set: the shuffle/join/agg-heavy queries plus the LLM-pipeline
+#: operators — the ones whose plans matter at 100 TB.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q04_topk",
+    "q05_join_groupby",
+    "q06_multijoin_region",
+    "q08_composite_join",
+    "q12_having",
+    "q16_doc_stats",
+    "q19_dedup_exact",
+    "q20_cosine_topk",
+    "q21_events_hourly",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    spark = get_spark("pandasql-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM, codegen, parquet footer cache
+    REGISTRY["q02_filter_project"].fn(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
