@@ -65,6 +65,26 @@ def cosine_topk(
     return out.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def cosine_topk_pairs(
+    df: DataFrame,
+    k: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k most-similar PAIRS by brute-force all-pairs cosine:
+    (id_a, id_b, cos_sim). O(n²) — the exactness baseline; use the LSH
+    path (operators/dedup.embedding_neardup_pairs) beyond ~10⁵ vectors.
+    Deterministic: ties broken by (id_a, id_b)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine("va", "vb").alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(k)
+    )
+
+
 def random_projection_buckets(
     vec_col: Column | str,
     planes: list[list[float]],

@@ -1,0 +1,12 @@
+"""Custom operators beyond the reference's surface: deduplication,
+similarity pair-mining, multimodal column plumbing.
+
+Each operator is expressed as a composition of DataFrame ops where
+semantics allow (MinHash/LSH/Jaccard are pure JVM-side column
+expressions + joins), dropping to Arrow-batched pandas UDFs only where
+per-row bit manipulation genuinely beats expression trees (SimHash).
+"""
+
+from . import dedup, multimodal
+
+__all__ = ["dedup", "multimodal"]

@@ -1,0 +1,373 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, each with a distinct scale profile:
+
+- **exact** (`exact_dedup`): hash-groupBy on a normalized fingerprint.
+  One shuffle; the canonical 100 TB exact-dedup plan.
+- **MinHash + LSH** (`minhash_signatures`, `lsh_candidate_pairs`,
+  `minhash_neardup_pairs`): shingle → universal-hash minima → band →
+  bucket-join. Near-linear: candidate generation never materializes the
+  O(n²) pair space, only same-bucket pairs. Pure JVM column expressions
+  (xxhash64 + transform/array_min) — no Python in the hot path.
+- **n-gram Jaccard** (`ngram_jaccard_pairs`): exact Jaccard via shingle
+  explode + equi-self-join + groupBy. Exact but quadratic in bucket
+  size; use after LSH candidate pruning at scale, or with the
+  `max_shingle_freq` guard that drops boilerplate shingles (the classic
+  "stop-shingle" fix for join blowup).
+- **SimHash** (`simhash`, `simhash_neardup_pairs`): 64-bit weighted
+  bit-vote fingerprint via an Arrow-batched pandas UDF (per-bit vote
+  loops beat a 64-branch Catalyst expression tree), then banded hamming
+  candidate join verified with xor+bit_count — JVM-side again.
+- **embedding cosine** (`embedding_neardup_pairs`): sign-bit LSH buckets
+  (random hyperplanes) → within-bucket pairwise cosine ≥ threshold.
+
+Determinism: every hash is seeded (xxhash64 seed, Python
+``random.Random(seed)`` for universal-hash coefficients and hyperplanes)
+so results are reproducible run-to-run and cluster-size-independent.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import fingerprint, tokens, word_shingles
+
+#: Mersenne prime 2^61-1: modulus for universal hashing — large enough
+#: that minhash collisions are hash-driven, not modulus-driven.
+_MERSENNE_61 = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by normalized-text fingerprint: returns
+    (fp, first_id, n_copies). Keep-first policy = min id."""
+    return df.groupBy(fingerprint(text_col).alias("fp")).agg(
+        F.min(id_col).cast("long").alias("first_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def _hash_coefficients(n: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE_61), rng.randrange(0, _MERSENNE_61))
+        for _ in range(n)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature: array<long>[num_hashes]) MinHash signatures.
+
+    Shingles are hashed once with xxhash64 (JVM, seeded), then each of
+    the ``num_hashes`` permutations is the min over shingles of the
+    universal hash ``(a*h + b) mod p`` — all inside one ``transform``
+    over a literal coefficient array, so the whole signature is a single
+    codegen'd projection. No shuffle, no Python."""
+    coeffs = _hash_coefficients(num_hashes, seed)
+    sh = F.array_distinct(word_shingles(text_col, shingle_k))
+    # nonnegative 61-bit base hashes
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_61)))
+    def _perm(a: int, b: int):
+        # factory closure: keep the lambda single-arg (PySpark infers
+        # higher-order-function arity from the Python signature).
+        return lambda h: F.pmod(a * h + b, F.lit(_MERSENNE_61))
+
+    sig = F.array(*[F.array_min(F.transform(base, _perm(a, b))) for a, b in coeffs])
+    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    num_bands: int = 16,
+    num_hashes: int = 64,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from banded LSH over signatures.
+
+    Signature is split into ``num_bands`` bands of ``num_hashes //
+    num_bands`` rows; docs sharing any band hash become candidates. The
+    bucket-join is the scale path: cost is Σ bucket² per band,
+    near-linear when buckets are small.
+
+    ``max_bucket_size`` drops degenerate buckets (boilerplate/empty docs
+    collapsing into one bucket would otherwise go quadratic at 100 TB);
+    dropped buckets are exact-duplicate territory anyway, which
+    `exact_dedup` catches more cheaply."""
+    if num_hashes % num_bands:
+        raise ValueError("num_hashes must be divisible by num_bands")
+    width = num_hashes // num_bands
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("signature"), b * width + 1, width),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+                F.lit(str(b)),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    bands = sig_df.select(
+        "id", F.posexplode(band_hashes).alias("band_idx", "band_hash")
+    )
+    # prune degenerate buckets before the self-join
+    sizes = bands.groupBy("band_idx", "band_hash").agg(F.count(F.lit(1)).alias("sz"))
+    ok = sizes.filter(F.col("sz") <= max_bucket_size).select("band_idx", "band_hash")
+    bands = bands.join(ok, on=["band_idx", "band_hash"], how="inner")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end MinHash near-dup: signatures → LSH candidates →
+    estimate Jaccard as the fraction of equal signature positions →
+    filter ≥ threshold. Returns (id_a, id_b, est_jaccard)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
+    cands = lsh_candidate_pairs(sigs, num_bands, num_hashes)
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.size("sig_a"),
+        6,
+    )
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.2,
+    max_shingle_freq: int | None = 10000,
+) -> DataFrame:
+    """Exact n-gram Jaccard for all pairs sharing ≥1 shingle:
+    (id_a, id_b, jaccard). Explode distinct shingles → self-join on the
+    shingle → |A∩B| by groupBy → |A∪B| = |A|+|B|−|A∩B|.
+
+    ``max_shingle_freq`` drops shingles appearing in more than that many
+    docs before the join — boilerplate shingles are what turn this
+    quadratic at scale, and they carry no discriminative signal."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_k))).alias("sh"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+        keep = freq.filter(F.col("df_") <= max_shingle_freq).select("sh")
+        sh = sh.join(keep, "sh")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------------------------------ SimHash
+
+_SIMHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash fingerprints: (id, simhash).
+
+    Arrow-batched ``mapInPandas``: tokens are hashed with md5 (stable,
+    version-independent), each token votes ±1 per bit, fingerprint =
+    sign vector. The per-bit vote loop is why this is a pandas UDF and
+    not a Catalyst expression — 64 nested CASEs defeat codegen. Batch
+    cost is O(tokens × bits/8) numpy ops; scales with executors since
+    mapInPandas is embarrassingly parallel (no shuffle)."""
+    import hashlib
+
+    import numpy as np
+
+    mask = (1 << bits) - 1
+
+    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids = pdf[id_col].astype("int64")
+            hashes = []
+            for txt in pdf[text_col].astype(str):
+                votes = np.zeros(bits, dtype=np.int64)
+                shifts = np.arange(bits, dtype=np.uint64)
+                for tok in dict.fromkeys(txt.split(" ")):
+                    h = np.uint64(
+                        int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+                    )
+                    tok_bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+                    votes += 2 * tok_bits - 1
+                fp = 0
+                for j in range(bits):
+                    if votes[j] > 0:
+                        fp |= 1 << j
+                # store as signed 64-bit
+                if fp > (1 << 63) - 1:
+                    fp -= 1 << 64
+                hashes.append(fp)
+            yield pd.DataFrame({"id": out_ids, "simhash": hashes})
+
+    return df.select(id_col, text_col).mapInPandas(_batch, _SIMHASH_SCHEMA)
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Near-dups by SimHash hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: split 64 bits into ``num_bands`` 16-bit bands;
+    any pair within hamming ≤ num_bands−1 shares at least one exact
+    band. Candidates come from a band-bucket join (near-linear), then
+    exact hamming verification via xor + bit_count — all JVM-side."""
+    sigs = simhash(df, text_col, id_col)
+    width = 64 // num_bands
+    bands = sigs.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for i in range(num_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cands.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ------------------------------------------------------ embedding near-dup
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicates: sign-bit LSH bucketing (``num_planes``
+    seeded random hyperplanes) then exact within-bucket cosine ≥
+    threshold. 2^num_planes buckets shrink the pair space ~2^planes-fold
+    for near-parallel vectors; exact cosine verifies. Returns
+    (id_a, id_b, cos_sim)."""
+    from ..functions.similarity import cosine, random_projection_buckets
+
+    rng = random.Random(seed)
+    planes = [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)
+    ]
+    bucketed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        random_projection_buckets(vec_col, planes).alias("bucket"),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= threshold)

