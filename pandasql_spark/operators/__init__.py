@@ -7,6 +7,6 @@ expressions + joins), dropping to Arrow-batched pandas UDFs only where
 per-row bit manipulation genuinely beats expression trees (SimHash).
 """
 
-from . import dedup, multimodal
+from . import asof, dedup, multimodal
 
-__all__ = ["dedup", "multimodal"]
+__all__ = ["asof", "dedup", "multimodal"]

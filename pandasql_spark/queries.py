@@ -611,6 +611,82 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q26_sessionize(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Batch sessionization via window functions (gap = 30 min): lag →
+    new-session flag → running sum = session id → per-session agg. An
+    independent algorithm from streaming/events.py's native
+    session_window, cross-checking its semantics. One shuffle on
+    user_id; the window scan is per-partition sequential."""
+    ev = load_events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_min = (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) / 60.0
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(gap_min.isNull() | (gap_min > 30), 1).otherwise(0).alias("new_sess"),
+    )
+    wsum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = flagged.select(
+        "user_id", "ts", "value", F.sum("new_sess").over(wsum).alias("sess_id")
+    )
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+Q26_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR (epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) / 60.0 > 30
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM sess GROUP BY user_id, sess_id
+"""
+
+
+def q27_asof_join(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Distributed as-of join (operators/asof.py union-and-carry plan):
+    each 'click' event gets the value of the user's most recent
+    'signup' at-or-before it. Oracle = DuckDB's native ASOF JOIN."""
+    from pandasql_spark.operators.asof import asof_join
+
+    ev = load_events(spark, sf)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts", "value")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts", "value")
+    out = asof_join(clicks, signups, on="ts", by="user_id", right_cols=["value"])
+    return out.select("event_id", "user_id", "value", F.col("value_r").alias("signup_value"))
+
+
+Q27_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+), signups AS (
+  SELECT user_id, ts, max(value) AS signup_value
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, c.value, s.signup_value
+FROM clicks c ASOF JOIN signups s
+  ON c.user_id = s.user_id AND c.ts >= s.ts
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_project": QueryDef(q02_filter_project, Q02_SQL, "compound filter + projection"),
@@ -639,4 +715,6 @@ REGISTRY: dict[str, QueryDef] = {
     "q25_embedding_topk_pairs": QueryDef(
         q25_embedding_topk_pairs, Q25_SQL, "top-k embedding pairs by cosine"
     ),
+    "q26_sessionize": QueryDef(q26_sessionize, Q26_SQL, "window-function sessionization"),
+    "q27_asof_join": QueryDef(q27_asof_join, Q27_SQL, "distributed as-of join"),
 }

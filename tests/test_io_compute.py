@@ -1,0 +1,96 @@
+"""I/O + compute-surface tests (reference io.py paths + §2.9 compute
+API): every reader round-trips, every sink writes what compute() shows."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import pandasql_spark as ps
+
+
+@pytest.fixture()
+def sample(tmp_path):
+    pdf = pd.DataFrame({"c0": range(20), "c1": [i * 2 for i in range(20)]})
+    return pdf, tmp_path
+
+
+def test_read_csv(spark, sample):
+    pdf, tmp = sample
+    path = str(tmp / "t.csv")
+    pdf.to_csv(path, index=False)
+    df = ps.read_csv(path)
+    got = df.compute().sort_values("c0", ignore_index=True)
+    pd.testing.assert_frame_equal(got, pdf, check_dtype=False)
+
+
+def test_read_csv_named_view(spark, sample):
+    pdf, tmp = sample
+    path = str(tmp / "t.csv")
+    pdf.to_csv(path, index=False)
+    ps.read_csv(path, name="mytable")
+    assert spark.sql("SELECT count(*) c FROM mytable").collect()[0].c == 20
+
+
+def test_read_json(spark, sample):
+    pdf, tmp = sample
+    path = str(tmp / "t.json")
+    pdf.to_json(path, orient="records", lines=True)
+    got = ps.read_json(path).compute().sort_values("c0", ignore_index=True)
+    pd.testing.assert_frame_equal(got[["c0", "c1"]], pdf, check_dtype=False)
+
+
+def test_read_pickle(spark, sample):
+    pdf, tmp = sample
+    path = str(tmp / "t.pkl")
+    pdf.to_pickle(path)
+    got = ps.read_pickle(path).compute().sort_values("c0", ignore_index=True)
+    pd.testing.assert_frame_equal(got, pdf, check_dtype=False)
+
+
+def test_read_numpy(spark):
+    arr = np.arange(12).reshape(6, 2)
+    df = ps.read_numpy(arr, columns=["a", "b"])
+    got = df.compute().sort_values("a", ignore_index=True)
+    assert got["a"].tolist() == [0, 2, 4, 6, 8, 10]
+
+
+def test_read_parquet_roundtrip(spark, sample):
+    pdf, tmp = sample
+    df = ps.DataFrame(pdf)
+    path = str(tmp / "t.parquet")
+    df.to_parquet(path)
+    got = ps.read_parquet(path).compute().sort_values("c0", ignore_index=True)
+    pd.testing.assert_frame_equal(got, pdf, check_dtype=False)
+
+
+def test_to_csv_json_pickle_numpy(spark, sample):
+    pdf, tmp = sample
+    df = ps.DataFrame(pdf)
+    df.to_csv(str(tmp / "out.csv"), index=False)
+    back = pd.read_csv(str(tmp / "out.csv")).sort_values("c0", ignore_index=True)
+    pd.testing.assert_frame_equal(back, pdf, check_dtype=False)
+
+    df.to_pickle(str(tmp / "out.pkl"))
+    back = pd.read_pickle(str(tmp / "out.pkl")).sort_values("c0", ignore_index=True)
+    pd.testing.assert_frame_equal(back, pdf, check_dtype=False)
+
+    arr = df.to_numpy()
+    assert arr.shape == (20, 2)
+
+
+def test_compute_len_columns(spark, sample):
+    pdf, _ = sample
+    df = ps.DataFrame(pdf)
+    assert len(df) == 20
+    assert list(df.columns) == ["c0", "c1"]
+    assert isinstance(df.compute(), pd.DataFrame)
+    assert isinstance(df.to_pandas(), pd.DataFrame)
+
+
+def test_cache_returns_self(spark, sample):
+    pdf, _ = sample
+    df = ps.DataFrame(pdf)
+    assert df.cache() is df
+    assert len(df) == 20

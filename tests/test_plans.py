@@ -1,0 +1,77 @@
+"""Plan-quality guardrails: assert the physical plans stay the plans we
+want at scale — pushdown reaching the scan, pruned read schemas,
+broadcast dims, minimal shuffles, top-k without a global sort.
+
+These run on sf0.001 (plan shape is size-independent pre-AQE)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pandasql_spark.plans import (
+    broadcast_join_count,
+    operator_names,
+    pushed_filters,
+    read_schemas,
+    shuffle_count,
+)
+from pandasql_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(spark, name):
+    return REGISTRY[name].fn(spark, SF)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = _q(spark, "q02_filter_project")
+    pf = pushed_filters(df)
+    assert any("GreaterThan(l_quantity" in f for f in pf), pf
+    assert any("LessThan(l_discount" in f for f in pf), pf
+
+
+def test_column_pruning(spark):
+    df = _q(spark, "q02_filter_project")
+    schemas = read_schemas(df)
+    assert len(schemas) == 1
+    # 4 of lineitem's 11 columns read — projection reached the scan
+    assert schemas[0].count(":") == 4, schemas[0]
+
+
+def test_multijoin_broadcasts_all_dims(spark):
+    df = _q(spark, "q06_multijoin_region")
+    assert broadcast_join_count(df) == 4
+    # only the final groupBy may shuffle
+    assert shuffle_count(df) <= 1, operator_names(df)
+
+
+def test_topk_avoids_global_sort(spark):
+    df = _q(spark, "q04_topk")
+    ops = operator_names(df)
+    assert "TakeOrderedAndProject" in ops, ops
+    assert "Sort" not in ops, ops  # no full sort for a limit-k
+
+
+def test_agg_is_partial_then_final(spark):
+    df = _q(spark, "q01_pricing_summary")
+    ops = operator_names(df)
+    # map-side partial aggregation: two HashAggregates around one Exchange
+    assert ops.count("HashAggregate") >= 2, ops
+    assert shuffle_count(df) == 1, ops
+
+
+def test_join_groupby_single_shuffle(spark):
+    # customer broadcast → only the groupBy shuffles
+    df = _q(spark, "q05_join_groupby")
+    assert broadcast_join_count(df) == 1
+    assert shuffle_count(df) <= 1, operator_names(df)
+
+
+def test_whole_stage_codegen_covers_scan_filter(spark):
+    from pandasql_spark.plans import explain_str
+
+    df = _q(spark, "q02_filter_project")
+    # codegen'd span exists (no interpreted Python in the hot path)
+    assert "WholeStageCodegen" in explain_str(df, "simple") or \
+        "*(1)" in explain_str(df, "simple")
