@@ -1,0 +1,90 @@
+"""Approximate nearest-neighbor search over embedding columns.
+
+Two tiers (the brief's "brute-force baseline + IVF/LSH scale path"):
+
+- **Brute force** (`functions/similarity.py:cosine_topk`): broadcast the
+  query, scan everything. Exact; one pass; right answer for any corpus
+  that fits a scan budget.
+- **IVF** (this module): partition vectors into `nlist` Voronoi cells
+  around KMeans centroids (Spark ML, seeded). A query probes only the
+  `nprobe` nearest cells — the scan shrinks ~nlist/nprobe-fold. The
+  centroid assignment is ONE shuffle at build time; at query time the
+  cell filter is a partition-prunable predicate when the index is
+  written partitioned by cell id (`write_ivf_index`).
+
+Scale notes: at 100 TB, build with nlist ≈ √n (the FAISS heuristic),
+persist the indexed table `partitionBy("cell_id")` so Spark's partition
+pruning turns a probe into reading nprobe directories. Recall/latency is
+tuned by nprobe, exactly like FAISS IVF-Flat.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.similarity import cosine
+
+
+class IVFIndex:
+    """In-memory handle: (indexed DataFrame with cell_id, centroids)."""
+
+    def __init__(self, indexed: DataFrame, centroids: np.ndarray,
+                 id_col: str, vec_col: str):
+        self.indexed = indexed
+        self.centroids = centroids  # (nlist, dim) float64
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def search(self, query_vec: list[float], k: int = 10, nprobe: int = 4) -> DataFrame:
+        """Top-k by cosine among vectors in the ``nprobe`` cells whose
+        centroids are nearest the query. Driver computes the probe set
+        (nlist-sized — tiny); executors scan only matching cells."""
+        q = np.asarray(query_vec, dtype=np.float64)
+        # cosine distance to centroids, driver-side (nlist × dim only)
+        norms = np.linalg.norm(self.centroids, axis=1) * (np.linalg.norm(q) or 1.0)
+        sims = (self.centroids @ q) / np.where(norms == 0, 1.0, norms)
+        probe_cells = [int(c) for c in np.argsort(-sims)[:nprobe]]
+        qcol = F.array(*[F.lit(float(x)) for x in q])
+        return (
+            self.indexed.filter(F.col("cell_id").isin(probe_cells))
+            .select(
+                F.col(self.id_col),
+                cosine(F.col(self.vec_col), qcol).alias("cos_sim"),
+            )
+            .orderBy(F.col("cos_sim").desc(), F.col(self.id_col).asc())
+            .limit(k)
+        )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> IVFIndex:
+    """KMeans-cluster the corpus into ``nlist`` cells and tag every row
+    with its cell id. Seeded → deterministic index."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features"),
+    )
+    km = KMeans(k=nlist, seed=seed, maxIter=max_iter, featuresCol="__features",
+                predictionCol="cell_id")
+    model = km.fit(feat)
+    indexed = model.transform(feat).select(id_col, vec_col, "cell_id")
+    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+    return IVFIndex(indexed, centroids, id_col, vec_col)
+
+
+def write_ivf_index(index: IVFIndex, path: str) -> None:
+    """Persist the indexed table partitioned by cell id: a probe becomes
+    a partition-pruned scan of nprobe directories."""
+    index.indexed.write.mode("overwrite").partitionBy("cell_id").parquet(path)
