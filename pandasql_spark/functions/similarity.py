@@ -58,11 +58,17 @@ def cosine_topk(
     q = F.broadcast(query_df)
     out = df.crossJoin(q).select(
         F.col(id_col),
+        F.col("q_id"),
         cosine(vec_col, "qv").alias("cos_sim"),
     )
     if exclude_self:
-        out = out.join(query_df.select("q_id"), on=F.col(id_col) == F.col("q_id"), how="left_anti")
-    return out.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+        # q_id rides the broadcast row — a filter, not another join
+        out = out.filter(F.col(id_col) != F.col("q_id"))
+    return (
+        out.select(id_col, "cos_sim")
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
 
 
 def cosine_topk_pairs(
