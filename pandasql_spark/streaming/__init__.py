@@ -3,6 +3,7 @@ the reference has no streaming at all — this is the Spark-native
 north-star addition over the `events` table)."""
 
 from .events import (
+    dedup_event_stream,
     hourly_event_counts,
     read_event_stream,
     session_windows,
@@ -16,4 +17,5 @@ __all__ = [
     "sliding_value_stats",
     "session_windows",
     "user_running_totals",
+    "dedup_event_stream",
 ]

@@ -121,6 +121,21 @@ def session_windows(
     )
 
 
+def dedup_event_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact-dedup: drop events whose ``keys`` were already
+    seen within the watermark horizon (`dropDuplicatesWithinWatermark`).
+    State holds one entry per distinct key inside the horizon — bounded,
+    unlike an unwatermarked dropDuplicates which grows forever. This is
+    the streaming twin of operators/dedup.exact_dedup for at-least-once
+    sources that can replay events."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 _RUNNING_SCHEMA = "user_id long, n_events long, total_value double"
 _STATE_SCHEMA = "n long, total double"
 

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from pandasql_spark.queries import load_events
 from pandasql_spark.streaming import (
+    dedup_event_stream,
     hourly_event_counts,
     read_event_stream,
     session_windows,
@@ -96,6 +97,21 @@ def test_session_windows(spark, event_dir):
         starts = grp["session_start"].to_list()
         ends = grp["session_end"].to_list()
         assert all(ends[i] <= starts[i + 1] for i in range(len(grp) - 1))
+
+
+def test_streaming_dedup(spark, tmp_path):
+    """An at-least-once replay (every event delivered twice) dedups back
+    to exactly the original rows."""
+    ev = load_events(spark, SF)
+    d = str(tmp_path / "dup")
+    ev.repartition(2).write.mode("overwrite").parquet(d)
+    ev.repartition(2).write.mode("append").parquet(d)
+    stream = read_event_stream(spark, d)
+    got = _run_stream(
+        spark, dedup_event_stream(stream, ["event_id"], watermark="45 days")
+    )
+    assert len(got) == ev.count()
+    assert got["event_id"].is_unique
 
 
 def test_user_running_totals_stateful(spark, event_dir):
