@@ -510,6 +510,20 @@ class DataFrame(BaseFrame):
         cols = [columns] if isinstance(columns, str) else list(columns)
         return DataFrame(sdf=self._sdf.orderBy(*[F.col(c).asc() for c in cols]).limit(n))
 
+    # -- set operations beyond the reference's bag-union `concat`
+    #    (SURVEY §2.7: INTERSECT/EXCEPT absent there). Name-resolved like
+    #    concat; one shuffle on all columns each, same as DISTINCT.
+
+    def intersect(self, other: "DataFrame") -> "DataFrame":
+        """Set intersection (deduplicated), schemas must match by name."""
+        return DataFrame(sdf=self._sdf.intersect(other._sdf.select(*self._sdf.columns)))
+
+    def difference(self, other: "DataFrame", bag: bool = False) -> "DataFrame":
+        """EXCEPT (set, default) or EXCEPT ALL (``bag=True``)."""
+        right = other._sdf.select(*self._sdf.columns)
+        out = self._sdf.exceptAll(right) if bag else self._sdf.subtract(right)
+        return DataFrame(sdf=out)
+
     def merge(
         self,
         other: "DataFrame",
@@ -525,13 +539,22 @@ class DataFrame(BaseFrame):
 
         Physical strategy is Catalyst/AQE's call (broadcast if a side is
         small, skew-split at runtime) — same delegation the reference makes
-        to SQLite's planner."""
+        to SQLite's planner.
+
+        ``how='semi'``/``'anti'`` (superset): existence filters that never
+        materialize right-side columns — at scale these beat an inner
+        join + distinct because only the join keys of the right side are
+        shuffled and no fan-out rows are produced."""
         left, right = self._sdf, other._sdf
+        how = {"semi": "left_semi", "anti": "left_anti"}.get(how, how)
+        existence = how in ("left_semi", "left_anti")
         if on is not None:
             keys = [on] if isinstance(on, str) else list(on)
             joined = left.join(right, on=keys, how=how)
             left_cols = left.columns
-            right_extra = [c for c in right.columns if c not in left_cols]
+            right_extra = (
+                [] if existence else [c for c in right.columns if c not in left_cols]
+            )
             out_cols = sorted(left_cols + right_extra)
         elif left_on is not None and right_on is not None:
             lk = [left_on] if isinstance(left_on, str) else list(left_on)
@@ -547,7 +570,9 @@ class DataFrame(BaseFrame):
                 cond = c if cond is None else (cond & c)
             joined = la.join(ra, on=cond, how=how)
             left_cols = left.columns
-            right_keep = [c for c in right.columns if c not in left_cols]
+            right_keep = (
+                [] if existence else [c for c in right.columns if c not in left_cols]
+            )
             sel = [F.col(f"__l.{c}").alias(c) for c in left_cols]
             sel += [F.col(f"__r.{c}").alias(c) for c in right_keep]
             joined = joined.select(*sel)
@@ -607,12 +632,22 @@ AGG_FUNCS = {
     "prod": F.product,
     "any": lambda c: F.bool_or(F.col(c).cast("boolean")) if isinstance(c, str) else F.bool_or(c),
     "all": lambda c: F.bool_and(F.col(c).cast("boolean")) if isinstance(c, str) else F.bool_and(c),
+    # Superset beyond the reference (its api_status.py:124,178,212 lists
+    # these as UNSUPPORTED). std/var are sample (ddof=1, pandas default).
+    # median is exact-interpolated — a full sort per group; prefer
+    # "approx_median" (t-digest sketch, one pass, mergeable) at scale.
+    "std": F.stddev_samp,
+    "var": F.var_samp,
+    "median": F.median,
+    "approx_median": lambda c: F.percentile_approx(c, 0.5),
+    "nunique": lambda c: F.count_distinct(F.col(c) if isinstance(c, str) else c),
+    "approx_nunique": F.approx_count_distinct,
 }
 
 #: aggs that only make sense on numeric columns — non-numeric columns are
 #: skipped (pandas numeric_only behavior; SQLite coerced text to 0 which
 #: we do NOT reproduce — deliberate fix).
-_NUMERIC_ONLY_AGGS = {"sum", "mean", "prod"}
+_NUMERIC_ONLY_AGGS = {"sum", "mean", "prod", "std", "var", "median", "approx_median"}
 _BOOL_AGGS = {"any", "all"}
 
 

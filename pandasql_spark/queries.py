@@ -687,6 +687,311 @@ FROM clicks c ASOF JOIN signups s
 """
 
 
+# ------------------------------------------------- superset relational ops
+
+
+def q28_outer_join(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """LEFT OUTER join through the veneer (superset — reference is
+    inner-only, core.py:852-945 'TODO: support other join arguments'):
+    per-customer order stats including order-less customers."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    j = c.merge(o, left_on="c_custkey", right_on="o_custkey", how="left")
+    g = j.groupby("c_custkey", as_index=False).agg(
+        n_orders=("o_orderkey", "count"), total=("o_totalprice", "sum")
+    )
+    return g.to_spark().select(
+        "c_custkey",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round(F.coalesce(F.col("total"), F.lit(0.0)), 2).alias("total"),
+    )
+
+
+Q28_SQL = """
+SELECT c_custkey,
+       CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+       coalesce(round(sum(o_totalprice), 2), 0.0) AS total
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def q29_anti_join(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """ANTI join (superset): customers with no orders. left_anti shuffles
+    only the right side's join keys and produces no fan-out — the
+    scale-correct NOT EXISTS plan."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    nk = c.merge(o, left_on="c_custkey", right_on="o_custkey", how="anti")
+    return nk[["c_custkey", "c_name", "c_acctbal"]].to_spark()
+
+
+Q29_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q30_set_ops(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """INTERSECT / EXCEPT (absent from the reference, SURVEY §2.7):
+    customers with both 'F' and 'O' orders but none in 'P'."""
+    o = _t(spark, sf, "orders")
+    f = o[o["o_orderstatus"] == "F"][["o_custkey"]]
+    op = o[o["o_orderstatus"] == "O"][["o_custkey"]]
+    p = o[o["o_orderstatus"] == "P"][["o_custkey"]]
+    fo = ps.DataFrame(sdf=f.to_spark()).intersect(ps.DataFrame(sdf=op.to_spark()))
+    out = fo.difference(ps.DataFrame(sdf=p.to_spark()))
+    return out.to_spark()
+
+
+Q30_SQL = """
+SELECT * FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+)
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
+def q31_rollup(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """ROLLUP grouping sets (absent from the reference, SURVEY §2.5):
+    order totals by (status, priority) with subtotals and grand total.
+    One shuffle; Spark expands grouping sets map-side."""
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "total",
+            "n_orders",
+        )
+    )
+
+
+Q31_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       round(sum(o_totalprice), 2) AS total,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q32_stats_agg(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Statistical aggregates through the veneer's extended AGG_FUNCS —
+    std/var/median are UNSUPPORTED in the reference (api_status.py:124,
+    178,212). median is an exact interpolated per-group sort; the
+    one-pass mergeable scale path is AGG_FUNCS['approx_median']
+    (t-digest percentile_approx)."""
+    li = _t(spark, sf, "lineitem")
+    g = li.groupby("l_returnflag", as_index=False).agg(
+        qty_std=("l_quantity", "std"),
+        qty_var=("l_quantity", "var"),
+        qty_median=("l_quantity", "median"),
+        price_std=("l_extendedprice", "std"),
+    )
+    return g.to_spark().select(
+        "l_returnflag",
+        F.round("qty_std", 4).alias("qty_std"),
+        F.round("qty_var", 4).alias("qty_var"),
+        F.round("qty_median", 4).alias("qty_median"),
+        F.round("price_std", 2).alias("price_std"),
+    )
+
+
+Q32_SQL = """
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4) AS qty_std,
+       round(var_samp(l_quantity), 4) AS qty_var,
+       round(median(l_quantity), 4) AS qty_median,
+       round(stddev_samp(l_extendedprice), 2) AS price_std
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q33_count_distinct(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Distinct aggregates (absent from the reference): exact
+    count-distinct via the veneer's 'nunique'. Exact n-distinct is a
+    two-level shuffle; swap to 'approx_nunique' (HyperLogLog++, one
+    pass, mergeable) at 100 TB."""
+    o = _t(spark, sf, "orders")
+    g = o.groupby("o_orderstatus", as_index=False).agg(
+        n_custs=("o_custkey", "nunique"), n_orders=("o_orderkey", "count")
+    )
+    return g.to_spark().select(
+        "o_orderstatus",
+        F.col("n_custs").cast("long").alias("n_custs"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+    )
+
+
+Q33_SQL = """
+SELECT o_orderstatus,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+       CAST(count(o_orderkey) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q34_range_join(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Interval/range join (operators/rangejoin.py bucketed plan): for
+    each 'purchase' event, the user's clicks in the preceding hour.
+    Bucketing turns the inequality join into an equi-join on
+    (user_id, hour-bucket) + exact post-filter — no per-key cartesian."""
+    from pandasql_spark.operators.rangejoin import range_join
+
+    ev = load_events(spark, sf)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    j = range_join(purchases, clicks, by="user_id", on="ts", lower=-3600.0, upper=0.0)
+    return j.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(F.sum("value_r"), 2).alias("click_value"),
+    )
+
+
+Q34_SQL = """
+SELECT p.event_id,
+       CAST(count(*) AS BIGINT) AS n_clicks,
+       round(sum(c.value), 2) AS click_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+GROUP BY p.event_id
+"""
+
+
+def q35_shipping_priority(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """TPC-H Q3 (adapted; no shippriority column): top-10 unshipped
+    orders by revenue. Dim filter pushes to the customer scan; AQE
+    broadcasts filtered customer; final top-k is TakeOrderedAndProject."""
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    cutoff = "1997-06-30"
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("o_orderdate") < cutoff)
+            & (F.col("l_shipdate") > cutoff)
+        )
+    )
+    g = j.groupBy("l_orderkey", "o_orderdate").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    return g.orderBy(F.col("revenue").desc(), "l_orderkey").limit(10)
+
+
+Q35_SQL = """
+SELECT l_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-30'
+  AND l_shipdate > TIMESTAMP '1997-06-30'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q36_array_dims(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Array-column analytics (no array types exist in the reference,
+    SURVEY §1.2): per-dimension stats over the first 8 embedding dims
+    via posexplode — stays in whole-stage codegen, no UDF."""
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    ex = e.select(
+        F.posexplode(F.slice(F.col("embedding").cast("array<double>"), 1, 8)).alias(
+            "pos", "v"
+        )
+    )
+    return (
+        ex.groupBy((F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(
+            F.round(F.avg("v"), 5).alias("avg_v"),
+            F.round(F.min("v"), 5).alias("min_v"),
+            F.round(F.max("v"), 5).alias("max_v"),
+        )
+    )
+
+
+Q36_SQL = """
+SELECT CAST(t.dim AS BIGINT) AS dim,
+       round(avg(embedding[t.dim]::DOUBLE), 5) AS avg_v,
+       round(min(embedding[t.dim]::DOUBLE), 5) AS min_v,
+       round(max(embedding[t.dim]::DOUBLE), 5) AS max_v
+FROM embeddings, (SELECT unnest(generate_series(1, 8)) AS dim) t
+GROUP BY t.dim
+"""
+
+
+def q37_string_funcs(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Scalar string transforms (reference's .str has only 3 predicates,
+    core.py:479-494 — no transforms at all): upper/substr/length/concat,
+    all JVM-side codegen'd expressions."""
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("seg_name"),
+    )
+
+
+Q37_SQL = """
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       substr(c_name, 1, 8) AS name_prefix,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       concat_ws('|', c_mktsegment, c_name) AS seg_name
+FROM customer
+"""
+
+
+def q38_pivot(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Pivot / crosstab (absent from the reference): order totals by
+    priority × status. Explicit pivot values skip the extra
+    distinct-discovery job and keep one shuffle."""
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("o_totalprice"))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("F"),
+        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("O"),
+        F.round(F.coalesce(F.col("P"), F.lit(0.0)), 2).alias("P"),
+    )
+
+
+Q38_SQL = """
+SELECT o_orderpriority,
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0.0), 2) AS "F",
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0.0), 2) AS "O",
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0.0), 2) AS "P"
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_project": QueryDef(q02_filter_project, Q02_SQL, "compound filter + projection"),
@@ -717,4 +1022,15 @@ REGISTRY: dict[str, QueryDef] = {
     ),
     "q26_sessionize": QueryDef(q26_sessionize, Q26_SQL, "window-function sessionization"),
     "q27_asof_join": QueryDef(q27_asof_join, Q27_SQL, "distributed as-of join"),
+    "q28_outer_join": QueryDef(q28_outer_join, Q28_SQL, "left outer join + agg"),
+    "q29_anti_join": QueryDef(q29_anti_join, Q29_SQL, "anti join (NOT EXISTS)"),
+    "q30_set_ops": QueryDef(q30_set_ops, Q30_SQL, "INTERSECT / EXCEPT"),
+    "q31_rollup": QueryDef(q31_rollup, Q31_SQL, "ROLLUP grouping sets"),
+    "q32_stats_agg": QueryDef(q32_stats_agg, Q32_SQL, "std/var/median aggregates"),
+    "q33_count_distinct": QueryDef(q33_count_distinct, Q33_SQL, "exact distinct aggregates"),
+    "q34_range_join": QueryDef(q34_range_join, Q34_SQL, "bucketed interval join"),
+    "q35_shipping_priority": QueryDef(q35_shipping_priority, Q35_SQL, "TPC-H Q3 adapted"),
+    "q36_array_dims": QueryDef(q36_array_dims, Q36_SQL, "array explode per-dim stats"),
+    "q37_string_funcs": QueryDef(q37_string_funcs, Q37_SQL, "scalar string transforms"),
+    "q38_pivot": QueryDef(q38_pivot, Q38_SQL, "pivot / crosstab"),
 }

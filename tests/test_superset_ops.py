@@ -1,0 +1,110 @@
+"""Superset operators beyond the reference surface: semi/anti joins,
+set operations, statistical aggregates, and the bucketed range join.
+Differential-tested against pandas (conftest harness, SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+import pandasql_spark as ps
+from tests.conftest import assert_frame_equals_pandas
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    pdf_l = pd.DataFrame(
+        {"k": [1, 2, 3, 4, 5], "a": [10.0, 20.0, 30.0, 40.0, 50.0]}
+    )
+    pdf_r = pd.DataFrame({"k": [2, 4, 6], "b": ["x", "y", "z"]})
+    return pdf_l, pdf_r, ps.DataFrame(pdf_l), ps.DataFrame(pdf_r)
+
+
+def test_semi_join(base):
+    pdf_l, pdf_r, l, r = base
+    got = l.merge(r, on="k", how="semi")
+    expected = pdf_l[pdf_l.k.isin(pdf_r.k)]
+    assert list(got.columns) == ["a", "k"]
+    assert_frame_equals_pandas(got, expected)
+
+
+def test_anti_join(base):
+    pdf_l, pdf_r, l, r = base
+    got = l.merge(r, on="k", how="anti")
+    expected = pdf_l[~pdf_l.k.isin(pdf_r.k)]
+    assert_frame_equals_pandas(got, expected)
+
+
+def test_anti_join_diffkeys(base):
+    pdf_l, pdf_r, l, r = base
+    r2 = r.rename(columns={"k": "m"})
+    got = l.merge(r2, left_on="k", right_on="m", how="anti")
+    expected = pdf_l[~pdf_l.k.isin(pdf_r.k)]
+    assert list(got.columns) == ["a", "k"]
+    assert_frame_equals_pandas(got, expected)
+
+
+def test_intersect_difference(spark):
+    a = ps.DataFrame(pd.DataFrame({"x": [1, 1, 2, 3]}))
+    b = ps.DataFrame(pd.DataFrame({"x": [2, 3, 3, 4]}))
+    assert_frame_equals_pandas(a.intersect(b), pd.DataFrame({"x": [2, 3]}))
+    assert_frame_equals_pandas(a.difference(b), pd.DataFrame({"x": [1]}))
+    # bag EXCEPT ALL keeps surviving multiplicity
+    assert_frame_equals_pandas(a.difference(b, bag=True), pd.DataFrame({"x": [1, 1]}))
+
+
+def test_statistical_aggs(spark):
+    pdf = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "b", "b", "b", "b"],
+            "v": [1.0, 2.0, 4.0, 10.0, 20.0, 30.0, 40.0],
+        }
+    )
+    df = ps.DataFrame(pdf)
+    got = df.groupby("g", as_index=False).agg(
+        s=("v", "std"), va=("v", "var"), med=("v", "median"), nu=("v", "nunique")
+    )
+    expected = (
+        pdf.groupby("g")
+        .agg(s=("v", "std"), va=("v", "var"), med=("v", "median"), nu=("v", "nunique"))
+        .reset_index()
+    )
+    assert_frame_equals_pandas(got, expected)
+
+
+def test_range_join_matches_bruteforce(spark):
+    from pandasql_spark.operators.rangejoin import range_join
+
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    left_rows = [
+        (i, rng.randrange(3), float(rng.randrange(0, 1000))) for i in range(60)
+    ]
+    right_rows = [
+        (100 + i, rng.randrange(3), float(rng.randrange(0, 1000)))
+        for i in range(120)
+    ]
+    l = spark.createDataFrame(left_rows, "id long, u long, t double")
+    r = spark.createDataFrame(right_rows, "rid long, u long, t double")
+
+    got = sorted(
+        (row.id, row.rid)
+        for row in range_join(l, r, by="u", on="t", lower=-50.0, upper=25.0).collect()
+    )
+    expected = sorted(
+        (lid, rid)
+        for (lid, lu, lt), (rid, ru, rt) in itertools.product(left_rows, right_rows)
+        if lu == ru and lt - 50.0 <= rt < lt + 25.0
+    )
+    assert got == expected
+
+
+def test_range_join_rejects_bad_bounds(spark):
+    from pandasql_spark.operators.rangejoin import range_join
+
+    l = spark.createDataFrame([(1, 1, 1.0)], "id long, u long, t double")
+    with pytest.raises(ValueError):
+        range_join(l, l, by="u", on="t", lower=5.0, upper=5.0)
