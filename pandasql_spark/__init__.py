@@ -19,6 +19,7 @@ from .core import (
     concat,
     from_spark,
     merge,
+    offloading_strategy,
 )
 from .session import get_spark, stop
 from .sources import read_csv, read_json, read_numpy, read_parquet, read_pickle
@@ -31,6 +32,7 @@ __all__ = [
     "concat",
     "from_spark",
     "merge",
+    "offloading_strategy",
     "get_spark",
     "stop",
     "read_csv",

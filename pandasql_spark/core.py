@@ -377,6 +377,34 @@ class BaseFrame:
     def explain(self, mode: str = "formatted") -> None:
         self.to_spark().explain(mode)
 
+    def memory_usage(self) -> int:
+        """Estimated result size in bytes (reference ``memory_usage``,
+        core.py:70-82, deep pandas usage of the cached result). Ours is
+        the optimizer's size-in-bytes statistic — available WITHOUT
+        materializing, which is the only sane contract at 100 TB."""
+        sdf = self.to_spark()
+        return int(sdf._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+    def fallback(self, op: str, *args, **kwargs):
+        """Generic pandas escape hatch (reference ``FallbackOperation``,
+        core.py:1266-1284: replay ``getattr(pandas_result, op)(*args)``
+        on the materialized result). Driver-side and eager by design —
+        for distributed per-batch logic use ``map_in_pandas`` instead."""
+        pdf = self.compute()
+        attr = getattr(pdf, op)
+        result = attr(*args, **kwargs) if callable(attr) else attr
+        if isinstance(result, pd.DataFrame):
+            return DataFrame(result)
+        return result
+
+    def map_in_pandas(self, func, schema) -> "DataFrame":
+        """Distributed escape hatch: Arrow-batched ``mapInPandas`` over
+        the frame (the Spark-first analog of FallbackOperation —
+        per-partition, no driver materialization, no shuffle).
+        ``func(iter_of_pdf) -> iter_of_pdf``; ``schema`` is the output
+        schema (DDL string or StructType)."""
+        return DataFrame(sdf=self.to_spark().mapInPandas(func, schema))
+
     def __len__(self) -> int:
         # Implicit materialization point (core.py:618-661) — but count()
         # is an aggregate, not a fetch: scale-safe.
@@ -792,3 +820,21 @@ def from_spark(sdf: SparkDataFrame) -> DataFrame:
 def read_parquet(path: str, spark: SparkSession | None = None) -> DataFrame:
     spark = spark or get_spark()
     return DataFrame(sdf=spark.read.parquet(path))
+
+
+_OFFLOADING_STRATEGY = "ALWAYS"
+
+
+def offloading_strategy(strategy: str | None = None) -> str:
+    """API-compat shim for the reference's engine selector
+    (core.py:1546-1556, env default PANDASQL_OFFLOADING=ALWAYS).
+    Spark is the only engine here — ALWAYS/NEVER/BEST all resolve to
+    'let Catalyst/AQE place the work'; the setting is recorded so code
+    written against the reference round-trips."""
+    global _OFFLOADING_STRATEGY
+    if strategy is not None:
+        s = strategy.upper()
+        if s not in ("ALWAYS", "NEVER", "BEST"):
+            raise ValueError(f"invalid offloading strategy: {strategy}")
+        _OFFLOADING_STRATEGY = s
+    return _OFFLOADING_STRATEGY

@@ -114,6 +114,17 @@ class GroupByDataFrame:
     def all(self):
         return self._single_agg("all")
 
+    def apply(self, func, schema):
+        """Per-group pandas transform via Arrow-batched ``applyInPandas``
+        (distributed groupby-apply; the reference's only custom-logic
+        path was the eager driver-side FallbackOperation,
+        core.py:1266-1284). One shuffle on the group keys; each group
+        must fit in one executor's memory — for heavy-tailed groups
+        pre-salt with operators/skew.py."""
+        from .core import DataFrame
+
+        return DataFrame(sdf=self._sdf.groupBy(*self._keys).applyInPandas(func, schema))
+
     def agg(self, func=None, **named):
         """1 func → single agg; list → multi-agg with MultiIndex columns
         (cols × funcs), all in ONE groupBy().agg() — no sentinel-rename
