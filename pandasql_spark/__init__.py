@@ -22,7 +22,7 @@ from .core import (
     offloading_strategy,
 )
 from .session import get_spark, stop
-from .sources import read_csv, read_json, read_numpy, read_parquet, read_pickle
+from .sources import read_csv, read_json, read_numpy, read_orc, read_parquet, read_pickle
 
 __version__ = "0.1.0"
 
@@ -38,6 +38,7 @@ __all__ = [
     "read_csv",
     "read_json",
     "read_numpy",
+    "read_orc",
     "read_parquet",
     "read_pickle",
 ]

@@ -443,6 +443,10 @@ class BaseFrame:
         """Distributed parquet sink (beyond-reference; the scale path)."""
         self.to_spark().write.mode(mode).options(**options).parquet(path)
 
+    def to_orc(self, path: str, mode: str = "overwrite", **options) -> None:
+        """Distributed ORC sink (beyond-reference format)."""
+        self.to_spark().write.mode(mode).options(**options).orc(path)
+
 
 class DataFrame(BaseFrame):
     """Named lazy relation (reference ``DataFrame``, core.py:497-531)."""

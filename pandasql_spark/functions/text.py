@@ -133,3 +133,23 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+
+
+def winnowing_fingerprints(col: Column | str, k: int = 3, w: int = 4) -> Column:
+    """Rolling-hash document fingerprints by winnowing (Schleimer et al.,
+    SIGMOD'03): hash every k-token shingle, slide a w-hash window over
+    the sequence, keep each window's minimum, dedup. Guarantees any
+    shared run of ≥ w+k-1 tokens between two docs yields at least one
+    shared fingerprint — the standard plagiarism/near-dup sketch.
+
+    Hashes are md5 hex strings (lexicographic min): stable across
+    engines (DuckDB-oracle parity, same rationale as ``fingerprint``)
+    and across Spark versions. Entirely JVM-side array expressions —
+    no UDF, no shuffle; cost is O(tokens) per row.
+    """
+    grams = F.transform(word_shingles(col, k), F.md5)
+    n_win = F.greatest(F.size(grams) - (w - 1), F.lit(1))
+    wins = F.transform(
+        F.sequence(F.lit(1), n_win), lambda j: F.array_min(F.slice(grams, j, w))
+    )
+    return F.array_distinct(wins)

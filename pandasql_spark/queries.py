@@ -992,6 +992,43 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q39_winnowing(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Rolling-hash winnowing fingerprints (functions/text.py:
+    winnowing_fingerprints, Schleimer et al. SIGMOD'03): per-doc
+    fingerprint-set size and lexicographic min fingerprint. All
+    JVM-side array expressions — no UDF, no shuffle."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    fps = text.winnowing_fingerprints("text", k=3, w=4)
+    return d.select(
+        "doc_id",
+        F.size(fps).cast("long").alias("n_fps"),
+        F.array_min(fps).alias("min_fp"),
+    )
+
+
+Q39_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(
+             range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+             i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')),
+           s -> md5(s)) AS grams
+  FROM documents
+), wfp AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(grams) - 3, 1) + 1),
+           j -> list_aggregate(grams[j:j+3], 'min'))) AS fps
+  FROM g
+)
+SELECT doc_id,
+       CAST(len(fps) AS BIGINT) AS n_fps,
+       list_aggregate(fps, 'min') AS min_fp
+FROM wfp
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_project": QueryDef(q02_filter_project, Q02_SQL, "compound filter + projection"),
@@ -1033,4 +1070,5 @@ REGISTRY: dict[str, QueryDef] = {
     "q36_array_dims": QueryDef(q36_array_dims, Q36_SQL, "array explode per-dim stats"),
     "q37_string_funcs": QueryDef(q37_string_funcs, Q37_SQL, "scalar string transforms"),
     "q38_pivot": QueryDef(q38_pivot, Q38_SQL, "pivot / crosstab"),
+    "q39_winnowing": QueryDef(q39_winnowing, Q39_SQL, "rolling-hash winnowing fingerprints"),
 }

@@ -11,8 +11,9 @@ from .io import (
     read_csv,
     read_json,
     read_numpy,
+    read_orc,
     read_parquet,
     read_pickle,
 )
 
-__all__ = ["read_csv", "read_json", "read_numpy", "read_parquet", "read_pickle"]
+__all__ = ["read_csv", "read_json", "read_numpy", "read_orc", "read_parquet", "read_pickle"]

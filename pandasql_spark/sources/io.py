@@ -71,3 +71,10 @@ def read_numpy(array, columns=None, spark: SparkSession | None = None) -> DataFr
     ``pd.read_numpy`` (latent bug, io.py:35-36); ours actually works."""
     pdf = pd.DataFrame(array, columns=columns)
     return DataFrame(pdf)
+
+
+def read_orc(path: str, spark: SparkSession | None = None) -> DataFrame:
+    """ORC scan (beyond-reference format; same distributed-scan contract
+    as read_parquet — predicate pushdown and column pruning apply)."""
+    spark = spark or get_spark()
+    return DataFrame(sdf=spark.read.orc(path))

@@ -3,6 +3,7 @@ the reference has no streaming at all — this is the Spark-native
 north-star addition over the `events` table)."""
 
 from .events import (
+    click_purchase_interval_join,
     dedup_event_stream,
     hourly_event_counts,
     read_event_stream,
@@ -18,4 +19,5 @@ __all__ = [
     "session_windows",
     "user_running_totals",
     "dedup_event_stream",
+    "click_purchase_interval_join",
 ]

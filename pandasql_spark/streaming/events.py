@@ -175,3 +175,47 @@ def user_running_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def click_purchase_interval_join(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding ``window`` (the streaming twin of
+    operators/rangejoin.range_join, which covers the batch side).
+
+    Both sides carry a watermark and the join condition bounds event-time
+    distance — the two requirements that let Spark evict join state: a
+    buffered click can be dropped once the purchase-side watermark passes
+    click.ts + window. Without the time bound, stream-stream join state
+    grows forever. Runs identically on a batch frame (inner join +
+    range predicate) for differential testing."""
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("click_value"),
+    )
+    if purchases.isStreaming:
+        purchases = purchases.withWatermark("p_ts", watermark)
+        clicks = clicks.withWatermark("c_ts", watermark)
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.expr(f"p_ts - interval {window}"))
+        & (F.col("c_ts") < F.col("p_ts"))
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "p_ts",
+        "c_ts",
+        "purchase_value",
+        "click_value",
+    )

@@ -94,3 +94,16 @@ def test_cache_returns_self(spark, sample):
     df = ps.DataFrame(pdf)
     assert df.cache() is df
     assert len(df) == 20
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    import pandasql_spark as ps
+    import pandas as pd
+
+    pdf = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    df = ps.DataFrame(pdf)
+    path = str(tmp_path / "t.orc")
+    df.to_orc(path)
+    back = ps.read_orc(path)
+    got = back.compute().sort_values("a", ignore_index=True)
+    pd.testing.assert_frame_equal(got, pdf, check_dtype=False)

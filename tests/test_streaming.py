@@ -134,3 +134,22 @@ def test_user_running_totals_stateful(spark, event_dir):
     final = final.sort_index()
     assert list(final["n_events"]) == list(batch["n_events"])
     assert final["total_value"].tolist() == pytest.approx(batch["total_value"].tolist(), abs=0.05)
+
+
+def test_stream_stream_interval_join(spark, event_dir):
+    from pandasql_spark.streaming import click_purchase_interval_join
+
+    stream = read_event_stream(spark, event_dir)
+    # 45-day watermark >> the data span so the unordered 4-file replay
+    # doesn't drop legitimate matches (same rationale as session test)
+    got = _run_stream(
+        spark, click_purchase_interval_join(stream, watermark="45 days")
+    )
+    expected = click_purchase_interval_join(load_events(spark, SF)).toPandas()
+    key = ["purchase_id", "c_ts"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key, ignore_index=True).sort_index(axis=1),
+        expected.sort_values(key, ignore_index=True).sort_index(axis=1),
+        check_dtype=False,
+    )
+    assert len(got) > 0

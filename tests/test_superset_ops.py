@@ -108,3 +108,24 @@ def test_range_join_rejects_bad_bounds(spark):
     l = spark.createDataFrame([(1, 1, 1.0)], "id long, u long, t double")
     with pytest.raises(ValueError):
         range_join(l, l, by="u", on="t", lower=5.0, upper=5.0)
+
+
+def test_winnowing_guarantee(spark):
+    """Winnowing guarantee: two docs sharing a run of >= w+k-1 tokens
+    share at least one fingerprint; disjoint docs share none."""
+    from pandasql_spark.functions.text import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1
+    docs = [
+        (1, f"intro words here {shared} tail one"),
+        (2, f"{shared} completely different ending text"),
+        (3, "nothing in common with the others at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = df.select(
+        "doc_id", winnowing_fingerprints("text", k=3, w=4).alias("fps")
+    ).collect()
+    fps = {r.doc_id: set(r.fps) for r in rows}
+    assert fps[1] & fps[2], "docs sharing a 6-token run must share a fingerprint"
+    assert not fps[1] & fps[3]
+    assert not fps[2] & fps[3]
