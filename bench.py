@@ -36,6 +36,14 @@ HEADLINE = [
     "q19_dedup_exact",
     "q20_cosine_topk",
     "q21_events_hourly",
+    "q22_ngram_jaccard",
+    "q23_minhash_neardup",
+    "q26_sessionize",
+    "q27_asof_join",
+    "q34_range_join",
+    "q35_shipping_priority",
+    "q39_winnowing",
+    "q40_ann_ivf",
 ]
 
 

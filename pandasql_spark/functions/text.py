@@ -125,14 +125,32 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
+def let_bound(value: Column, body) -> Column:
+    """Let-binding for array expressions: evaluate ``value`` ONCE per row
+    and pass it to ``body`` as a bound lambda variable.
+
+    Rationale: inside a higher-order-function lambda, a reference to an
+    outer expression is RE-EVALUATED on every element (Catalyst binds
+    lambda variables, not arbitrary subtrees), so e.g.
+    ``transform(idx, i -> slice(split(text), i, k))`` re-splits the text
+    once per shingle — O(tokens²) work per row. Wrapping the value in a
+    one-element array and transforming over it makes it a lambda
+    variable, which IS bound once. Measured on the sf0.1 documents
+    corpus this turned the minhash/winnowing queries from minutes into
+    seconds."""
+    return F.transform(F.array(value), body)[0]
+
+
 def word_shingles(col: Column | str, k: int = 3) -> Column:
     """Array of k-word shingles (n-grams) of the token stream — the input
     to MinHash / Jaccard dedup. Documents shorter than k tokens yield a
     single shingle of the whole text."""
-    toks = tokens(col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+
+    def _shingle(tk: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - (k - 1), F.lit(1)))
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, k)))
+
+    return let_bound(tokens(col), _shingle)
 
 
 def winnowing_fingerprints(col: Column | str, k: int = 3, w: int = 4) -> Column:
@@ -147,9 +165,11 @@ def winnowing_fingerprints(col: Column | str, k: int = 3, w: int = 4) -> Column:
     and across Spark versions. Entirely JVM-side array expressions —
     no UDF, no shuffle; cost is O(tokens) per row.
     """
-    grams = F.transform(word_shingles(col, k), F.md5)
-    n_win = F.greatest(F.size(grams) - (w - 1), F.lit(1))
-    wins = F.transform(
-        F.sequence(F.lit(1), n_win), lambda j: F.array_min(F.slice(grams, j, w))
-    )
-    return F.array_distinct(wins)
+    def _winnow(grams: Column) -> Column:
+        n_win = F.greatest(F.size(grams) - (w - 1), F.lit(1))
+        wins = F.transform(
+            F.sequence(F.lit(1), n_win), lambda j: F.array_min(F.slice(grams, j, w))
+        )
+        return F.array_distinct(wins)
+
+    return let_bound(F.transform(word_shingles(col, k), F.md5), _winnow)

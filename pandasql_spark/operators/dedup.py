@@ -75,16 +75,34 @@ def minhash_signatures(
     universal hash ``(a*h + b) mod p`` — all inside one ``transform``
     over a literal coefficient array, so the whole signature is a single
     codegen'd projection. No shuffle, no Python."""
+    from ..functions.text import let_bound
+
     coeffs = _hash_coefficients(num_hashes, seed)
     sh = F.array_distinct(word_shingles(text_col, shingle_k))
     # nonnegative 61-bit base hashes
     base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_61)))
-    def _perm(a: int, b: int):
-        # factory closure: keep the lambda single-arg (PySpark infers
-        # higher-order-function arity from the Python signature).
-        return lambda h: F.pmod(a * h + b, F.lit(_MERSENNE_61))
-
-    sig = F.array(*[F.array_min(F.transform(base, _perm(a, b))) for a, b in coeffs])
+    # let-bind the base hashes (evaluated ONCE per row) and loop over a
+    # literal (a, b) coefficient array — instead of num_hashes separate
+    # expression copies each re-shingling + re-hashing the text (see
+    # text.let_bound rationale; a plain extra projection gets collapsed
+    # back by Catalyst's CollapseProject and re-inlines the work).
+    coeff_arr = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in coeffs
+        ]
+    )
+    sig = let_bound(
+        base,
+        lambda bb: F.transform(
+            coeff_arr,
+            lambda c: F.array_min(
+                F.transform(
+                    bb, lambda h: F.pmod(c["a"] * h + c["b"], F.lit(_MERSENNE_61))
+                )
+            ),
+        ),
+    )
     return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
 
 
@@ -156,8 +174,13 @@ def minhash_neardup_pairs(
 ) -> DataFrame:
     """End-to-end MinHash near-dup: signatures → LSH candidates →
     estimate Jaccard as the fraction of equal signature positions →
-    filter ≥ threshold. Returns (id_a, id_b, est_jaccard)."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
+    filter ≥ threshold. Returns (id_a, id_b, est_jaccard).
+
+    The signature table feeds three plan branches (band explode + both
+    sides of the estimate join); persist it so the shingle-hash pass
+    runs once — the same reuse the reference gets from per-node result
+    caching (core.py:41-42)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed).persist()
     cands = lsh_candidate_pairs(sigs, num_bands, num_hashes)
     sa = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))

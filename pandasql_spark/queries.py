@@ -1029,6 +1029,37 @@ FROM wfp
 """
 
 
+def q40_ann_ivf(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """IVF ANN search (operators/ann.py): seeded KMeans cells + probe-set
+    scan. Run here with nprobe=nlist (exhaustive) so the result is EXACT
+    top-k and faces the same DuckDB oracle as brute force — proving the
+    IVF machinery returns the right answer when it scans everything; the
+    recall-at-nprobe<nlist tradeoff is covered by tests/test_ann_skew.py.
+    At scale: write_ivf_index partitions by cell_id → a probe is a
+    partition-pruned scan of nprobe directories."""
+    from pandasql_spark.operators.ann import build_ivf_index
+
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    idx = build_ivf_index(e, nlist=8, seed=42, max_iter=5)
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return idx.search([float(x) for x in qv], k=20, nprobe=8)
+
+
+Q40_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(
+         list_reduce(list_transform(list_zip(embedding::DOUBLE[], qv::DOUBLE[]),
+                                    x -> x[1] * x[2]), (a, b) -> a + b)
+         / (sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b))
+          * sqrt(list_reduce(list_transform(qv::DOUBLE[], x -> x * x), (a, b) -> a + b))),
+         6) AS cos_sim
+FROM embeddings, q
+ORDER BY cos_sim DESC, vec_id
+LIMIT 20
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_project": QueryDef(q02_filter_project, Q02_SQL, "compound filter + projection"),
@@ -1071,4 +1102,5 @@ REGISTRY: dict[str, QueryDef] = {
     "q37_string_funcs": QueryDef(q37_string_funcs, Q37_SQL, "scalar string transforms"),
     "q38_pivot": QueryDef(q38_pivot, Q38_SQL, "pivot / crosstab"),
     "q39_winnowing": QueryDef(q39_winnowing, Q39_SQL, "rolling-hash winnowing fingerprints"),
+    "q40_ann_ivf": QueryDef(q40_ann_ivf, Q40_SQL, "IVF ANN search (exhaustive-probe oracle)"),
 }
