@@ -1060,6 +1060,37 @@ LIMIT 20
 """
 
 
+def q41_multimodal(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Multimodal pipeline plumbing (operators/multimodal.py) driven
+    end-to-end: binary payload column + typed metadata struct + Arrow-
+    batched mapInPandas feature extraction. Payloads are derived from
+    document text (no media files in the container); the decode stub's
+    sha256/size outputs are deterministic, so the full distributed
+    pipeline faces a real DuckDB oracle. The float feature vector is
+    exercised by tests/test_dedup.py::test_multimodal_plumbing."""
+    from pandasql_spark.operators.multimodal import (
+        attach_media_meta,
+        extract_image_features,
+    )
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    media = attach_media_meta(media, "payload", "image", "png")
+    feats = extract_image_features(media, "payload", "media_id")
+    return feats.select("media_id", "sha256", "n_bytes")
+
+
+Q41_SQL = """
+SELECT doc_id AS media_id,
+       sha256(text) AS sha256,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_project": QueryDef(q02_filter_project, Q02_SQL, "compound filter + projection"),
@@ -1103,4 +1134,5 @@ REGISTRY: dict[str, QueryDef] = {
     "q38_pivot": QueryDef(q38_pivot, Q38_SQL, "pivot / crosstab"),
     "q39_winnowing": QueryDef(q39_winnowing, Q39_SQL, "rolling-hash winnowing fingerprints"),
     "q40_ann_ivf": QueryDef(q40_ann_ivf, Q40_SQL, "IVF ANN search (exhaustive-probe oracle)"),
+    "q41_multimodal": QueryDef(q41_multimodal, Q41_SQL, "multimodal mapInPandas pipeline"),
 }
