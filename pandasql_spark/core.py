@@ -542,6 +542,55 @@ class DataFrame(BaseFrame):
         cols = [columns] if isinstance(columns, str) else list(columns)
         return DataFrame(sdf=self._sdf.orderBy(*[F.col(c).asc() for c in cols]).limit(n))
 
+    # -- missing-data / dtype / sampling surface (pandas superset; the
+    #    reference supports none of these — api_status.py UNSUPPORTED)
+
+    def dropna(self, subset: Sequence[str] | None = None, how: str = "any") -> "DataFrame":
+        """Drop rows with nulls (pandas ``dropna``): ``how='any'`` drops a
+        row if any of ``subset`` (default: all columns) is null."""
+        return DataFrame(sdf=self._sdf.na.drop(how=how, subset=list(subset) if subset else None))
+
+    def fillna(self, value) -> "DataFrame":
+        """Fill nulls: scalar (applied to type-compatible columns) or
+        ``{col: value}`` dict, same as pandas/Spark ``fillna``."""
+        return DataFrame(sdf=self._sdf.na.fill(value))
+
+    _DTYPE_MAP = {
+        "int": "long", "int64": "long", "int32": "int",
+        "float": "double", "float64": "double", "float32": "float",
+        "str": "string", "object": "string", "bool": "boolean",
+        "datetime64[ns]": "timestamp",
+    }
+
+    def astype(self, dtypes: dict[str, str]) -> "DataFrame":
+        """Cast columns by pandas dtype name or Spark DDL type name."""
+        casts = {
+            c: F.col(c).cast(self._DTYPE_MAP.get(str(t), str(t)))
+            for c, t in dtypes.items()
+        }
+        return DataFrame(sdf=self._sdf.withColumns(casts))
+
+    def sample(self, frac: float, seed: int | None = None, replace: bool = False) -> "DataFrame":
+        """Bernoulli row sample — per-partition, no shuffle, no driver
+        involvement; the row count is approximate (exact-n sampling needs
+        a global sort and is the wrong default at scale)."""
+        return DataFrame(
+            sdf=self._sdf.sample(withReplacement=replace, fraction=frac, seed=seed)
+        )
+
+    def describe(self, *cols: str) -> "DataFrame":
+        """Summary stats (count/mean/stddev/min/max) per numeric column —
+        Spark-native one-pass aggregation."""
+        return DataFrame(sdf=self._sdf.describe(*cols))
+
+    def value_counts(self, col: str, ascending: bool = False) -> "DataFrame":
+        """Per-value row counts, sorted by count (pandas
+        ``df[col].value_counts()`` shape: value + 'count' columns). One
+        partial-agg shuffle on the value."""
+        out = self._sdf.groupBy(col).agg(F.count(F.lit(1)).alias("count"))
+        order = F.col("count").asc() if ascending else F.col("count").desc()
+        return DataFrame(sdf=out.orderBy(order, F.col(col).asc()))
+
     # -- set operations beyond the reference's bag-union `concat`
     #    (SURVEY §2.7: INTERSECT/EXCEPT absent there). Name-resolved like
     #    concat; one shuffle on all columns each, same as DISTINCT.

@@ -1091,6 +1091,40 @@ FROM documents
 """
 
 
+def q42_salted_agg(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Skew-proof two-phase salted aggregation (operators/skew.py):
+    per-event-type stats computed via (key, salt) pre-shuffle then key
+    re-fold. event_type has only a handful of distinct values — exactly
+    the hot-key shape that funnels a plain groupBy into few reducers at
+    100 TB. The oracle is the plain GROUP BY: salting must not change
+    results, only the shuffle shape. avg decomposed into sum+count
+    (re-aggregatable) and rebuilt after the fold."""
+    from pandasql_spark.operators.skew import salted_groupby_agg
+
+    ev = load_events(spark, sf)
+    g = salted_groupby_agg(
+        ev.select("event_type", "value", F.col("value").alias("value_n")),
+        keys=["event_type"],
+        agg_cols={"value": "sum", "value_n": "count"},
+        num_salts=8,
+    )
+    return g.select(
+        "event_type",
+        F.round("value", 2).alias("sum_value"),
+        F.col("value_n").cast("long").alias("n_events"),
+        F.round(F.col("value") / F.col("value_n"), 6).alias("avg_value"),
+    )
+
+
+Q42_SQL = """
+SELECT event_type,
+       round(sum(value), 2) AS sum_value,
+       CAST(count(value) AS BIGINT) AS n_events,
+       round(sum(value) / count(value), 6) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_project": QueryDef(q02_filter_project, Q02_SQL, "compound filter + projection"),
@@ -1135,4 +1169,5 @@ REGISTRY: dict[str, QueryDef] = {
     "q39_winnowing": QueryDef(q39_winnowing, Q39_SQL, "rolling-hash winnowing fingerprints"),
     "q40_ann_ivf": QueryDef(q40_ann_ivf, Q40_SQL, "IVF ANN search (exhaustive-probe oracle)"),
     "q41_multimodal": QueryDef(q41_multimodal, Q41_SQL, "multimodal mapInPandas pipeline"),
+    "q42_salted_agg": QueryDef(q42_salted_agg, Q42_SQL, "skew-proof two-phase salted aggregation"),
 }

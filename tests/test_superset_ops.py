@@ -129,3 +129,39 @@ def test_winnowing_guarantee(spark):
     assert fps[1] & fps[2], "docs sharing a 6-token run must share a fingerprint"
     assert not fps[1] & fps[3]
     assert not fps[2] & fps[3]
+
+
+def test_missing_data_surface(spark):
+    pdf = pd.DataFrame(
+        {"a": [1.0, None, 3.0, None], "b": ["x", "y", None, None], "c": [1, 2, 3, 4]}
+    )
+    df = ps.DataFrame(pdf)
+    assert_frame_equals_pandas(df.dropna(), pdf.dropna())
+    assert_frame_equals_pandas(df.dropna(subset=["a"]), pdf.dropna(subset=["a"]))
+    assert_frame_equals_pandas(
+        df.fillna({"a": 0.0, "b": "missing"}), pdf.fillna({"a": 0.0, "b": "missing"})
+    )
+
+
+def test_astype_and_sample(spark):
+    pdf = pd.DataFrame({"a": [1, 2, 3], "b": ["1.5", "2.5", "3.5"]})
+    df = ps.DataFrame(pdf).astype({"a": "float64", "b": "float64"})
+    got = df.compute()
+    assert str(got["a"].dtype) == "float64" and str(got["b"].dtype) == "float64"
+    assert got["b"].tolist() == [1.5, 2.5, 3.5]
+
+    big = ps.DataFrame(pd.DataFrame({"x": range(1000)}))
+    n = len(big.sample(0.1, seed=7).compute())
+    assert 40 < n < 200  # Bernoulli ~100
+
+
+def test_value_counts_and_describe(spark):
+    pdf = pd.DataFrame({"g": ["a", "b", "a", "c", "a", "b"]})
+    df = ps.DataFrame(pdf)
+    got = df.value_counts("g").compute()
+    assert got["g"].tolist() == ["a", "b", "c"]
+    assert got["count"].tolist() == [3, 2, 1]
+
+    d = ps.DataFrame(pd.DataFrame({"v": [1.0, 2.0, 3.0]})).describe().compute()
+    stats = dict(zip(d["summary"], d["v"]))
+    assert float(stats["mean"]) == 2.0 and int(stats["count"]) == 3
