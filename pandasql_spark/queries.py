@@ -1125,6 +1125,53 @@ FROM events GROUP BY event_type
 """
 
 
+def q43_decorrelated_scalar(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Correlated-scalar-subquery pattern (TPC-H Q2/Q17 shape), expressed
+    de-correlated: parts priced >1.01× their type's average (the synthetic prices cluster within ~6%% of the type mean, so 1.01 is a selective-but-non-empty cut at every SF). The oracle is
+    the literal correlated subquery; ours is the window-average plan —
+    one shuffle on p_type instead of one subquery execution per row."""
+    p = spark.read.parquet(f"{sf}/part.parquet")
+    w = Window.partitionBy("p_type")
+    avg_p = F.avg("p_retailprice").over(w)
+    return (
+        p.select(
+            "p_partkey", "p_type", "p_retailprice",
+            F.round(avg_p, 4).alias("type_avg"),
+        )
+        .filter(F.col("p_retailprice") > 1.01 * F.col("type_avg"))
+    )
+
+
+Q43_SQL = """
+SELECT p_partkey, p_type, p_retailprice,
+       round((SELECT avg(p2.p_retailprice) FROM part p2
+              WHERE p2.p_type = p.p_type), 4) AS type_avg
+FROM part p
+WHERE p_retailprice > 1.01 * round((SELECT avg(p2.p_retailprice) FROM part p2
+                                   WHERE p2.p_type = p.p_type), 4)
+"""
+
+
+def q44_in_subquery(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """IN-subquery pattern (TPC-H Q18 shape) as a semi join against an
+    aggregate: orders from customers with more than 15 orders. The
+    aggregate side shrinks to |qualifying customers| keys before the
+    semi join — no fan-out, right side carries only the key."""
+    o = _t(spark, sf, "orders")
+    counts = o.groupby("o_custkey", as_index=False).agg(n=("o_orderkey", "count"))
+    hot = counts[counts["n"] > 15][["o_custkey"]]
+    big = o.merge(ps.DataFrame(sdf=hot.to_spark()), on="o_custkey", how="semi")
+    return big[["o_orderkey", "o_custkey", "o_totalprice"]].to_spark()
+
+
+Q44_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (SELECT o_custkey FROM orders
+                    GROUP BY o_custkey HAVING count(*) > 15)
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_project": QueryDef(q02_filter_project, Q02_SQL, "compound filter + projection"),
@@ -1170,4 +1217,6 @@ REGISTRY: dict[str, QueryDef] = {
     "q40_ann_ivf": QueryDef(q40_ann_ivf, Q40_SQL, "IVF ANN search (exhaustive-probe oracle)"),
     "q41_multimodal": QueryDef(q41_multimodal, Q41_SQL, "multimodal mapInPandas pipeline"),
     "q42_salted_agg": QueryDef(q42_salted_agg, Q42_SQL, "skew-proof two-phase salted aggregation"),
+    "q43_decorrelated_scalar": QueryDef(q43_decorrelated_scalar, Q43_SQL, "correlated scalar subquery, de-correlated"),
+    "q44_in_subquery": QueryDef(q44_in_subquery, Q44_SQL, "IN-subquery via semi join"),
 }

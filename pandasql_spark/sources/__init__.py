@@ -14,6 +14,7 @@ from .io import (
     read_orc,
     read_parquet,
     read_pickle,
+    write_compacted,
 )
 
-__all__ = ["read_csv", "read_json", "read_numpy", "read_orc", "read_parquet", "read_pickle"]
+__all__ = ["read_csv", "read_json", "read_numpy", "read_orc", "read_parquet", "read_pickle", "write_compacted"]

@@ -78,3 +78,34 @@ def read_orc(path: str, spark: SparkSession | None = None) -> DataFrame:
     as read_parquet — predicate pushdown and column pruning apply)."""
     spark = spark or get_spark()
     return DataFrame(sdf=spark.read.orc(path))
+
+
+def write_compacted(
+    df,
+    path: str,
+    target_file_mb: int = 256,
+    compression_ratio: float = 0.25,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    max_files: int = 100_000,
+) -> int:
+    """Small-files-proof sink: size the output file count from the
+    optimizer's size estimate instead of inheriting the upstream
+    partitioning. A 100 TB pipeline stage that ends in 200k shuffle
+    partitions would otherwise write 200k tiny files — the classic
+    downstream-killer; conversely one giant partition serializes the
+    write. Returns the file count used.
+
+    ``compression_ratio`` converts the in-memory estimate to on-disk
+    parquet/orc bytes (~4× columnar compression by default). Uses
+    ``repartition`` (round-robin, even files); if the frame is already
+    hash/range-partitioned on a useful key, write it directly instead.
+    """
+    import math
+
+    sdf = df.to_spark() if hasattr(df, "to_spark") else df
+    est_bytes = int(sdf._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    disk_bytes = est_bytes * compression_ratio
+    n = max(1, min(max_files, math.ceil(disk_bytes / (target_file_mb * 1024 * 1024))))
+    sdf.repartition(n).write.mode(mode).format(fmt).save(path)
+    return n

@@ -107,3 +107,26 @@ def test_orc_roundtrip(spark, tmp_path):
     back = ps.read_orc(path)
     got = back.compute().sort_values("a", ignore_index=True)
     pd.testing.assert_frame_equal(got, pdf, check_dtype=False)
+
+
+def test_write_compacted(spark, tmp_path):
+    import glob
+
+    import pandas as pd
+
+    import pandasql_spark as ps
+    from pandasql_spark.sources import write_compacted
+
+    df = ps.DataFrame(pd.DataFrame({"x": range(10_000), "s": ["pad" * 10] * 10_000}))
+    # huge target → single output file regardless of input partitioning
+    p1 = str(tmp_path / "one")
+    n1 = write_compacted(df.to_spark().repartition(16), p1, target_file_mb=1024)
+    assert n1 == 1
+    assert len(glob.glob(p1 + "/part-*")) == 1
+    # tiny target → multiple files
+    p2 = str(tmp_path / "many")
+    n2 = write_compacted(df, p2, target_file_mb=1, compression_ratio=50.0)
+    assert n2 > 1
+    assert len(glob.glob(p2 + "/part-*")) == n2
+    # round-trip intact
+    assert ps.read_parquet(p1).to_spark().count() == 10_000
