@@ -184,6 +184,11 @@ class Expression:
     def str(self) -> "StringOperator":
         return StringOperator(self)
 
+    # -- datetime namespace (superset; no date functions in the reference)
+    @property
+    def dt(self) -> "DtOperator":
+        return DtOperator(self)
+
     # -- internals --
     def _cmp(self, other, op) -> "Criterion":
         other_expr = _as_expression(other, self._sdf)
@@ -344,6 +349,94 @@ class StringOperator:
 
     def lower(self) -> Arithmetic:
         return Arithmetic(self._expr._sdf, F.lower(self._expr.spark_col()), False)
+
+    # pandas .str transform superset (the reference has NO scalar string
+    # transforms at all, SURVEY §2.2) — all JVM-side expressions.
+
+    def len(self) -> Arithmetic:
+        return Arithmetic(self._expr._sdf, F.length(self._expr.spark_col()), False)
+
+    def strip(self) -> Arithmetic:
+        return Arithmetic(self._expr._sdf, F.trim(self._expr.spark_col()), False)
+
+    def slice(self, start: int = 0, stop: int | None = None) -> Arithmetic:
+        # pandas slice semantics: 0-based [start, stop)
+        length = (stop - start) if stop is not None else (1 << 30)
+        col = F.substring(self._expr.spark_col(), start + 1, length)
+        return Arithmetic(self._expr._sdf, col, False)
+
+    def replace(self, pat: str, repl: str, regex: bool = False) -> Arithmetic:
+        col = self._expr.spark_col()
+        out = F.regexp_replace(col, pat, repl) if regex else F.replace(
+            col, F.lit(pat), F.lit(repl)
+        )
+        return Arithmetic(self._expr._sdf, out, False)
+
+    def split(self, pat: str = " ") -> Arithmetic:
+        return Arithmetic(
+            self._expr._sdf, F.split(self._expr.spark_col(), pat), False
+        )
+
+    def cat(self, other, sep: str = "") -> Arithmetic:
+        other_expr = _as_expression(other, self._expr._sdf)
+        col = F.concat_ws(sep, self._expr.spark_col(), other_expr.spark_col())
+        return Arithmetic(_common_sdf(self._expr, other_expr), col, False)
+
+
+class DtOperator:
+    """``.dt`` accessor for timestamp columns (pandas parity superset;
+    no date functions exist in the reference, SURVEY §2.2). All
+    JVM-side expressions — partition-pruning-friendly when used in
+    filters over date-partitioned tables."""
+
+    def __init__(self, expr: Expression):
+        self._expr = expr
+
+    def _wrap(self, fn) -> Arithmetic:
+        return Arithmetic(self._expr._sdf, fn(self._expr.spark_col()), False)
+
+    @property
+    def year(self) -> Arithmetic:
+        return self._wrap(F.year)
+
+    @property
+    def month(self) -> Arithmetic:
+        return self._wrap(F.month)
+
+    @property
+    def day(self) -> Arithmetic:
+        return self._wrap(F.dayofmonth)
+
+    @property
+    def hour(self) -> Arithmetic:
+        return self._wrap(F.hour)
+
+    @property
+    def minute(self) -> Arithmetic:
+        return self._wrap(F.minute)
+
+    @property
+    def second(self) -> Arithmetic:
+        return self._wrap(F.second)
+
+    @property
+    def dayofweek(self) -> Arithmetic:
+        # pandas: Monday=0 … Sunday=6; Spark dayofweek: Sunday=1 … Saturday=7
+        return Arithmetic(
+            self._expr._sdf,
+            (F.dayofweek(self._expr.spark_col()) + 5) % 7,
+            False,
+        )
+
+    @property
+    def date(self) -> Arithmetic:
+        return self._wrap(F.to_date)
+
+    def floor(self, unit: str) -> Arithmetic:
+        """Truncate to 'hour'/'day'/'month'… (pandas dt.floor analog)."""
+        return Arithmetic(
+            self._expr._sdf, F.date_trunc(unit, self._expr.spark_col()), False
+        )
 
 
 class BaseFrame:

@@ -21,11 +21,17 @@ FRAME_OPS = [
     "compute", "head", "merge", "groupby", "sort_values", "drop_duplicates",
     "rename", "to_csv", "to_json", "to_numpy", "to_pickle",
     "sum", "count", "mean", "min", "max", "prod", "any", "all", "agg",
+    "memory_usage",
     # fallback-only in the reference (api_status.py:24-28), native here:
     "nlargest", "nsmallest",
+    # the generic FallbackOperation escape hatch (core.py:1266-1284)
+    "fallback",
 ]
 
-MODULE_OPS = ["read_csv", "read_json", "read_numpy", "read_pickle", "concat", "merge", "stop"]
+MODULE_OPS = [
+    "read_csv", "read_json", "read_numpy", "read_pickle", "concat", "merge",
+    "stop", "offloading_strategy",
+]
 
 EXPR_OPS = [
     "__add__", "__sub__", "__mul__", "__truediv__", "__floordiv__", "__mod__",

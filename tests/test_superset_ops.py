@@ -165,3 +165,45 @@ def test_value_counts_and_describe(spark):
     d = ps.DataFrame(pd.DataFrame({"v": [1.0, 2.0, 3.0]})).describe().compute()
     stats = dict(zip(d["summary"], d["v"]))
     assert float(stats["mean"]) == 2.0 and int(stats["count"]) == 3
+
+
+def test_str_transforms(spark):
+    pdf = pd.DataFrame({"s": ["  Hello World  ", "foo bar", "Spark SQL"]})
+    df = ps.DataFrame(pdf)
+    df["n_chars"] = df["s"].str.len()
+    df["stripped"] = df["s"].str.strip()
+    df["prefix"] = df["s"].str.slice(0, 3)
+    df["swapped"] = df["s"].str.replace("o", "0")
+    got = df.compute()
+    assert got["n_chars"].tolist() == pdf.s.str.len().tolist()
+    assert got["stripped"].tolist() == pdf.s.str.strip().tolist()
+    assert got["prefix"].tolist() == pdf.s.str.slice(0, 3).tolist()
+    assert got["swapped"].tolist() == pdf.s.str.replace("o", "0", regex=False).tolist()
+
+
+def test_dt_accessor(spark):
+    ts = pd.to_datetime(
+        ["2026-01-15 10:30:45", "2026-08-13 23:59:59", "2025-12-31 00:00:00"]
+    )
+    pdf = pd.DataFrame({"t": ts})
+    df = ps.DataFrame(pdf)
+    df["y"] = df["t"].dt.year
+    df["m"] = df["t"].dt.month
+    df["d"] = df["t"].dt.day
+    df["h"] = df["t"].dt.hour
+    df["dow"] = df["t"].dt.dayofweek
+    got = df.compute()
+    assert got["y"].tolist() == ts.year.tolist()
+    assert got["m"].tolist() == ts.month.tolist()
+    assert got["d"].tolist() == ts.day.tolist()
+    assert got["h"].tolist() == ts.hour.tolist()
+    assert got["dow"].tolist() == ts.dayofweek.tolist()
+
+
+def test_dt_filter(spark):
+    pdf = pd.DataFrame(
+        {"t": pd.to_datetime(["2026-01-15", "2026-06-15", "2025-06-15"]), "v": [1, 2, 3]}
+    )
+    df = ps.DataFrame(pdf)
+    got = df[df["t"].dt.year == 2026].compute()
+    assert sorted(got["v"].tolist()) == [1, 2]
