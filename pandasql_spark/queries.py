@@ -1172,6 +1172,61 @@ WHERE o_custkey IN (SELECT o_custkey FROM orders
 """
 
 
+def q45_cross_join(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """The reference's hallmark benchmark: cartesian join faked with a
+    constant dummy=1 key + filter (big_join_select,
+    reference benchmarks/run_benchmark.py:75-100 — the one query where
+    pandas/Dask OOM and pandaSQL survives). Reproduced through the SAME
+    veneer idiom; Spark streams the nested-loop join without
+    materializing the cross product (aggregate consumes pairs as
+    produced), so it survives at any scale pandas can't."""
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    c["dummy"] = 1
+    s["dummy"] = 1
+    j = c.merge(s, on="dummy")
+    flt = j[j["c_acctbal"] > j["s_acctbal"]]
+    out = flt.to_spark().agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum(F.col("c_acctbal") - F.col("s_acctbal")), 2).alias("bal_gap"),
+    )
+    return out
+
+
+Q45_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       round(sum(c_acctbal - s_acctbal), 2) AS bal_gap
+FROM customer, supplier
+WHERE c_acctbal > s_acctbal
+"""
+
+
+def q46_json_props(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Semi-structured extraction (training-pipeline metadata path):
+    parse the events JSON ``props`` column, bucket by the extracted key.
+    ``get_json_object`` is a JVM-side expression — pushdown-friendly,
+    no Python in the loop."""
+    ev = load_events(spark, sf)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+Q46_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_project": QueryDef(q02_filter_project, Q02_SQL, "compound filter + projection"),
@@ -1219,4 +1274,6 @@ REGISTRY: dict[str, QueryDef] = {
     "q42_salted_agg": QueryDef(q42_salted_agg, Q42_SQL, "skew-proof two-phase salted aggregation"),
     "q43_decorrelated_scalar": QueryDef(q43_decorrelated_scalar, Q43_SQL, "correlated scalar subquery, de-correlated"),
     "q44_in_subquery": QueryDef(q44_in_subquery, Q44_SQL, "IN-subquery via semi join"),
+    "q45_cross_join": QueryDef(q45_cross_join, Q45_SQL, "cartesian join + filter (reference hallmark)"),
+    "q46_json_props": QueryDef(q46_json_props, Q46_SQL, "JSON props extraction + agg"),
 }
