@@ -217,6 +217,10 @@ def ngram_jaccard_pairs(
     ``max_shingle_freq`` drops shingles appearing in more than that many
     docs before the join — boilerplate shingles are what turn this
     quadratic at scale, and they carry no discriminative signal."""
+    # NOT persisted (measured slower with persist): the self-join sides
+    # hit the same shuffle, which Spark dedups via ReusedExchange — the
+    # shingle pass is not recomputed per branch the way the minhash
+    # signature's non-shuffle branches are.
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_shingles(text_col, shingle_k))).alias("sh"),

@@ -1040,7 +1040,7 @@ def q40_ann_ivf(spark: SparkSession, sf: str) -> SparkDataFrame:
     from pandasql_spark.operators.ann import build_ivf_index
 
     e = spark.read.parquet(f"{sf}/embeddings.parquet")
-    idx = build_ivf_index(e, nlist=8, seed=42, max_iter=5)
+    idx = build_ivf_index(e, nlist=8, seed=42, max_iter=3)
     qv = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     return idx.search([float(x) for x in qv], k=20, nprobe=8)
 
