@@ -591,6 +591,22 @@ class DataFrame(BaseFrame):
         # (reference position-preserving SELECT, core.py:667-726).
         self._sdf = self._sdf.withColumn(col, expr.spark_col())
 
+    def assign(self, **columns) -> "DataFrame":
+        """pandas ``assign``: non-mutating multi-column write (the
+        functional twin of ``__setitem__``). Plain values are expressions
+        over THIS frame; callables receive the frame-so-far (the pandas
+        idiom for columns that depend on earlier assignments)."""
+        out_sdf = self._sdf
+        for name, value in columns.items():
+            if callable(value):
+                expr = _as_expression(value(DataFrame(sdf=out_sdf)), out_sdf)
+            else:
+                expr = _as_expression(value, self._sdf)
+                if expr._sdf is not None and expr._sdf is not self._sdf:
+                    raise ValueError("value expression comes from a different DataFrame")
+            out_sdf = out_sdf.withColumn(name, expr.spark_col())
+        return DataFrame(sdf=out_sdf)
+
     def head(self, n: int = 5) -> "DataFrame":
         return DataFrame(sdf=self._sdf.limit(n))
 
@@ -886,6 +902,18 @@ class Projection(BaseFrame, Expression):
 
     def drop_duplicates(self) -> "Projection":
         return Projection(self._src, self._cols, distinct=True)
+
+    def value_counts(self, ascending: bool = False) -> "DataFrame":
+        """pandas ``df[col].value_counts()`` idiom on a 1-col projection."""
+        if len(self._cols) != 1:
+            raise ValueError("value_counts requires a single-column projection")
+        return DataFrame(sdf=self._src).value_counts(self._cols[0], ascending=ascending)
+
+    def nunique(self) -> int:
+        """Distinct-value count of a 1-col projection (eager scalar)."""
+        if len(self._cols) != 1:
+            raise ValueError("nunique requires a single-column projection")
+        return self.to_spark().distinct().count()
 
     def compute(self):
         pdf = self.to_spark().toPandas()

