@@ -591,6 +591,24 @@ class DataFrame(BaseFrame):
         # (reference position-preserving SELECT, core.py:667-726).
         self._sdf = self._sdf.withColumn(col, expr.spark_col())
 
+    def repartition(self, num: int | None = None, *cols: str) -> "DataFrame":
+        """Explicit partitioning control (scale-tuning surface): by count
+        (round-robin), by columns (hash), or both. Use before a write to
+        control file counts, or to pre-co-locate a hot join key."""
+        sdf = self._sdf
+        if num is not None and cols:
+            sdf = sdf.repartition(num, *[F.col(c) for c in cols])
+        elif num is not None:
+            sdf = sdf.repartition(num)
+        elif cols:
+            sdf = sdf.repartition(*[F.col(c) for c in cols])
+        return DataFrame(sdf=sdf)
+
+    def coalesce(self, num: int) -> "DataFrame":
+        """Reduce partition count WITHOUT a shuffle (narrow dependency) —
+        the cheap way to shrink file counts after a selective filter."""
+        return DataFrame(sdf=self._sdf.coalesce(num))
+
     def assign(self, **columns) -> "DataFrame":
         """pandas ``assign``: non-mutating multi-column write (the
         functional twin of ``__setitem__``). Plain values are expressions

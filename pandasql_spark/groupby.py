@@ -125,6 +125,14 @@ class GroupByDataFrame:
 
         return DataFrame(sdf=self._sdf.groupBy(*self._keys).applyInPandas(func, schema))
 
+    def cogroup(self, other: "GroupByDataFrame") -> "CoGroup":
+        """Two-sided grouped transform (Spark ``cogroup`` +
+        ``applyInPandas``): each pair of same-key groups is handed to a
+        pandas function. The distributed form of custom merge logic the
+        reference could only do driver-side. Both sides shuffle once on
+        their keys."""
+        return CoGroup(self, other)
+
     def agg(self, func=None, **named):
         """1 func → single agg; list → multi-agg with MultiIndex columns
         (cols × funcs), all in ONE groupBy().agg() — no sentinel-rename
@@ -146,6 +154,19 @@ class GroupByDataFrame:
             return GroupedAggregate(out_sdf, self._keys, self._as_index)
         if isinstance(func, str):
             return self._single_agg(func)
+        if isinstance(func, dict):
+            # pandas dict form: {col: fn} or {col: [fn, ...]}
+            exprs, pairs = [], []
+            for col, fns in func.items():
+                if col not in self._sdf.columns:
+                    raise KeyError(f"column not found: {col}")
+                for fn in [fns] if isinstance(fns, str) else list(fns):
+                    if fn not in AGG_FUNCS:
+                        raise ValueError(f"unsupported aggregate: {fn}")
+                    exprs.append(AGG_FUNCS[fn](col).alias(f"{col}__{fn}"))
+                    pairs.append((col, fn))
+            out = self._sdf.groupBy(*self._keys).agg(*exprs)
+            return GroupedMultiAggregate(out, self._keys, pairs, self._as_index)
         funcs = list(func)
         for f in funcs:
             if f not in AGG_FUNCS:
@@ -247,3 +268,20 @@ class MultiAggregate(BaseFrame):
         for f, c in self._pairs:
             data.setdefault(c, {})[f] = row[f"{c}__{f}"]
         return pd.DataFrame(data).reindex(self._funcs)
+
+
+class CoGroup:
+    """Pair of grouped frames awaiting a two-sided pandas transform."""
+
+    def __init__(self, a: GroupByDataFrame, b: GroupByDataFrame):
+        self._a = a
+        self._b = b
+
+    def apply(self, func, schema):
+        """``func(left_pdf, right_pdf) -> pdf`` per key pair (either side
+        may be empty for keys present only in the other)."""
+        from .core import DataFrame
+
+        ga = self._a._sdf.groupBy(*self._a._keys)
+        gb = self._b._sdf.groupBy(*self._b._keys)
+        return DataFrame(sdf=ga.cogroup(gb).applyInPandas(func, schema))

@@ -137,3 +137,58 @@ def test_having_pattern(spark):
     expected = pdf.groupby("r", as_index=False).sum()
     expected = expected[expected["n"] > 10]
     assert_frame_equals_pandas(filtered, expected)
+
+
+def test_agg_dict_form(spark):
+    import pandas as pd
+
+    import pandasql_spark as ps
+
+    pdf = pd.DataFrame({"g": ["a", "a", "b"], "v": [1.0, 3.0, 5.0], "w": [2, 4, 6]})
+    df = ps.DataFrame(pdf)
+    got = df.groupby("g").agg({"v": "sum", "w": ["min", "max"]}).compute()
+    expected = pdf.groupby("g").agg({"v": "sum", "w": ["min", "max"]})
+    assert got.loc["a", ("v", "sum")] == expected.loc["a", ("v", "sum")]
+    assert got.loc["b", ("w", "max")] == expected.loc["b", ("w", "max")]
+    assert list(got.columns) == list(expected.columns)
+
+
+def test_cogroup_apply(spark):
+    import pandas as pd
+
+    import pandasql_spark as ps
+
+    a = ps.DataFrame(pd.DataFrame({"k": [1, 1, 2], "x": [1.0, 2.0, 3.0]}))
+    b = ps.DataFrame(pd.DataFrame({"k": [1, 2, 3], "y": [10.0, 20.0, 30.0]}))
+
+    def summarize(left, right):
+        k = left["k"].iloc[0] if len(left) else right["k"].iloc[0]
+        return pd.DataFrame(
+            {"k": [k], "x_sum": [left["x"].sum()], "y_sum": [right["y"].sum()]}
+        )
+
+    got = (
+        a.groupby("k")
+        .cogroup(b.groupby("k"))
+        .apply(summarize, "k long, x_sum double, y_sum double")
+        .compute()
+        .sort_values("k", ignore_index=True)
+    )
+    assert got["k"].tolist() == [1, 2, 3]
+    assert got["x_sum"].tolist() == [3.0, 3.0, 0.0]
+    assert got["y_sum"].tolist() == [10.0, 20.0, 30.0]
+
+
+def test_repartition_coalesce(spark):
+    import pandas as pd
+
+    import pandasql_spark as ps
+
+    df = ps.DataFrame(pd.DataFrame({"k": list(range(100))}))
+    r = df.repartition(8)
+    assert r.to_spark().rdd.getNumPartitions() == 8
+    c = r.coalesce(2)
+    assert c.to_spark().rdd.getNumPartitions() == 2
+    byk = df.repartition(4, "k")
+    assert byk.to_spark().rdd.getNumPartitions() == 4
+    assert byk.to_spark().count() == 100
