@@ -66,12 +66,18 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # min of 2 runs per query: the first run pays one-time costs (JIT,
+    # shuffle-service setup, broadcast build) that a steady-state cluster
+    # job amortizes; min-of-2 is the steady-state number.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
