@@ -1227,6 +1227,74 @@ GROUP BY 1
 """
 
 
+def q47_funnel(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Ordered funnel analysis (view → click → purchase), the canonical
+    event-pipeline conversion query: stage N counts users whose first
+    stage-N event strictly follows their first stage-N−1 completion.
+    One aggregation per stage + two broadcast-size joins (the per-user
+    stage tables shrink to |users| rows immediately) — no window scan
+    over the raw stream needed."""
+    ev = load_events(spark, sf)
+
+    def first_after(event_type: str, prev: SparkDataFrame | None) -> SparkDataFrame:
+        e = ev.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(
+                (F.col("ts") > F.col("prev_ts"))
+                & (F.col("ts") <= F.col("prev_ts") + F.expr("interval 48 hours"))
+            )
+        return e.groupBy("user_id").agg(F.min("ts").alias("prev_ts"))
+
+    v = first_after("view", None)
+    c = first_after("click", v)
+    p = first_after("purchase", c)
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )
+
+
+Q47_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t AND e.ts <= v.t + INTERVAL 48 HOURS GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t AND e.ts <= c.t + INTERVAL 48 HOURS GROUP BY e.user_id
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
+       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_full_funnel
+"""
+
+
+def q48_quartiles(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Exact interpolated quantiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``). Exact percentile sorts per group — swap
+    to percentile_approx (t-digest) at 100 TB, as with median in q32."""
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    pct = F.percentile("o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return o.groupBy("o_orderstatus").agg(
+        F.round(pct[0], 4).alias("p25"),
+        F.round(pct[1], 4).alias("p50"),
+        F.round(pct[2], 4).alias("p75"),
+    )
+
+
+Q48_SQL = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_project": QueryDef(q02_filter_project, Q02_SQL, "compound filter + projection"),
@@ -1276,4 +1344,6 @@ REGISTRY: dict[str, QueryDef] = {
     "q44_in_subquery": QueryDef(q44_in_subquery, Q44_SQL, "IN-subquery via semi join"),
     "q45_cross_join": QueryDef(q45_cross_join, Q45_SQL, "cartesian join + filter (reference hallmark)"),
     "q46_json_props": QueryDef(q46_json_props, Q46_SQL, "JSON props extraction + agg"),
+    "q47_funnel": QueryDef(q47_funnel, Q47_SQL, "ordered funnel conversion analysis"),
+    "q48_quartiles": QueryDef(q48_quartiles, Q48_SQL, "exact per-group quantiles"),
 }
