@@ -1295,6 +1295,40 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q49_dedup_clusters(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Near-dup CLUSTERS from pair lists (operators/cluster.py
+    min-label propagation): the step that turns q22's pairs into a
+    keep-one-per-cluster dedup decision. Oracle = recursive CTE over
+    the same exact-Jaccard pairs."""
+    from pandasql_spark.operators.cluster import connected_components
+    from pandasql_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = ngram_jaccard_pairs(d, threshold=0.5)
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+Q49_SQL = f"""
+WITH RECURSIVE pairs AS ({Q22_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_project": QueryDef(q02_filter_project, Q02_SQL, "compound filter + projection"),
@@ -1346,4 +1380,5 @@ REGISTRY: dict[str, QueryDef] = {
     "q46_json_props": QueryDef(q46_json_props, Q46_SQL, "JSON props extraction + agg"),
     "q47_funnel": QueryDef(q47_funnel, Q47_SQL, "ordered funnel conversion analysis"),
     "q48_quartiles": QueryDef(q48_quartiles, Q48_SQL, "exact per-group quantiles"),
+    "q49_dedup_clusters": QueryDef(q49_dedup_clusters, Q49_SQL, "near-dup connected components"),
 }

@@ -154,3 +154,32 @@ def test_multimodal_plumbing(spark):
     frames = multimodal.sample_frames(sdf).toPandas()
     assert len(frames) == 24  # 3 per media
     assert set(frames["frame_idx"]) == {0, 1, 2}
+
+
+def test_connected_components(spark):
+    from pandasql_spark.operators.cluster import connected_components
+
+    # two clusters {1,2,3,4} (chain) and {10,11}, singleton edges absent
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r.node: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_keep_representative(spark):
+    import pandas as pd
+
+    from pandasql_spark.operators.cluster import dedup_keep_representative
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 10, 11, 99], "text": list("abcdef")})
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    kept = sorted(
+        r.doc_id for r in dedup_keep_representative(df, pairs).collect()
+    )
+    # cluster mins 1 and 10 survive; untouched 99 survives
+    assert kept == [1, 10, 99]
