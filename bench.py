@@ -46,6 +46,8 @@ HEADLINE = [
     "q40_ann_ivf",
     "q45_cross_join",
     "q46_json_props",
+    "q47_funnel",
+    "q48_quartiles",
 ]
 
 
