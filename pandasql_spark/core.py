@@ -758,12 +758,27 @@ class DataFrame(BaseFrame):
         existence = how in ("left_semi", "left_anti")
         if on is not None:
             keys = [on] if isinstance(on, str) else list(on)
-            joined = left.join(right, on=keys, how=how)
-            left_cols = left.columns
+            # Alias both sides so colliding NON-key columns resolve
+            # ("left wins", core.py:880-886) instead of raising
+            # AMBIGUOUS_REFERENCE. Key columns are merged by the on= join
+            # itself and stay plainly addressable.
+            la, ra = left.alias("__l"), right.alias("__r")
+            joined = la.join(ra, on=keys, how=how)
+            left_nonkey = [c for c in left.columns if c not in keys]
             right_extra = (
-                [] if existence else [c for c in right.columns if c not in left_cols]
+                []
+                if existence
+                else [
+                    c
+                    for c in right.columns
+                    if c not in keys and c not in left.columns
+                ]
             )
-            out_cols = sorted(left_cols + right_extra)
+            exprs = {k: F.col(k) for k in keys}
+            exprs.update({c: F.col(f"__l.{c}").alias(c) for c in left_nonkey})
+            exprs.update({c: F.col(f"__r.{c}").alias(c) for c in right_extra})
+            out_cols = sorted(exprs)
+            return DataFrame(sdf=joined.select(*[exprs[c] for c in out_cols]))
         elif left_on is not None and right_on is not None:
             lk = [left_on] if isinstance(left_on, str) else list(left_on)
             rk = [right_on] if isinstance(right_on, str) else list(right_on)

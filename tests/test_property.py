@@ -165,3 +165,51 @@ def test_random_groupby_matches_pandas(spark, pdf, keys):
     got = got.sort_values(keys, ignore_index=True).sort_index(axis=1)
     expected = expected.sort_values(keys, ignore_index=True).sort_index(axis=1)
     pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+
+
+@given(
+    left=frames(),
+    right=frames(),
+    how=st.sampled_from(["inner", "left", "semi", "anti"]),
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_merge_matches_pandas(spark, left, right, how):
+    """merge across join types vs the pandas oracle. Right side is
+    key-deduplicated for inner/left so row multiplicity matches pandas
+    exactly; semi/anti are existence joins (pandas: isin filter)."""
+    lf = ps.DataFrame(left)
+    key = "m"
+    if how in ("inner", "left"):
+        rdedup = right.drop_duplicates(subset=[key])
+        rf = ps.DataFrame(rdedup)
+        got = lf.merge(rf, on=key, how=how).compute()
+        expected = left.merge(
+            rdedup, on=key, how=how, suffixes=(None, "__rdup")
+        )
+        # veneer: left wins name conflicts, only new right cols survive
+        expected = expected[[c for c in expected.columns if not c.endswith("__rdup")]]
+        expected = expected.reindex(sorted(expected.columns), axis=1)
+        got = got.reindex(sorted(got.columns), axis=1)
+        sort_cols = list(got.columns)
+        pd.testing.assert_frame_equal(
+            got.sort_values(sort_cols, ignore_index=True),
+            expected.sort_values(sort_cols, ignore_index=True),
+            check_dtype=False,
+        )
+    else:
+        rf = ps.DataFrame(right)
+        got = lf.merge(rf, on=key, how=how).compute()
+        mask = left[key].isin(right[key])
+        expected = left[mask] if how == "semi" else left[~mask]
+        expected = expected.reindex(sorted(expected.columns), axis=1)
+        got = got.reindex(sorted(got.columns), axis=1)
+        sort_cols = list(got.columns)
+        pd.testing.assert_frame_equal(
+            got.sort_values(sort_cols, ignore_index=True),
+            expected.sort_values(sort_cols, ignore_index=True),
+            check_dtype=False,
+        )
