@@ -183,3 +183,24 @@ def test_dedup_keep_representative(spark):
     )
     # cluster mins 1 and 10 survive; untouched 99 survives
     assert kept == [1, 10, 99]
+
+
+def test_jaccard_verified_matches_exact(spark):
+    """LSH-candidates + exact verification returns the same pairs with
+    the same TRUE Jaccard values as the all-pairs exact operator (the
+    16x4 band curve has ~0.99+ recall at J>=0.5)."""
+    from pandasql_spark.operators.dedup import (
+        jaccard_verified_neardup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(d, threshold=0.5).collect()
+    }
+    ver = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_verified_neardup_pairs(d, threshold=0.5).collect()
+    }
+    assert ver == exact
