@@ -48,6 +48,7 @@ HEADLINE = [
     "q46_json_props",
     "q47_funnel",
     "q48_quartiles",
+    "q50_jaccard_verified",
 ]
 
 
