@@ -20,6 +20,8 @@ from .core import (
     from_spark,
     merge,
     offloading_strategy,
+    register,
+    sql,
 )
 from .session import get_spark, stop
 from .sources import read_csv, read_json, read_numpy, read_orc, read_parquet, read_pickle
@@ -33,6 +35,8 @@ __all__ = [
     "from_spark",
     "merge",
     "offloading_strategy",
+    "register",
+    "sql",
     "get_spark",
     "stop",
     "read_csv",

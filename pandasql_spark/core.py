@@ -1045,3 +1045,19 @@ def offloading_strategy(strategy: str | None = None) -> str:
             raise ValueError(f"invalid offloading strategy: {strategy}")
         _OFFLOADING_STRATEGY = s
     return _OFFLOADING_STRATEGY
+
+
+def register(df: "DataFrame | SparkDataFrame", name: str) -> None:
+    """Register a frame as a temp view for the SQL surface (superset —
+    the reference has no SQL entry point; its pandas-like API *is* the
+    parser, SURVEY §3)."""
+    sdf = df.to_spark() if isinstance(df, BaseFrame) else df
+    sdf.createOrReplaceTempView(name)
+
+
+def sql(query: str, spark: SparkSession | None = None) -> DataFrame:
+    """Full Spark-SQL entry point over registered views: the same
+    Catalyst plans as the DataFrame veneer, interchangeable mid-pipeline
+    (``register(df, 't'); sql('select * from t')``)."""
+    spark = spark or get_spark()
+    return DataFrame(sdf=spark.sql(query))

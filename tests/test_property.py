@@ -40,7 +40,8 @@ def pipelines(draw):
     for _ in range(n_ops):
         kind = draw(
             st.sampled_from(
-                ["filter_num", "filter_str", "project", "arith", "dedup", "sort"]
+                ["filter_num", "filter_str", "project", "arith", "dedup",
+                 "sort", "rename", "limit"]
             )
         )
         if kind == "filter_num":
@@ -62,6 +63,10 @@ def pipelines(draw):
             ops.append(("arith", expr))
         elif kind == "dedup":
             ops.append(("dedup",))
+        elif kind == "rename":
+            ops.append(("rename", draw(st.sampled_from(["n", "m", "s"]))))
+        elif kind == "limit":
+            ops.append(("limit", draw(st.integers(min_value=1, max_value=30))))
         else:
             ops.append(("sort", draw(st.sampled_from(["n", "m"]))))
     return ops
@@ -120,6 +125,21 @@ def _apply(df, pdf, op):
         return df, pdf
     if kind == "dedup":
         return df.drop_duplicates(), pdf.drop_duplicates()
+    if kind == "rename":
+        col = op[1]
+        if col not in pdf.columns:
+            return df, pdf
+        new = col + "_r"
+        return df.rename(columns={col: new}), pdf.rename(columns={col: new})
+    if kind == "limit":
+        # limit row SET is engine-dependent unless sorted; sort first on
+        # all columns for a deterministic prefix both sides
+        n = op[1]
+        cols = list(pdf.columns)
+        return (
+            df.sort_values(cols)[:n],
+            pdf.sort_values(cols, kind="mergesort").head(n),
+        )
     if kind == "sort":
         col = op[1]
         if col not in pdf.columns:

@@ -229,3 +229,15 @@ def test_projection_value_counts_nunique(spark):
     vc = df["g"].value_counts().compute()
     assert vc["g"].tolist() == ["a", "b"] and vc["count"].tolist() == [3, 1]
     assert df["g"].nunique() == 2
+
+
+def test_sql_surface(spark):
+    pdf = pd.DataFrame({"k": [1, 2, 3], "v": [10.0, 20.0, 30.0]})
+    ps.register(ps.DataFrame(pdf), "t_sql_surface")
+    out = ps.sql("SELECT k, v * 2 AS v2 FROM t_sql_surface WHERE k >= 2")
+    got = out.compute().sort_values("k", ignore_index=True)
+    assert got["k"].tolist() == [2, 3] and got["v2"].tolist() == [40.0, 60.0]
+    # interchangeable with the veneer mid-pipeline
+    # 1-col projection computes to a Series (reference presentation rule)
+    back = out[out["v2"] > 40.0]["k"].compute()
+    assert back.tolist() == [3]
