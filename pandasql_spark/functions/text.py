@@ -173,3 +173,44 @@ def winnowing_fingerprints(col: Column | str, k: int = 3, w: int = 4) -> Column:
         return F.array_distinct(wins)
 
     return let_bound(F.transform(word_shingles(col, k), F.md5), _winnow)
+
+
+def tfidf_top_terms(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+):
+    """Per-document top-k TF-IDF terms — the classic keyword-extraction
+    pass of a corpus pipeline. Returns (id, term, tf, df_ct, tfidf, rank).
+
+    Plan: explode tokens → TF per (doc, term) [one shuffle] → DF per
+    term [reuses the same exchange] → smooth-idf score → per-doc window
+    top-k. Ties broken lexicographically for determinism. All JVM-side;
+    at 100 TB the (doc, term) table is the big intermediate — it is
+    never wider than (id, term, count) and aggregates map-side first.
+
+    tfidf = tf * ln((N + 1) / (df + 1)) (smooth idf, sklearn-style
+    minus the +1 floor), rounded to 6 for cross-engine comparison.
+    """
+    from pyspark.sql.window import Window
+
+    n_docs = df.count()
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_ct"))
+    scored = tf.join(dfq, "term").select(
+        "id",
+        "term",
+        "tf",
+        "df_ct",
+        F.round(
+            F.col("tf") * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df_ct") + 1.0)),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1343,6 +1343,45 @@ def q50_jaccard_verified(spark: SparkSession, sf: str) -> SparkDataFrame:
     return jaccard_verified_neardup_pairs(d, threshold=0.5)
 
 
+def q51_tfidf(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Per-doc top-3 TF-IDF keywords (functions/text.py:tfidf_top_terms):
+    token explode → TF → DF → smooth-idf → per-doc window top-k, ties
+    broken lexicographically. Natural-log idf matches DuckDB ln()."""
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    out = text.tfidf_top_terms(d, "text", "doc_id", k=3)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df_ct").cast("long").alias("df_ct"),
+        "tfidf",
+        "rank",
+    )
+
+
+Q51_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, count(*) AS df_ct FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df_ct,
+         round(tf.tf * ln(((SELECT count(*) FROM documents) + 1.0) / (dfq.df_ct + 1.0)), 6) AS tfidf
+  FROM tf JOIN dfq ON tf.term = dfq.term
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df_ct AS BIGINT) AS df_ct,
+       tfidf, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+) t WHERE rank <= 3
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_project": QueryDef(q02_filter_project, Q02_SQL, "compound filter + projection"),
@@ -1396,4 +1435,5 @@ REGISTRY: dict[str, QueryDef] = {
     "q48_quartiles": QueryDef(q48_quartiles, Q48_SQL, "exact per-group quantiles"),
     "q49_dedup_clusters": QueryDef(q49_dedup_clusters, Q49_SQL, "near-dup connected components"),
     "q50_jaccard_verified": QueryDef(q50_jaccard_verified, Q22_SQL, "LSH + exact-Jaccard verification"),
+    "q51_tfidf": QueryDef(q51_tfidf, Q51_SQL, "per-doc top-k TF-IDF keywords"),
 }
