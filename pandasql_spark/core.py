@@ -572,6 +572,8 @@ class DataFrame(BaseFrame):
         if isinstance(key, slice):
             if key.start is not None or key.step is not None:
                 raise ValueError("only df[:n] slices are supported (core.py:538-541)")
+            if key.stop is None:
+                raise ValueError("only df[:n] slices are supported (core.py:538-541)")
             return DataFrame(sdf=self._sdf.limit(int(key.stop)))
         raise TypeError(f"unsupported key type: {type(key)}")
 
@@ -957,6 +959,8 @@ class Projection(BaseFrame, Expression):
     def __getitem__(self, key):
         if isinstance(key, slice):
             if key.start is not None or key.step is not None:
+                raise ValueError("only [:n] slices are supported")
+            if key.stop is None:
                 raise ValueError("only [:n] slices are supported")
             return DataFrame(sdf=self.to_spark().limit(int(key.stop)))
         raise TypeError("projections only support [:n] slicing")

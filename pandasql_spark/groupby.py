@@ -86,6 +86,8 @@ class GroupByDataFrame:
         if func not in AGG_FUNCS:
             raise ValueError(f"unsupported aggregate: {func}")
         cols = agg_columns(self._sdf, func, self._agg_cols)
+        if not cols:
+            raise ValueError(f"no aggregatable columns for {func}")
         exprs = [AGG_FUNCS[func](c).alias(c) for c in cols]
         out = self._sdf.groupBy(*self._keys).agg(*exprs)
         return GroupedAggregate(out, self._keys, self._as_index)

@@ -7,14 +7,22 @@ union-and-carry trick:
 1. tag right rows (carriers) and left rows (probes),
 2. union them on (key, ts),
 3. one window partitioned by key ordered by (ts, side):
-   ``last(right_value, ignorenulls=True)`` carries the most recent right
-   value forward,
+   ``last(carrier_struct, ignorenulls=True)`` carries the most recent
+   right ROW forward,
 4. keep probe rows.
 
 Cost: ONE shuffle on the key + a per-partition ordered scan — the same
 shape as a sort-merge join, with no pair blowup. This is the standard
 distributed as-of algorithm (pandas ``merge_asof``'s semantics at
 cluster scale).
+
+NULL correctness: the carried value is a single STRUCT of all right
+columns, which is NULL exactly on probe rows. This matters twice: (a) a
+right row whose value column is NULL is still "the most recent match"
+(carrying columns independently with ignorenulls would skip it and
+resurrect an older value, diverging from DuckDB ASOF JOIN), and (b) all
+output columns come from the SAME right row — never a mix of different
+rows' non-null fields.
 """
 
 from __future__ import annotations
@@ -45,14 +53,19 @@ def asof_join(
     # deterministic tie-break for duplicate right timestamps
     r = right.groupBy(by, on).agg(*[F.max(c).alias(c) for c in right_cols])
 
-    lmark = left.withColumn("__side", F.lit(1))
-    for c in right_cols:
-        lmark = lmark.withColumn(f"{c}{suffix}", F.lit(None).cast(dict(r.dtypes)[c]))
+    # one struct per carrier row: NULL on probes, non-null on carriers
+    # (even when every field inside is null — see module docstring).
+    carrier_struct = F.struct(*[F.col(c).alias(c) for c in right_cols])
+    struct_type = r.select(carrier_struct.alias("s")).schema["s"].dataType
+
+    lmark = left.withColumn("__side", F.lit(1)).withColumn(
+        "__rrow", F.lit(None).cast(struct_type)
+    )
     rmark = r.select(
         by,
         on,
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        carrier_struct.alias("__rrow"),
     )
     # align schemas: right rows carry nulls for left-only columns
     left_only = [c for c in lmark.columns if c not in rmark.columns]
@@ -68,16 +81,12 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"__carry_{c}")
-            for c in right_cols
-        ],
+        "*", F.last("__rrow", ignorenulls=True).over(w).alias("__carry")
     )
-    out = carried.filter(F.col("__side") == 1).select(
-        *[c for c in left.columns],
-        *[F.col(f"__carry_{c}").alias(f"{c}{suffix}") for c in right_cols],
-    )
+    out = carried.filter(F.col("__side") == 1)
     if inner:
-        out = out.filter(F.col(f"{right_cols[0]}{suffix}").isNotNull())
-    return out
+        out = out.filter(F.col("__carry").isNotNull())
+    return out.select(
+        *[c for c in left.columns],
+        *[F.col(f"__carry.{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )

@@ -11,10 +11,14 @@ Scale notes:
 - each iteration is one shuffled join + one groupBy-min — both plain
   Catalyst ops that AQE can size; rounds needed = graph diameter in the
   label graph, which for dedup clusters (small, dense clumps) is tiny
-  (2-4). ``max_iter`` bounds pathological chains.
-- per-round ``persist`` + explicit unpersist keeps lineage flat (an
-  unbounded iterative lineage re-executes everything each round and
-  eventually overflows the planner).
+  (2-4). ``max_iter`` bounds pathological chains; non-convergence
+  raises instead of silently returning wrong cluster ids.
+- per-round ``localCheckpoint`` TRUNCATES LINEAGE. persist() alone is
+  not enough for iterative plans: it caches data but the logical plan
+  still doubles every round and planning/plan-string work eventually
+  OOMs the driver (measured: a 20-round chain blew the heap before this
+  fix). localCheckpoint materializes the round eagerly and makes it a
+  leaf.
 - the driver-side loop only checks a scalar convergence count per
   round — no row data ever reaches the driver.
 """
@@ -34,16 +38,17 @@ def connected_components(
     """(node, cluster_id) for every node in ``pairs``; cluster_id = the
     minimum node id reachable through the pair graph (undirected)."""
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.persist()
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
 
     labels = (
         sym.select(F.col("a").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
-    labels.count()  # materialize
 
+    converged = False
     for _ in range(max_iter):
         # each node adopts min(own label, neighbors' labels)
         neighbor_labels = (
@@ -54,7 +59,7 @@ def connected_components(
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint()  # lineage cut — see module docstring
         )
         changed = (
             new_labels.alias("n")
@@ -62,12 +67,17 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
-
-    sym.unpersist()
+    if not converged:
+        # silent non-convergence would return WRONG cluster ids (a long
+        # chain's min label travels one hop per round) — fail loudly.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(label-graph diameter exceeds max_iter); raise max_iter"
+        )
     out = labels.select("node", F.col("label").alias("cluster_id"))
     return out
 

@@ -12,8 +12,9 @@ State-size notes per operator:
 - session windows: state per (user, open session); watermark closes
   sessions after the gap + lateness.
 - user_running_totals: applyInPandasWithState with explicit per-user
-  state and a processing-time-free eviction policy (timeout on event
-  time watermark) — bounded by active users.
+  state; optional ``ttl_seconds`` switches NoTimeout (state per user
+  ever seen) to an event-time timeout that evicts idle users — bounded
+  by active users at the cost of restarting returners.
 """
 
 from __future__ import annotations
@@ -160,20 +161,53 @@ def _running_totals_fn(
     )
 
 
-def user_running_totals(events: DataFrame) -> DataFrame:
+def user_running_totals(events: DataFrame, ttl_seconds: int | None = None) -> DataFrame:
     """Custom stateful operator: running per-user event count + value sum
     (applyInPandasWithState, the Spark analog of a keyed process
-    function). State bounded by distinct users; at 100 TB scale shard by
-    user_id — which groupBy already does."""
-    return (
-        events.groupBy("user_id")
-        .applyInPandasWithState(
+    function).
+
+    State policy — the caller picks the trade-off explicitly:
+    - ``ttl_seconds=None`` (default): NoTimeout, state = one entry per
+      user EVER seen. Right for bounded user spaces; unbounded ones grow
+      the store forever.
+    - ``ttl_seconds=N``: event-time timeout — a user idle for N seconds
+      past the watermark is evicted (the ``hasTimedOut`` branch fires
+      and removes state). Bounds the store by ACTIVE users; an evicted
+      user who returns restarts their totals from zero.
+    """
+    if ttl_seconds is None:
+        return events.groupBy("user_id").applyInPandasWithState(
             _running_totals_fn,
             outputStructType=_RUNNING_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+
+    def _fn_with_ttl(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_seconds * 1000)
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    watermarked = events.withWatermark("ts", f"{ttl_seconds} seconds")
+    return watermarked.groupBy("user_id").applyInPandasWithState(
+        _fn_with_ttl,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 

@@ -78,3 +78,30 @@ def test_asof_duplicate_right_ts_deterministic(spark):
         on="t", by="k", right_cols=["v"],
     ).toPandas()
     assert out["v_r"].tolist() == [9.0]  # max-dedup tie policy
+
+
+def test_asof_null_value_and_same_row_semantics(spark):
+    """A right row whose value is NULL is still the most recent match
+    (not skipped for an older non-null), and multi-column outputs come
+    from the SAME right row — never a mix."""
+    from pandasql_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 10.0, 5.0, None), (1, 20.0, None, 7.0)],
+        "u long, t double, a double, b double",
+    )
+    left = spark.createDataFrame([(100, 1, 30.0)], "id long, u long, t double")
+    out = asof_join(left, right, on="t", by="u", right_cols=["a", "b"]).collect()
+    assert len(out) == 1
+    row = out[0]
+    # most recent right row is (t=20, a=NULL, b=7): a_r must be NULL
+    # (not the older 5.0) and b_r must be 7.0 — one row, not a mix
+    assert row.a_r is None and row.b_r == 7.0
+
+    # inner=True keeps a match whose carried fields are all NULL
+    right2 = spark.createDataFrame([(1, 10.0, None)], "u long, t double, a double")
+    out2 = asof_join(left, right2, on="t", by="u", right_cols=["a"]).collect()
+    assert len(out2) == 1 and out2[0].a_r is None
+    # ...but drops left rows with NO match at all
+    early = spark.createDataFrame([(7, 1, 5.0)], "id long, u long, t double")
+    assert asof_join(early, right2, on="t", by="u", right_cols=["a"]).count() == 0

@@ -105,7 +105,7 @@ def test_simhash_deterministic_and_neardup(corpus, spark):
     pd.testing.assert_series_equal(s1, s2)  # deterministic
     # exact dups → identical simhash
     assert s1[0] == s1[25] and s1[1] == s1[26]
-    pairs = dedup.simhash_neardup_pairs(sdf, max_hamming=8).toPandas()
+    pairs = dedup.simhash_neardup_pairs(sdf, max_hamming=8, num_bands=16).toPandas()
     found = {(int(r.id_a), int(r.id_b)) for r in pairs.itertuples()}
     assert (0, 25) in found and (1, 26) in found
     ham = pairs.set_index(["id_a", "id_b"])["hamming"]
@@ -204,3 +204,57 @@ def test_jaccard_verified_matches_exact(spark):
         for r in jaccard_verified_neardup_pairs(d, threshold=0.5).collect()
     }
     assert ver == exact
+
+
+def test_embedding_lsh_recall_non_identical(spark):
+    """Multi-table OR-banding must find near (NOT identical) duplicate
+    vectors — a single AND-only table misses ~70% at cosine 0.95."""
+    import math
+    import random
+
+    import pandas as pd
+
+    from pandasql_spark.operators.dedup import embedding_neardup_pairs
+
+    rng = random.Random(3)
+    dim = 64
+    rows = []
+    true_pairs = set()
+    for i in range(30):
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        # perturbed copy at cosine ~0.95-0.99 (not identical)
+        noise_scale = 0.18 + 0.1 * rng.random()
+        pert = [b + noise_scale * rng.gauss(0, 1) for b in base]
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, pert))
+        dot = sum(x * y for x, y in zip(base, pert))
+        na = math.sqrt(sum(x * x for x in base))
+        nb = math.sqrt(sum(x * x for x in pert))
+        if dot / (na * nb) >= 0.9:
+            true_pairs.add((2 * i, 2 * i + 1))
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]})
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(df, dim=dim, threshold=0.9).collect()
+    }
+    found = len(got & true_pairs)
+    assert found / len(true_pairs) >= 0.9, (
+        f"recall {found}/{len(true_pairs)} below 0.9"
+    )
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    from pandasql_spark.operators.cluster import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    # and converges fine with enough rounds
+    ok = connected_components(chain, max_iter=20)
+    assert ok.filter("cluster_id != 0").count() == 0

@@ -223,3 +223,23 @@ def test_watermark_bounds_state(spark, tmp_path):
     # emitted carries the full count of rows that arrived before closing
     out = spark.table(name).toPandas()
     assert out["n_events"].sum() <= ev.count()
+
+
+def test_user_running_totals_ttl_mode(spark, event_dir):
+    """TTL mode runs with event-time timeout wiring; with a horizon far
+    beyond the data span no user is idle long enough to evict, so totals
+    equal the NoTimeout result."""
+    stream = read_event_stream(spark, event_dir)
+    got = _run_stream(
+        spark, user_running_totals(stream, ttl_seconds=90 * 24 * 3600), mode="update"
+    )
+    final = got.groupby("user_id").last().sort_index()
+    batch = (
+        load_events(spark, SF)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert list(final["n_events"]) == list(batch["n_events"])
