@@ -149,7 +149,7 @@ def _apply(df, pdf, op):
 
 
 @settings(
-    max_examples=25,
+    max_examples=100,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )
@@ -193,7 +193,7 @@ def test_random_groupby_matches_pandas(spark, pdf, keys):
     how=st.sampled_from(["inner", "left", "semi", "anti"]),
 )
 @settings(
-    max_examples=25,
+    max_examples=100,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
