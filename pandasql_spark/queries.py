@@ -1397,6 +1397,52 @@ FROM (
 """
 
 
+def q52_histogram(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Equi-width histogram (pandas ``cut`` analog) via width_bucket —
+    one aggregation to find the range, one groupBy on the bucket id.
+    The two-pass shape is the scalable plan (a driver-side min/max fetch
+    is 2 scalars); single-pass streaming histograms need approx sketches."""
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    lo, hi = 0.0, 600000.0  # fixed range keeps the query one-pass
+    b = F.width_bucket("o_totalprice", F.lit(lo), F.lit(hi), F.lit(10))
+    return (
+        o.groupBy(b.cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("bucket_total"),
+        )
+    )
+
+
+Q52_SQL = """
+SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+                 WHEN o_totalprice >= 600000.0 THEN 11
+                 ELSE floor(o_totalprice / 60000.0) + 1 END AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS bucket_total
+FROM orders GROUP BY 1
+"""
+
+
+def q53_corr(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Correlation / covariance aggregates per group (absent from the
+    reference): Pearson corr and sample covariance of quantity vs
+    extended price by return flag. One partial-aggregated shuffle."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_cov"),
+    )
+
+
+Q53_SQL = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_cov
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_project": QueryDef(q02_filter_project, Q02_SQL, "compound filter + projection"),
@@ -1451,4 +1497,6 @@ REGISTRY: dict[str, QueryDef] = {
     "q49_dedup_clusters": QueryDef(q49_dedup_clusters, Q49_SQL, "near-dup connected components"),
     "q50_jaccard_verified": QueryDef(q50_jaccard_verified, Q22_SQL, "LSH + exact-Jaccard verification"),
     "q51_tfidf": QueryDef(q51_tfidf, Q51_SQL, "per-doc top-k TF-IDF keywords"),
+    "q52_histogram": QueryDef(q52_histogram, Q52_SQL, "equi-width histogram binning"),
+    "q53_corr": QueryDef(q53_corr, Q53_SQL, "correlation/covariance aggregates"),
 }
