@@ -1443,6 +1443,92 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q54_fuzzy_match(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Fuzzy entity matching with blocking: part names within edit
+    distance ≤ 2, candidates blocked on the first 6 chars. Blocking is
+    what makes fuzzy joins survive scale — the equi-join on the block
+    key replaces the all-pairs cross join; levenshtein verifies exactly.
+    (Same candidates-then-verify shape as the dedup operators.)"""
+    p = spark.read.parquet(f"{sf}/part.parquet").select(
+        "p_partkey", "p_name", F.substring("p_name", 1, 6).alias("blk")
+    )
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("long")
+            .alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 2)
+    )
+
+
+Q54_SQL = """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+FROM part a JOIN part b
+  ON substr(a.p_name, 1, 6) = substr(b.p_name, 1, 6)
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+def q55_collect_set(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Collect aggregates (absent from the reference): per nation, the
+    sorted distinct set of its customers' market segments. sort_array
+    makes the set deterministic and oracle-hashable."""
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    n = spark.read.parquet(f"{sf}/nation.parquet")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+            F.count_distinct("c_mktsegment").cast("long").alias("n_segments"),
+        )
+    )
+
+
+Q55_SQL = """
+SELECT n_name,
+       list_sort(list(DISTINCT c_mktsegment)) AS segments,
+       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q56_conditional_agg(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Conditional aggregation (FILTER-clause pattern): per order
+    priority, count and revenue restricted to open orders — one pass,
+    no pre-filter join."""
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    open_ = F.col("o_orderstatus") == "O"
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(open_).cast("long").alias("n_open"),
+        F.round(F.sum(F.when(open_, F.col("o_totalprice")).otherwise(0.0)), 2).alias(
+            "open_revenue"
+        ),
+    )
+
+
+Q56_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END), 2) AS open_revenue
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_project": QueryDef(q02_filter_project, Q02_SQL, "compound filter + projection"),
@@ -1499,4 +1585,7 @@ REGISTRY: dict[str, QueryDef] = {
     "q51_tfidf": QueryDef(q51_tfidf, Q51_SQL, "per-doc top-k TF-IDF keywords"),
     "q52_histogram": QueryDef(q52_histogram, Q52_SQL, "equi-width histogram binning"),
     "q53_corr": QueryDef(q53_corr, Q53_SQL, "correlation/covariance aggregates"),
+    "q54_fuzzy_match": QueryDef(q54_fuzzy_match, Q54_SQL, "blocked fuzzy matching (levenshtein)"),
+    "q55_collect_set": QueryDef(q55_collect_set, Q55_SQL, "collect_set aggregates"),
+    "q56_conditional_agg": QueryDef(q56_conditional_agg, Q56_SQL, "FILTER-clause conditional aggregation"),
 }
