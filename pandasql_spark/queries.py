@@ -1448,7 +1448,13 @@ def q54_fuzzy_match(spark: SparkSession, sf: str) -> SparkDataFrame:
     distance ≤ 2, candidates blocked on the first 6 chars. Blocking is
     what makes fuzzy joins survive scale — the equi-join on the block
     key replaces the all-pairs cross join; levenshtein verifies exactly.
-    (Same candidates-then-verify shape as the dedup operators.)"""
+    (Same candidates-then-verify shape as the dedup operators.)
+
+    Scale caveat: block-key selectivity is corpus-dependent. This
+    synthetic corpus has a ~30-word vocabulary, so prefix blocks reach
+    ~2.5k rows at sf0.1 (cost Σ block²); real entity corpora block far
+    finer, and high-duplication vocabularies should block on a
+    normalized token signature instead of a prefix."""
     p = spark.read.parquet(f"{sf}/part.parquet").select(
         "p_partkey", "p_name", F.substring("p_name", 1, 6).alias("blk")
     )
