@@ -1535,6 +1535,66 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q57_moving_avg(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """RANGE-frame window (time-based moving aggregate): per customer,
+    the average of their orders in the trailing 30 days (inclusive).
+    A range frame on event time — unlike a rows frame — is
+    data-density-independent, the correct moving-metric shape."""
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    # TIMESTAMP_NTZ → TIMESTAMP (session tz pinned to UTC) → epoch
+    # seconds; order dates are whole midnights so second granularity is
+    # exact and matches the oracle's INTERVAL arithmetic
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.avg("o_totalprice").over(w), 6).alias("avg_30d"),
+        F.count(F.lit(1)).over(w).alias("n_30d"),
+    )
+
+
+Q57_SQL = """
+SELECT o_orderkey, o_custkey,
+       round(avg(o_totalprice) OVER w, 6) AS avg_30d,
+       CAST(count(*) OVER w AS BIGINT) AS n_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
+def q58_ntile(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """ntile decile assignment + per-decile stats: the standard
+    'score distribution by decile' report. One window sort + one agg."""
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    deciled = o.select(
+        "o_totalprice", F.ntile(10).over(w).cast("long").alias("decile")
+    )
+    return deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+Q58_SQL = """
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+) t GROUP BY decile
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_project": QueryDef(q02_filter_project, Q02_SQL, "compound filter + projection"),
@@ -1594,4 +1654,6 @@ REGISTRY: dict[str, QueryDef] = {
     "q54_fuzzy_match": QueryDef(q54_fuzzy_match, Q54_SQL, "blocked fuzzy matching (levenshtein)"),
     "q55_collect_set": QueryDef(q55_collect_set, Q55_SQL, "collect_set aggregates"),
     "q56_conditional_agg": QueryDef(q56_conditional_agg, Q56_SQL, "FILTER-clause conditional aggregation"),
+    "q57_moving_avg": QueryDef(q57_moving_avg, Q57_SQL, "RANGE-frame trailing-30d moving average"),
+    "q58_ntile": QueryDef(q58_ntile, Q58_SQL, "ntile decile distribution"),
 }
