@@ -7,6 +7,26 @@ expressions + joins), dropping to Arrow-batched pandas UDFs only where
 per-row bit manipulation genuinely beats expression trees (SimHash).
 """
 
-from . import ann, asof, bucketing, cluster, dedup, multimodal, rangejoin, skew
+from . import (
+    ann,
+    asof,
+    bucketing,
+    cluster,
+    dedup,
+    multimodal,
+    rangejoin,
+    ranking,
+    skew,
+)
 
-__all__ = ["ann", "asof", "bucketing", "cluster", "dedup", "multimodal", "rangejoin", "skew"]
+__all__ = [
+    "ann",
+    "asof",
+    "bucketing",
+    "cluster",
+    "dedup",
+    "multimodal",
+    "rangejoin",
+    "ranking",
+    "skew",
+]

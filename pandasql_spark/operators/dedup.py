@@ -38,9 +38,14 @@ from pyspark.sql import types as T
 
 from ..functions.text import fingerprint, tokens, word_shingles
 
-#: Mersenne prime 2^61-1: modulus for universal hashing — large enough
-#: that minhash collisions are hash-driven, not modulus-driven.
-_MERSENNE_61 = (1 << 61) - 1
+#: Mersenne prime 2^31-1: modulus for universal hashing. Chosen so the
+#: universal hash (a*h + b) never leaves int64 range — with a < 2^31 and
+#: h < 2^31, a*h + b < 2^62 + 2^31 — which keeps the expression safe
+#: under ``spark.sql.ansi.enabled=true`` (Spark 4's default; a 61-bit
+#: modulus overflowed and hard-errored under ANSI sessions). 31-bit
+#: minima are still collision-negligible for signature purposes: for a
+#: doc with S shingles, P(min collision) ≈ S²/2^32 < 1e-5 at S = 200.
+_MERSENNE_31 = (1 << 31) - 1
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -55,7 +60,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def _hash_coefficients(n: int, seed: int) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [
-        (rng.randrange(1, _MERSENNE_61), rng.randrange(0, _MERSENNE_61))
+        (rng.randrange(1, _MERSENNE_31), rng.randrange(0, _MERSENNE_31))
         for _ in range(n)
     ]
 
@@ -79,8 +84,8 @@ def minhash_signatures(
 
     coeffs = _hash_coefficients(num_hashes, seed)
     sh = F.array_distinct(word_shingles(text_col, shingle_k))
-    # nonnegative 61-bit base hashes
-    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_61)))
+    # nonnegative 31-bit base hashes (see _MERSENNE_31: ANSI-overflow-safe)
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)))
     # let-bind the base hashes (evaluated ONCE per row) and loop over a
     # literal (a, b) coefficient array — instead of num_hashes separate
     # expression copies each re-shingling + re-hashing the text (see
@@ -98,7 +103,7 @@ def minhash_signatures(
             coeff_arr,
             lambda c: F.array_min(
                 F.transform(
-                    bb, lambda h: F.pmod(c["a"] * h + c["b"], F.lit(_MERSENNE_61))
+                    bb, lambda h: F.pmod(c["a"] * h + c["b"], F.lit(_MERSENNE_31))
                 )
             ),
         ),

@@ -1,0 +1,139 @@
+"""Scale-safe global ranking: distributed row_number and exact NTILE.
+
+The naive Spark spelling — ``Window.orderBy(...)`` with no
+``partitionBy`` — funnels the ENTIRE table through one task for the
+sort: fine at sf0.1, a guaranteed single-reducer bottleneck at 100 TB.
+(The reference has no window functions at all — SURVEY.md §2.8 — so
+this is beyond-reference surface; the *shape* follows the classic
+distributed ranking recipe: range-partition, rank locally, add
+partition offsets.)
+
+Plan here (``with_global_row_number``):
+
+1. ``repartitionByRange`` on the sort keys — Spark's sampled range
+   partitioner, the same machinery behind distributed ``ORDER BY``.
+   Every partition holds a disjoint key range, P-way parallel.
+2. Persist the partitioned data. The range partitioner samples, so two
+   independent computations could draw different boundaries; pinning the
+   partitioning makes the per-partition counts and the ranking read the
+   SAME layout.
+3. Per-partition counts: a tiny aggregate (≤ P rows) collected to the
+   driver — scalars-only, same class of driver action as
+   cluster.py's convergence count.
+4. ``row_number`` over a window partitioned by ``spark_partition_id()``
+   — a PARTITIONED window (each task sorts only its own range; no
+   global funnel) — plus the driver-computed prefix-sum offset mapped in
+   as a literal.
+
+``exact_ntile`` then assigns SQL-NTILE bucket numbers arithmetically
+from the global row number and total count: NTILE(n) over T rows gives
+the first ``T mod n`` buckets ``ceil(T/n)`` rows and the rest
+``floor(T/n)`` — a closed-form function of (row_number, T, n), so no
+second sort is needed and results are bit-identical to the window
+function whenever the sort keys are unique.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_PID = "__psql_pid"
+_RN = "__psql_rn"
+
+
+def _ranked_with_total(
+    df: DataFrame,
+    order_by: list[str | Column],
+    rn_col: str,
+    num_partitions: int | None,
+) -> tuple[DataFrame, int]:
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    part = df.repartitionByRange(num_partitions, *cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    # Freeze the sampled range boundaries: counts and ranking must see
+    # the same partitioning (lazy persist; LRU-evicted like dedup.py's
+    # signature cache — no safe unpersist point while the result is lazy).
+    part = part.persist()
+    counts = {
+        r[_PID]: r["cnt"]
+        for r in part.groupBy(_PID).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if offsets:
+        # literal pid→offset map: ≤ num_partitions entries, pennies even
+        # at thousands of partitions; avoids joining a derived frame
+        offset_expr = F.element_at(
+            F.map_from_arrays(
+                F.array(*[F.lit(int(p)) for p in offsets]),
+                F.array(*[F.lit(int(o)) for o in offsets.values()]),
+            ),
+            F.col(_PID),
+        )
+    else:
+        offset_expr = F.lit(0)
+    w = Window.partitionBy(_PID).orderBy(*cols)
+    ranked = part.withColumn(rn_col, F.row_number().over(w) + offset_expr).drop(_PID)
+    return ranked, acc
+
+
+def with_global_row_number(
+    df: DataFrame,
+    order_by: list[str | Column],
+    rn_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``df`` plus a 1-based global ``rn_col`` ordered by ``order_by``.
+
+    Ranking is deterministic only if the sort keys are unique — pass a
+    tiebreaker column (e.g. a primary key) as the last key, exactly as
+    required for a deterministic SQL ``row_number``.
+    """
+    ranked, _ = _ranked_with_total(df, order_by, rn_col, num_partitions)
+    return ranked
+
+
+def ntile_bucket(rn: Column, total: int, n: int) -> Column:
+    """SQL ``NTILE(n)`` bucket for 1-based global row number ``rn`` over
+    ``total`` rows, in closed form: the first ``total % n`` buckets get
+    ``total // n + 1`` rows, the rest ``total // n``."""
+    q, rem = divmod(total, n)
+    if q == 0:
+        # fewer rows than buckets: bucket i gets exactly row i
+        return rn.cast("long")
+    big = q + 1  # rows per bucket in the first `rem` buckets
+    boundary = big * rem  # rows covered by the big buckets
+    return (
+        F.when(rn <= F.lit(boundary), F.floor((rn - 1) / F.lit(big)) + 1)
+        .otherwise(F.lit(rem) + F.floor((rn - 1 - F.lit(boundary)) / F.lit(q)) + 1)
+        .cast("long")
+    )
+
+
+def exact_ntile(
+    df: DataFrame,
+    n: int,
+    order_by: list[str | Column],
+    bucket_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``df`` plus an exact ``NTILE(n) OVER (ORDER BY order_by)`` column,
+    computed without a single-reducer global window (see module doc).
+
+    One range shuffle + one tiny count collect; the plan contains no
+    SinglePartition Exchange — asserted in tests/test_plans.py.
+    """
+    ranked, total = _ranked_with_total(df, order_by, _RN, num_partitions)
+    return ranked.withColumn(
+        bucket_col, ntile_bucket(F.col(_RN), total, n)
+    ).drop(_RN)

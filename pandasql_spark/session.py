@@ -47,16 +47,47 @@ _DEFAULTS: dict[str, str] = {
 }
 
 
+#: Semantics-critical confs that MUST hold for the engine's documented
+#: behavior, all runtime-settable: ANSI off (pandas-permissive arithmetic:
+#: div-by-zero → null — the reference's engine-semantics shims
+#: ``sql_utils.py:9-48`` match pandas, not ANSI SQL) and UTC (the
+#: TIMESTAMP_NTZ→epoch casts in the window queries assume it). Applied
+#: even to sessions we did not build (e.g. a host/driver-owned session),
+#: because the host owns the *session* but this library owns the
+#: *semantics* of its own operators.
+_RUNTIME_SEMANTICS: dict[str, str] = {
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_semantics(spark: SparkSession) -> SparkSession:
+    """Pin the runtime-settable semantics confs on ``spark`` (idempotent).
+
+    Every operator is additionally written to be ANSI-*safe* (no
+    overflowing expressions — see operators/dedup.py's 31-bit universal
+    hash), so this is belt-and-braces: correctness does not depend on it,
+    only edge-case *semantics* (null-on-div-zero vs error) do."""
+    for k, v in _RUNTIME_SEMANTICS.items():
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+    return spark
+
+
 def get_spark(app_name: str = "pandasql_spark", **conf: str) -> SparkSession:
     """Return the active SparkSession, creating one with tuned defaults.
 
     ``**conf`` overrides the defaults (keys use the usual dotted names with
     ``_`` accepted in place of ``.`` is NOT supported — pass real keys via
     ``get_spark(**{"spark.sql.shuffle.partitions": "64"})``).
+
+    A pre-existing active session is returned as-is except for the
+    runtime-settable semantics confs (`ensure_semantics`) — builder-time
+    confs like driver memory can't be changed after the fact.
     """
     active = SparkSession.getActiveSession()
     if active is not None:
-        return active
+        return ensure_semantics(active)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
     merged = dict(_DEFAULTS)
