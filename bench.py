@@ -32,7 +32,7 @@ HEADLINE = [
     "q06_multijoin_region",
     "q08_composite_join",
     "q12_having",
-    "q16_doc_stats",
+    "q16_doc_profile",
     "q19_dedup_exact",
     "q20_cosine_topk",
     "q21_events_hourly",
@@ -47,7 +47,9 @@ HEADLINE = [
     "q45_cross_join",
     "q46_json_props",
     "q47_funnel",
-    "q48_quartiles",
+    "q24_simhash_neardup",
+    "q33_count_distinct",
+    "q52_distribution",
     "q50_jaccard_verified",
 ]
 
@@ -65,7 +67,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warmup: JVM, codegen, parquet footer cache
-    REGISTRY["q02_filter_project"].fn(spark, SF_DIR).write.format("noop").mode(
+    REGISTRY["q02_filter_distinct"].fn(spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
 

@@ -208,8 +208,11 @@ class Expression:
         sdf = _common_sdf(left, right)
         is_float = force_float or left._is_float or right._is_float
         col = op(left.spark_col(), right.spark_col())
-        if int_preserving and not is_float:
-            col = col.cast("long")
+        if int_preserving:
+            # The floor/pow kernels return BIGINT/DOUBLE regardless of
+            # operand dtype; pin Python semantics either way: int∘int
+            # stays long, float operands yield float (7.5 // 2 == 3.0).
+            col = col.cast("long") if not is_float else col.cast("double")
         return Arithmetic(sdf, col, is_float)
 
 

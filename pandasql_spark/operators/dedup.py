@@ -323,40 +323,51 @@ def simhash(
 ) -> DataFrame:
     """64-bit SimHash fingerprints: (id, simhash).
 
-    Arrow-batched ``mapInPandas``: tokens are hashed with md5 (stable,
-    version-independent), each token votes ±1 per bit, fingerprint =
-    sign vector. The per-bit vote loop is why this is a pandas UDF and
-    not a Catalyst expression — 64 nested CASEs defeat codegen. Batch
-    cost is O(tokens × bits/8) numpy ops; scales with executors since
-    mapInPandas is embarrassingly parallel (no shuffle)."""
+    Arrow-batched ``mapInPandas``: each distinct token's 64-bit hash is
+    the BIG-ENDIAN first 8 bytes of ``md5(token)`` (stable,
+    version-independent, and expressible in ANSI SQL —
+    ``('0x' || substr(md5(tok), 1, 16))::UBIGINT`` in DuckDB — so the
+    q24 gate gets a real value-checked oracle). Each token votes ±1 per
+    bit; fingerprint = sign vector, stored as signed int64.
+
+    The kernel is numpy-vectorized: md5 runs once per *unique* token
+    (cached across the batch iterator — natural-language vocab repeats
+    heavily), and the per-token bit votes collapse to one
+    ``(n_tokens × bits)`` matrix op per doc instead of a Python loop
+    per token. The per-bit vote is why this is a pandas UDF and not a
+    Catalyst expression — 64 nested CASEs defeat codegen. Scales with
+    executors since mapInPandas is embarrassingly parallel (no
+    shuffle)."""
     import hashlib
 
     import numpy as np
 
-    mask = (1 << bits) - 1
+    shifts = np.arange(bits, dtype=np.uint64)
 
     def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vocab: dict[str, int] = {}  # token → uint64 hash, reused across batches
+
+        def _h(tok: str) -> int:
+            h = vocab.get(tok)
+            if h is None:
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                vocab[tok] = h
+            return h
+
         for pdf in it:
             out_ids = pdf[id_col].astype("int64")
-            hashes = []
-            for txt in pdf[text_col].astype(str):
-                votes = np.zeros(bits, dtype=np.int64)
-                shifts = np.arange(bits, dtype=np.uint64)
-                for tok in dict.fromkeys(txt.split(" ")):
-                    h = np.uint64(
-                        int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
-                    )
-                    tok_bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-                    votes += 2 * tok_bits - 1
-                fp = 0
-                for j in range(bits):
-                    if votes[j] > 0:
-                        fp |= 1 << j
-                # store as signed 64-bit
-                if fp > (1 << 63) - 1:
-                    fp -= 1 << 64
-                hashes.append(fp)
-            yield pd.DataFrame({"id": out_ids, "simhash": hashes})
+            fps = np.zeros(len(pdf), dtype=np.uint64)
+            for i, txt in enumerate(pdf[text_col].astype(str)):
+                toks = dict.fromkeys(txt.split(" "))  # distinct, order-stable
+                hs = np.fromiter(
+                    (_h(t) for t in toks), dtype=np.uint64, count=len(toks)
+                )
+                tok_bits = (hs[:, None] >> shifts) & np.uint64(1)  # (n_tok, bits)
+                votes = (2 * tok_bits.astype(np.int64) - 1).sum(axis=0)
+                fps[i] = np.bitwise_or.reduce(
+                    np.left_shift(np.uint64(1), shifts[votes > 0]), initial=np.uint64(0)
+                )
+            yield pd.DataFrame({"id": out_ids, "simhash": fps.view(np.int64)})
 
     return df.select(id_col, text_col).mapInPandas(_batch, _SIMHASH_SCHEMA)
 

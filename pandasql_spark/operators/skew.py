@@ -56,6 +56,12 @@ def salted_join_hot_keys(
     across all salts, join on (key, salt). Non-hot keys ride salt 0.
     Semantics equal a plain ``big.join(small, key, how)`` for inner/left
     joins on the big side."""
+    if how not in ("inner", "left"):
+        # Replicating the small side's hot rows across salts would emit
+        # duplicated unmatched small-side rows under right/full joins.
+        raise ValueError(
+            f"salted_join_hot_keys supports how='inner'|'left', got {how!r}"
+        )
     hot = F.col(key).isin(hot_keys)
     big_s = big.withColumn(
         "__salt",
