@@ -19,9 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 pricing summary) on sf0.001."""
-    from pandasql_spark.queries import q01_pricing_summary
+    from pandasql_spark.queries import REGISTRY
 
-    return q01_pricing_summary(spark, "/root/testdata/sf0.001")
+    # registry fn, not the bare function: the registry wrapper pins the
+    # engine's semantics confs on whatever session the driver supplies
+    return REGISTRY["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

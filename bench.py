@@ -84,6 +84,19 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # Honesty entry for the ANN number: q40_ann_ivf above times the
+    # PROBE path of a cached index (the operator's build-once/probe-many
+    # contract). This one clears the cache and times a cold build+probe
+    # so round-over-round comparisons see both ends.
+    from pandasql_spark.queries import _IVF_CACHE
+
+    _IVF_CACHE.clear()
+    t0 = time.perf_counter()
+    REGISTRY["q40_ann_ivf"].fn(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings["q40_ann_ivf_cold_build_probe"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -547,7 +547,20 @@ class BaseFrame:
 class DataFrame(BaseFrame):
     """Named lazy relation (reference ``DataFrame``, core.py:497-531)."""
 
-    def __init__(self, data: Any = None, sdf: SparkDataFrame | None = None):
+    def __init__(
+        self,
+        data: Any = None,
+        sdf: SparkDataFrame | None = None,
+        name: str | None = None,
+        deep_copy: bool = False,
+        offload: bool = True,
+        loaded_on_sqlite: bool = False,
+    ):
+        """``name``/``deep_copy``/``offload``/``loaded_on_sqlite`` are
+        accepted for reference ctor parity (core.py:497-531) but are
+        no-ops here: Spark DataFrames are immutable (deep_copy moot),
+        there is one engine (offload/loaded_on_sqlite moot), and ``name``
+        registers a temp view instead of a SQLite table name."""
         if sdf is not None:
             self._sdf = sdf
         elif isinstance(data, DataFrame):
@@ -558,6 +571,8 @@ class DataFrame(BaseFrame):
             spark = get_spark()
             pdf = data if isinstance(data, pd.DataFrame) else pd.DataFrame(data)
             self._sdf = spark.createDataFrame(pdf)
+        if name:
+            self._sdf.createOrReplaceTempView(name)
 
     def to_spark(self) -> SparkDataFrame:
         return self._sdf

@@ -72,20 +72,39 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_k: int = 3,
     seed: int = 42,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, signature: array<long>[num_hashes]) MinHash signatures.
 
-    Shingles are hashed once with xxhash64 (JVM, seeded), then each of
-    the ``num_hashes`` permutations is the min over shingles of the
-    universal hash ``(a*h + b) mod p`` — all inside one ``transform``
-    over a literal coefficient array, so the whole signature is a single
-    codegen'd projection. No shuffle, no Python."""
+    Shingles are hashed once (JVM-side), then each of the ``num_hashes``
+    permutations is the min over shingles of the universal hash
+    ``(a*h + b) mod p`` — all inside one ``transform`` over a literal
+    coefficient array, so the whole signature is a single codegen'd
+    projection. No shuffle, no Python.
+
+    ``base_hash``: ``"xxhash64"`` (default, fastest JVM hash) or
+    ``"md5"`` — big-endian first 8 bytes of md5, reduced mod 2^31−1.
+    md5 is engine-portable, which lets a DuckDB oracle recompute the
+    EXACT signatures (the q23 gate); xxhash64 is Spark-only. Both are
+    uniform enough for signature minima."""
     from ..functions.text import let_bound
 
     coeffs = _hash_coefficients(num_hashes, seed)
     sh = F.array_distinct(word_shingles(text_col, shingle_k))
     # nonnegative 31-bit base hashes (see _MERSENNE_31: ANSI-overflow-safe)
-    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)))
+    if base_hash == "md5":
+        # conv() reads the first 16 hex chars as an unsigned 64-bit int
+        # (returned as a digit string); decimal(20,0) holds the full
+        # unsigned range, so the reduction is exact and ANSI-safe
+        base = F.transform(
+            sh,
+            lambda s: F.pmod(
+                F.conv(F.substring(F.md5(s), 1, 16), 16, 10).cast("decimal(20,0)"),
+                F.lit(_MERSENNE_31),
+            ).cast("long"),
+        )
+    else:
+        base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)))
     # let-bind the base hashes (evaluated ONCE per row) and loop over a
     # literal (a, b) coefficient array — instead of num_hashes separate
     # expression copies each re-shingling + re-hashing the text (see
@@ -176,6 +195,7 @@ def minhash_neardup_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """End-to-end MinHash near-dup: signatures → LSH candidates →
     estimate Jaccard as the fraction of equal signature positions →
@@ -188,7 +208,9 @@ def minhash_neardup_pairs(
     evicts them (no explicit unpersist — the result is lazy, so there is
     no safe release point inside the operator); signatures are
     (id, 64 longs) ≈ 0.5 KB/doc, small relative to the corpus."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed).persist()
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, seed, base_hash
+    ).persist()
     cands = lsh_candidate_pairs(sigs, num_bands, num_hashes)
     sa = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
@@ -350,6 +372,8 @@ def simhash(
         def _h(tok: str) -> int:
             h = vocab.get(tok)
             if h is None:
+                if len(vocab) >= 4_000_000:  # ~300 MB cap; executor-safe
+                    vocab.clear()
                 h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
                 vocab[tok] = h
             return h

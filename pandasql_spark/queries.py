@@ -571,14 +571,66 @@ WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
 
 def q23_minhash_neardup(spark: SparkSession, sf: str) -> SparkDataFrame:
     """MinHash+LSH near-dup pairs (operators/dedup.py): 64 seeded
-    universal hashes over xxhash64 shingles, 16-band LSH bucket join,
-    signature-overlap Jaccard estimate ≥ 0.5. Non-SQL-expressible
-    (xxhash64) → rows-only driver check; exact-Jaccard parity is covered
-    by q22 and tests/test_dedup.py's planted-duplicate oracle."""
+    universal hashes over md5-based shingle hashes, 16-band LSH bucket
+    join, signature-overlap Jaccard estimate ≥ 0.5.
+
+    Value-checked oracle: with ``base_hash="md5"`` the whole pipeline is
+    engine-portable, so Q23_SQL recomputes the EXACT signatures,
+    reproduces the 16-band candidate generation (bands compare the raw
+    4-value signature slices — band-hash equality in Spark is slice
+    equality), and applies the same estimate filter. The production
+    default stays xxhash64 (faster; same statistics) — the gate pins the
+    portable variant."""
     from pandasql_spark.operators.dedup import minhash_neardup_pairs
 
     d = spark.read.parquet(f"{sf}/documents.parquet")
-    return minhash_neardup_pairs(d, threshold=0.5)
+    return minhash_neardup_pairs(d, threshold=0.5, base_hash="md5")
+
+
+def _q23_sql() -> str:
+    from pandasql_spark.operators.dedup import _MERSENNE_31, _hash_coefficients
+
+    coeffs = _hash_coefficients(64, seed=42)
+    coef_rows = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(coeffs))
+    m = _MERSENNE_31
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS id, unnest(list_distinct(list_transform(
+      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS sh
+  FROM documents
+),
+hh AS (
+  SELECT id, (('0x' || substr(md5(sh), 1, 16))::UBIGINT % {m})::BIGINT AS h
+  FROM sh
+),
+coef(j, a, b) AS (VALUES {coef_rows}),
+sigrow AS (
+  SELECT id, j, min((a::BIGINT * h + b) % {m}) AS v
+  FROM hh CROSS JOIN coef
+  GROUP BY id, j
+),
+bands AS (
+  SELECT id, j // 4 AS band, list(v ORDER BY j) AS bh
+  FROM sigrow GROUP BY id, j // 4
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+),
+sig AS (SELECT id, list(v ORDER BY j) AS sig FROM sigrow GROUP BY id)
+SELECT id_a, id_b,
+       round(len(list_filter(list_zip(sa.sig, sb.sig), x -> x[1] = x[2]))
+             / len(sa.sig), 6) AS est_jaccard
+FROM cand
+JOIN sig sa ON id_a = sa.id
+JOIN sig sb ON id_b = sb.id
+WHERE round(len(list_filter(list_zip(sa.sig, sb.sig), x -> x[1] = x[2]))
+            / len(sa.sig), 6) >= 0.5
+"""
+
+
+Q23_SQL = _q23_sql()
 
 
 def q24_simhash_neardup(spark: SparkSession, sf: str) -> SparkDataFrame:
@@ -662,25 +714,25 @@ LIMIT 50
 
 
 def q21_events_hourly(spark: SparkSession, sf: str) -> SparkDataFrame:
-    """Tumbling-window aggregation in batch form (the streaming twin
-    lives in streaming/events.py): hourly counts + value stats."""
-    ev = load_events(spark, sf)
-    return ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("window_start"),
-        "event_type",
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
-    )
+    """Tumbling-window aggregation through the REAL streaming engine
+    (streaming/events.py:replay_hourly_counts): readStream file source →
+    watermarked window agg → complete-mode memory sink, AvailableNow
+    trigger. A bounded complete-mode replay is exactly the batch GROUP
+    BY, so the DuckDB oracle doubles as a batch-vs-stream equivalence
+    check — this gives the streaming surface a value-checked gate row
+    instead of pytest-only coverage."""
+    from pandasql_spark.streaming.events import replay_hourly_counts
+
+    return replay_hourly_counts(spark, f"{sf}/events.parquet")
 
 
 Q21_SQL = """
-SELECT date_trunc('hour', ts) AS window_start, event_type,
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 2) AS sum_value,
-       round(avg(value), 6) AS avg_value
-FROM events GROUP BY 1, 2
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2, 3
 """
 
 
@@ -1660,7 +1712,9 @@ REGISTRY: dict[str, QueryDef] = {
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
     "q22_ngram_jaccard": QueryDef(q22_ngram_jaccard, Q22_SQL, "exact n-gram Jaccard pairs"),
-    "q23_minhash_neardup": QueryDef(q23_minhash_neardup, None, "MinHash+LSH near-dup pairs"),
+    "q23_minhash_neardup": QueryDef(
+        q23_minhash_neardup, Q23_SQL, "MinHash+LSH near-dup pairs (value-checked oracle)"
+    ),
     "q24_simhash_neardup": QueryDef(
         q24_simhash_neardup, Q24_SQL, "SimHash near-dup pairs (value-checked oracle)"
     ),

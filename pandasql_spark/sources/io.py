@@ -28,13 +28,19 @@ def read_csv(
     name: str | None = None,
     header: bool = True,
     infer_schema: bool = True,
+    sql_load: bool = False,
     spark: SparkSession | None = None,
     **options: Any,
 ) -> DataFrame:
     """CSV → DataFrame (reference ``read_csv``, io.py:12-28). The
     reference's memory-estimation / chunking / CLI-import machinery is
     subsumed by Spark's distributed scan. ``name`` is accepted for API
-    parity and used as a temp-view name when given."""
+    parity and used as a temp-view name when given; ``sql_load`` (the
+    reference's read-through-SQLite path, io.py:19-20) is a no-op —
+    there is one engine here. ``nrows`` is rejected exactly like the
+    reference (io.py:14-16)."""
+    if "nrows" in options:
+        raise ValueError("nrows is not supported")
     spark = spark or get_spark()
     sdf = spark.read.options(**options).csv(path, header=header, inferSchema=infer_schema)
     df = DataFrame(sdf=sdf)

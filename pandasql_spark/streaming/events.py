@@ -255,6 +255,63 @@ def click_purchase_interval_join(
     )
 
 
+def replay_hourly_counts(
+    spark: SparkSession, events_path: str, query_name: str = "q21_stream_replay"
+) -> DataFrame:
+    """Run `hourly_event_counts` through the REAL streaming engine over a
+    bounded replay of ``events_path`` and return the final result table.
+
+    This is the driver-gate entry for the streaming surface: file source
+    → `readStream` → tumbling-window agg → complete-mode memory sink,
+    `Trigger.AvailableNow` (process everything, then stop). In complete
+    mode no state is evicted, so a full replay is exactly equal to the
+    batch GROUP BY — which is what the DuckDB oracle checks. Production
+    topology is the same plan with a Kafka source, append mode, and the
+    watermark actually evicting state (covered in tests/test_streaming.py).
+
+    The testdata events parquet stores nanosecond timestamps, which the
+    parquet reader only surfaces (as long) under the legacy nanosAsLong
+    conf — set for the stream build, restored after termination, same
+    contract as queries.load_events."""
+    ns_schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.LongType())
+            for f in EVENT_SCHEMA.fields
+        ]
+    )
+    # the file streaming source requires a directory; when handed a bare
+    # parquet FILE (the testdata layout), stage it into a temp dir via
+    # symlink — no data copy, read-only on the source
+    import os
+    import tempfile
+
+    if os.path.isfile(events_path):
+        stage = tempfile.mkdtemp(prefix="evstream_")
+        os.symlink(os.path.abspath(events_path), os.path.join(stage, "events.parquet"))
+        events_path = stage
+
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        raw = spark.readStream.schema(ns_schema).parquet(events_path)
+        ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        agg = hourly_event_counts(ev)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    return spark.table(query_name)
+
+
 def write_stream_parquet(
     df: DataFrame,
     path: str,

@@ -1,0 +1,82 @@
+"""Scale-safe global ranking (operators/ranking.py): exactness vs the
+single-reducer window spelling, and plan shape (no SinglePartition
+Exchange — the whole point of the operator)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pandasql_spark.operators.ranking import (
+    exact_ntile,
+    ntile_bucket,
+    with_global_row_number,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet")
+
+
+def test_global_row_number_matches_window(spark, orders):
+    keys = [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()]
+    got = (
+        with_global_row_number(orders, keys, "rn", num_partitions=7)
+        .select("o_orderkey", "rn")
+        .toPandas()
+        .sort_values("o_orderkey", ignore_index=True)
+    )
+    w = Window.orderBy(*keys)
+    want = (
+        orders.select("o_orderkey", F.row_number().over(w).alias("rn"))
+        .toPandas()
+        .sort_values("o_orderkey", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("n,total", [(10, 95), (10, 100), (7, 5), (3, 1)])
+def test_ntile_bucket_closed_form(spark, n, total):
+    df = spark.range(1, total + 1).select(F.col("id").alias("rn"))
+    got = df.select("rn", ntile_bucket(F.col("rn"), total, n).alias("b")).toPandas()
+    w = Window.orderBy("rn")
+    want = df.select("rn", F.ntile(n).over(w).cast("long").alias("b")).toPandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("rn", ignore_index=True),
+        want.sort_values("rn", ignore_index=True),
+        check_dtype=False,
+    )
+
+
+def test_exact_ntile_matches_window_ntile(spark, orders):
+    keys = [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()]
+    got = (
+        exact_ntile(orders, 10, keys, bucket_col="d", num_partitions=5)
+        .select("o_orderkey", "d")
+        .toPandas()
+        .sort_values("o_orderkey", ignore_index=True)
+    )
+    w = Window.orderBy(*keys)
+    want = (
+        orders.select("o_orderkey", F.ntile(10).over(w).cast("long").alias("d"))
+        .toPandas()
+        .sort_values("o_orderkey", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_exact_ntile_plan_has_no_single_partition_exchange(spark, orders):
+    from pandasql_spark.plans import explain_str
+
+    keys = [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()]
+    plan = explain_str(exact_ntile(orders, 10, keys), "formatted")
+    assert "SinglePartition" not in plan, plan
+    # and the naive spelling DOES have one — the test guards the contrast
+    w = Window.orderBy(*keys)
+    naive = explain_str(orders.select(F.ntile(10).over(w)), "formatted")
+    assert "SinglePartition" in naive
