@@ -293,6 +293,7 @@ def jaccard_verified_neardup_pairs(
     num_bands: int = 16,
     shingle_k: int = 3,
     seed: int = 42,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """The scale path for exact-Jaccard dedup: MinHash+LSH candidate
     generation, then EXACT Jaccard verification computed per candidate
@@ -305,7 +306,9 @@ def jaccard_verified_neardup_pairs(
     this composition, identical surviving pairs at recall governed by the
     LSH band curve (16 bands × 4 rows: ~0.99+ recall at J≥0.5).
     Returns (id_a, id_b, jaccard) with TRUE Jaccard values."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed).persist()
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, seed, base_hash
+    ).persist()
     cands = lsh_candidate_pairs(sigs, num_bands, num_hashes)
     shs = df.select(
         F.col(id_col).alias("id"),
@@ -325,6 +328,66 @@ def jaccard_verified_neardup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+    base_hash: str = "xxhash64",
+    max_iter: int = 20,
+) -> DataFrame:
+    """One-call corpus deduplication — the end-to-end composition a
+    training-data pipeline actually runs. Returns ``df`` filtered to one
+    surviving representative (minimum ``id_col``) per duplicate group.
+
+    Stages, cheapest first so each pass shrinks the next one's input:
+
+    1. **Exact**: collapse byte-identical (normalized) copies by md5
+       fingerprint — one shuffle of 16-byte keys (`exact_dedup`). At a
+       web-scale corpus this alone typically removes a third of the
+       data for pennies.
+    2. **Near-dup pairs**: MinHash+LSH candidates with exact-Jaccard
+       verification (`jaccard_verified_neardup_pairs`) over the exact
+       survivors only — never all-pairs.
+    3. **Clusters**: pairs → connected components by min-label
+       propagation (`cluster.connected_components`); the edge list is
+       orders of magnitude smaller than the corpus.
+    4. **Filter**: drop every clustered doc except its minimum id — an
+       anti-join of the (tiny) non-representative id list against the
+       survivors.
+
+    All shuffles are on ids/hashes, never full text except the one
+    verification join; no driver-side data beyond the component loop's
+    scalar convergence counts."""
+    from .cluster import connected_components
+
+    id_ = F.col(id_col)
+    exact_keep = exact_dedup(df, text_col, id_col).select(
+        F.col("first_id").alias(id_col)
+    )
+    kept = df.join(exact_keep, id_col, "leftsemi")
+    pairs = jaccard_verified_neardup_pairs(
+        kept,
+        text_col,
+        id_col,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+        shingle_k=shingle_k,
+        seed=seed,
+        base_hash=base_hash,
+    )
+    clusters = connected_components(pairs, max_iter=max_iter)
+    non_reps = clusters.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias(id_col)
+    )
+    return kept.join(non_reps, id_col, "anti")
 
 
 # ------------------------------------------------------------------ SimHash
@@ -511,3 +574,31 @@ def embedding_neardup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return cands.filter(F.col("cos_sim") >= threshold)
+
+
+def dedup_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    num_tables: int = 8,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """One-call semantic (embedding-space) deduplication: sign-bit-LSH
+    candidates → exact cosine ≥ ``threshold`` → connected components →
+    keep the minimum-id vector per component. The embedding analog of
+    `dedup_corpus`: same shuffle discipline (bucket joins and id lists,
+    never the O(n²) pair space), same keep-min-id policy."""
+    from .cluster import connected_components
+
+    pairs = embedding_neardup_pairs(
+        df, vec_col, id_col, dim, threshold, num_planes, num_tables, seed
+    )
+    clusters = connected_components(pairs, max_iter=max_iter)
+    non_reps = clusters.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(non_reps, id_col, "anti")

@@ -258,3 +258,53 @@ def test_connected_components_raises_on_nonconvergence(spark):
     # and converges fine with enough rounds
     ok = connected_components(chain, max_iter=20)
     assert ok.filter("cluster_id != 0").count() == 0
+
+
+def test_dedup_corpus_end_to_end(corpus, spark):
+    """The one-call pipeline: exact dups AND near-dups collapse to their
+    min-id representative; unrelated docs all survive."""
+    sdf, pdf = corpus
+    survivors = dedup.dedup_corpus(sdf, threshold=0.5).toPandas()
+    ids = set(survivors["doc_id"])
+    # exact dups (25=copy of 0, 26=copy of 1) and near-dups (20..24 are
+    # 1-token edits of 0..4, jaccard >> 0.5) all collapse to base ids
+    assert ids == set(range(20)), ids
+    # text column intact (representative rows are original rows)
+    assert set(survivors.columns) == {"doc_id", "text"}
+    row0 = survivors.set_index("doc_id").loc[0, "text"]
+    assert row0 == pdf.set_index("doc_id").loc[0, "text"]
+
+
+def test_dedup_corpus_no_dups_is_identity(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                f"totally distinct document number {i} with unique words w{i}a w{i}b w{i}c"
+                for i in range(6)
+            ],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    out = dedup.dedup_corpus(sdf).toPandas()
+    assert set(out["doc_id"]) == set(range(6))
+
+
+def test_dedup_embeddings_end_to_end(spark):
+    """Planted near-identical vectors collapse to the min id; the rest
+    survive."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(10, 64))
+    vecs = list(base)
+    vecs.append(base[0] + rng.normal(scale=0.01, size=64))  # 10: near-dup of 0
+    vecs.append(base[3] * 2.0)  # 11: scaled copy of 3 (cosine 1.0)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": [[float(x) for x in v] for v in vecs],
+        }
+    )
+    out = dedup.dedup_embeddings(spark.createDataFrame(pdf)).toPandas()
+    assert set(out["vec_id"]) == set(range(10))
