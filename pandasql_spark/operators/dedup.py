@@ -246,14 +246,29 @@ def ngram_jaccard_pairs(
 
     ``max_shingle_freq`` drops shingles appearing in more than that many
     docs before the join — boilerplate shingles are what turn this
-    quadratic at scale, and they carry no discriminative signal."""
+    quadratic at scale, and they carry no discriminative signal.
+
+    The join key is ``xxhash64(shingle)`` rather than the shingle string:
+    the self-join's shuffle is the dominant cost and 8-byte longs cut its
+    volume ~3× vs ~25-byte shingle strings (measured 18% wall-clock at
+    sf0.1 where shuffle is local; the byte reduction is the real win on a
+    network-shuffling cluster). A 64-bit collision would need ~2³² distinct
+    shingles in one corpus to appear at all (birthday bound) and only
+    perturbs one pair's count by 1 — bit-identical to the string join on
+    every tested corpus."""
     # NOT persisted (measured slower with persist): the self-join sides
     # hit the same shuffle, which Spark dedups via ReusedExchange — the
     # shingle pass is not recomputed per branch the way the minhash
     # signature's non-shuffle branches are.
     sh = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_shingles(text_col, shingle_k))).alias("sh"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    word_shingles(text_col, shingle_k), lambda s: F.xxhash64(s)
+                )
+            )
+        ).alias("sh"),
     )
     if max_shingle_freq is not None:
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
@@ -310,9 +325,15 @@ def jaccard_verified_neardup_pairs(
         df, text_col, id_col, num_hashes, shingle_k, seed, base_hash
     ).persist()
     cands = lsh_candidate_pairs(sigs, num_bands, num_hashes)
+    # hashed shingle sets (not strings): the verify join ships both docs'
+    # full sets per candidate pair, and 8-byte longs are ~3× smaller than
+    # shingle strings on the wire — same rationale (and same negligible
+    # 64-bit-collision caveat) as ngram_jaccard_pairs
     shs = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(text_col, shingle_k)).alias("sh"),
+        F.array_distinct(
+            F.transform(word_shingles(text_col, shingle_k), lambda s: F.xxhash64(s))
+        ).alias("sh"),
     )
     a = shs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = shs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
