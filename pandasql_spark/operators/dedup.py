@@ -317,10 +317,11 @@ def jaccard_verified_neardup_pairs(
 
     Why: the exact self-join's cost is Σ df(shingle)² — quadratic in
     duplicate cluster size. Measured on a duplicate-rich 10×-replicated
-    corpus (50k docs, 10-copy cliques): exact all-pairs 131 s vs 21 s for
-    this composition, identical surviving pairs at recall governed by the
-    LSH band curve (16 bands × 4 rows: ~0.99+ recall at J≥0.5).
-    Returns (id_a, id_b, jaccard) with TRUE Jaccard values."""
+    corpus (50k docs, 10-copy near-dup cliques), round 2 with hashed
+    shingle joins: exact all-pairs 596 s vs 11.9 s for this composition
+    (50× on the same corpus), identical surviving pairs at recall
+    governed by the LSH band curve (16 bands × 4 rows: ~0.99+ recall at
+    J≥0.5). Returns (id_a, id_b, jaccard) with TRUE Jaccard values."""
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_k, seed, base_hash
     ).persist()

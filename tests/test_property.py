@@ -233,3 +233,22 @@ def test_random_merge_matches_pandas(spark, left, right, how):
             expected.sort_values(sort_cols, ignore_index=True),
             check_dtype=False,
         )
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(lpdf=frames(), rpdf=frames(), key=st.sampled_from(["n", "m", "s"]))
+def test_random_join_matches_pandas(spark, lpdf, rpdf, key):
+    """Random inner equi-joins agree with pandas merge (set-wise)."""
+    rpdf = rpdf.rename(columns={c: c + "_r" for c in rpdf.columns if c != key})
+    got = ps.DataFrame(lpdf).merge(ps.DataFrame(rpdf), on=key).compute()
+    want = lpdf.merge(rpdf, on=key)
+    got = got.reset_index(drop=True).sort_index(axis=1)
+    want = want.reset_index(drop=True).sort_index(axis=1)
+    assert list(got.columns) == list(want.columns)
+    cols = list(got.columns)
+    pd.testing.assert_frame_equal(
+        got.sort_values(cols, ignore_index=True),
+        want.sort_values(cols, ignore_index=True),
+        check_dtype=False,
+    )
