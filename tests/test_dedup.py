@@ -308,3 +308,16 @@ def test_dedup_embeddings_end_to_end(spark):
     )
     out = dedup.dedup_embeddings(spark.createDataFrame(pdf)).toPandas()
     assert set(out["vec_id"]) == set(range(10))
+
+
+def test_dedup_corpus_tiny_inputs(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    empty = spark.createDataFrame([], schema)
+    assert dedup.dedup_corpus(empty).count() == 0
+    one = spark.createDataFrame([(7, "just one document here")], schema)
+    out = dedup.dedup_corpus(one).toPandas()
+    assert list(out["doc_id"]) == [7]

@@ -80,3 +80,17 @@ def test_exact_ntile_plan_has_no_single_partition_exchange(spark, orders):
     w = Window.orderBy(*keys)
     naive = explain_str(orders.select(F.ntile(10).over(w)), "formatted")
     assert "SinglePartition" in naive
+
+
+def test_exact_ntile_tiny_inputs(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("v", T.DoubleType()), T.StructField("k", T.LongType())]
+    )
+    empty = spark.createDataFrame([], schema)
+    keys = [F.col("v").asc(), F.col("k").asc()]
+    assert exact_ntile(empty, 10, keys).count() == 0
+    one = spark.createDataFrame([(1.5, 1)], schema)
+    out = exact_ntile(one, 10, keys, bucket_col="b").toPandas()
+    assert list(out["b"]) == [1]
