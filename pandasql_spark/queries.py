@@ -186,8 +186,10 @@ def q05_join_groupby(spark: SparkSession, sf: str) -> SparkDataFrame:
     customer is broadcast by AQE at any realistic dim/fact ratio.
     Also carries the collect-aggregate family (formerly gated as q55,
     same grain): per segment, the sorted distinct set of order
-    priorities — sort_array makes the set deterministic and
-    oracle-hashable; set state is bounded (≤ distinct priorities).
+    priorities, emitted as a comma-joined STRING (array_join) so the
+    driver's pandas-based canonicalization can sort/hash it — a raw
+    array<string> column is unhashable there (round-2 q05 regression);
+    set state is bounded (≤ distinct priorities).
     n_priorities is size(collect_set) rather than count(DISTINCT):
     the set is already being collected, and a distinct aggregate would
     force a second (Expand) shuffle — this form keeps the plan at ONE
@@ -203,7 +205,7 @@ def q05_join_groupby(spark: SparkSession, sf: str) -> SparkDataFrame:
         .agg(
             F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
             F.count("o_orderkey").cast("long").alias("n_orders"),
-            prios.alias("priorities"),
+            F.array_join(prios, ",").alias("priorities"),
             F.size(prios).cast("long").alias("n_priorities"),
         )
     )
@@ -213,7 +215,7 @@ Q05_SQL = """
 SELECT c_mktsegment,
        round(sum(o_totalprice), 2) AS total_revenue,
        CAST(count(o_orderkey) AS BIGINT) AS n_orders,
-       list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
        CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
