@@ -63,27 +63,37 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> ps.DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> SparkDataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects. Read nanos as long (runtime-settable legacy
-    conf) and convert to a proper timestamp at microsecond precision —
-    lossless for every downstream windowing op (coarsest unit we window
-    by is seconds).
+    """Load events.parquet with ``ts`` normalized to TIMESTAMP (LTZ,
+    session pinned to UTC) whatever the file's physical type:
 
-    The legacy conf is restored right after the read (the parquet
-    relation captures it at creation, verified: execution still works
-    after restore) so unrelated reads in a shared session aren't
-    silently switched to bigint timestamps."""
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) — the current testdata —
+      reads as TIMESTAMP directly under ``inferTimestampNTZ=false``
+      (session.py semantics conf); a residual TIMESTAMP_NTZ (conf raced
+      by another thread) is cast, value-identical under UTC.
+    - TIMESTAMP(NANOS) — earlier testdata generations — is rejected by
+      the vectorized reader; read nanos as long (runtime-settable legacy
+      conf, restored right after: the parquet relation captures it at
+      creation) and truncate to micros, lossless for every windowing op
+      here (coarsest unit we window by is seconds).
+    """
+    ensure_semantics(spark)
     try:
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-        else:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-    if dict(ev.dtypes).get("ts") == "bigint":
+    except Exception:  # TIMESTAMP(NANOS) file: legacy long-read path
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    ts_type = dict(ev.dtypes).get("ts")
+    if ts_type == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 

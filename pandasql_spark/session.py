@@ -58,6 +58,12 @@ _DEFAULTS: dict[str, str] = {
 _RUNTIME_SEMANTICS: dict[str, str] = {
     "spark.sql.ansi.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
+    # Parquet naive timestamps (isAdjustedToUTC=false) read as TIMESTAMP,
+    # not TIMESTAMP_NTZ: with the session pinned to UTC the two are
+    # value-identical, but NTZ forbids the direct epoch casts
+    # (cast-to-double) the window/session/range operators rely on, and
+    # matches DuckDB's epoch() treating naive timestamps as UTC.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

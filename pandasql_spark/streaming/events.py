@@ -269,16 +269,13 @@ def replay_hourly_counts(
     topology is the same plan with a Kafka source, append mode, and the
     watermark actually evicting state (covered in tests/test_streaming.py).
 
-    The testdata events parquet stores nanosecond timestamps, which the
-    parquet reader only surfaces (as long) under the legacy nanosAsLong
-    conf — set for the stream build, restored after termination, same
-    contract as queries.load_events."""
-    ns_schema = T.StructType(
-        [
-            f if f.name != "ts" else T.StructField("ts", T.LongType())
-            for f in EVENT_SCHEMA.fields
-        ]
-    )
+    The stream schema is chosen from the file's actual physical ts type
+    (probed with a batch read): TIMESTAMP(MICROS) files — the current
+    testdata — stream directly with a TimestampType schema; legacy
+    TIMESTAMP(NANOS) files (rejected by the vectorized reader) fall back
+    to reading nanos as long under the legacy nanosAsLong conf — set for
+    the stream build, restored after termination, same contract as
+    queries.load_events."""
     # the file streaming source requires a directory; when handed a bare
     # parquet FILE (the testdata layout), stage it into a temp dir via
     # symlink — no data copy, read-only on the source
@@ -290,11 +287,28 @@ def replay_hourly_counts(
         os.symlink(os.path.abspath(events_path), os.path.join(stage, "events.parquet"))
         events_path = stage
 
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
+        spark.read.parquet(events_path).schema
+        nanos = False
+    except Exception:  # TIMESTAMP(NANOS): vectorized reader rejects it
+        nanos = True
+
+    if not nanos:
+        raw = spark.readStream.schema(EVENT_SCHEMA).parquet(events_path)
+        ev = raw
+        prev = None
+    else:
+        ns_schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType())
+                for f in EVENT_SCHEMA.fields
+            ]
+        )
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.readStream.schema(ns_schema).parquet(events_path)
         ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    try:
         agg = hourly_event_counts(ev)
         q = (
             agg.writeStream.format("memory")
@@ -305,10 +319,11 @@ def replay_hourly_counts(
         )
         q.awaitTermination()
     finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-        else:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        if nanos:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     return spark.table(query_name)
 
 
