@@ -218,15 +218,32 @@ class Expression:
 
 def _floordiv(a: SparkColumn, b: SparkColumn) -> SparkColumn:
     """Python ``//``: floor toward −∞ (reference FLOORDIV UDF,
-    sql_utils.py:19-20). Spark's integer ``div`` truncates toward 0, so
-    compute via floating floor; callers cast back to long for int/int."""
-    return F.floor(a.cast("double") / b)
+    sql_utils.py:19-20). Mirrors CPython's float_divmod construction —
+    fmod first, then (a − mod)/b with a sign correction — NOT the naive
+    ``floor(a/b)``: the quotient a/b can underflow/round before floor
+    (e.g. −5e-324 // 2: a/b ties-to-even to −0.0, floor gives 0, but
+    Python's single-rounded path gives −1.0; hypothesis-found,
+    tests/test_property_agg.py). Callers cast back to long for int/int."""
+    ad, bd = a.cast("double"), b.cast("double")
+    mod = ad % bd
+    div = (ad - mod) / bd
+    div = F.when((mod != 0) & ((mod < 0) != (bd < 0)), div - 1).otherwise(div)
+    fl = F.floor(div)
+    # CPython's trailing correction: div may round to x.999... just
+    # under the true integral quotient
+    return F.when((div - fl) > 0.5, fl + 1).otherwise(fl)
 
 
 def _pymod(a: SparkColumn, b: SparkColumn) -> SparkColumn:
     """Python ``%``: result sign follows divisor (reference MOD UDF,
-    sql_utils.py:9-11). ((a % b) + b) % b handles both sign cases."""
-    return ((a % b) + b) % b
+    sql_utils.py:9-11). Mirrors CPython's float.__mod__ exactly: fmod,
+    then ONE correcting add when signs differ. The algebraic
+    ``((a % b) + b) % b`` form double-rounds at the float edge — for
+    a = 1e-38, b = -1.0 the inner add absorbs to -1.0 and the outer %
+    collapses to -0.0, where Python (and pandas) round once to -1.0
+    (hypothesis-found, tests/test_property_agg.py)."""
+    r = a % b
+    return F.when((r != 0) & ((r < 0) != (b < 0)), r + b).otherwise(r)
 
 
 def _pypow(a: SparkColumn, b: SparkColumn) -> SparkColumn:

@@ -1,0 +1,151 @@
+"""Property-based differential tests for the aggregation and scalar-
+expression layers (the round-2 verdict's ask #5, extending
+test_property.py's join/pipeline fuzzing): random groupby multi-aggs and
+random arithmetic expression chains vs the pandas oracle.
+
+The ``//`` ``%`` ``**`` semantics shims (core.py:216-229) are exactly
+where sign/dtype edges hide, so the strategies bias toward negative
+operands and mixed int/float columns; the agg strategy crosses every
+AGG_FUNCS entry pandas also implements with 1-2 grouping keys including
+high-cardinality and constant keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import pandasql_spark as ps
+
+
+@st.composite
+def agg_frames(draw):
+    nrows = draw(st.integers(min_value=1, max_value=30))
+    rows = [
+        {
+            "k": draw(st.sampled_from(["a", "b", "c"])),
+            "g": draw(st.integers(min_value=-3, max_value=3)),
+            "x": draw(st.integers(min_value=-100, max_value=100)),
+            "y": draw(
+                st.floats(min_value=-50, max_value=50, allow_nan=False, width=64)
+            ),
+        }
+        for _ in range(nrows)
+    ]
+    return pd.DataFrame(rows)
+
+
+# the AGG_FUNCS ∩ pandas-named-agg surface (prod/any/all have pandas
+# twins but different bool-cast rules covered by unit tests; approx_*
+# are sketches with no exact oracle)
+AGGS = ["sum", "mean", "min", "max", "count", "std", "var", "median", "nunique"]
+
+
+@settings(
+    max_examples=50,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    pdf=agg_frames(),
+    keys=st.lists(st.sampled_from(["k", "g"]), min_size=1, max_size=2, unique=True),
+    fns=st.lists(st.sampled_from(AGGS), min_size=1, max_size=3, unique=True),
+)
+def test_random_groupby_named_aggs(spark, pdf, keys, fns):
+    """Named-agg form over random (keys × funcs × int/float cols)."""
+    named = {}
+    for fn in fns:
+        named[f"x_{fn}"] = ("x", fn)
+        named[f"y_{fn}"] = ("y", fn)
+    got = ps.DataFrame(pdf).groupby(keys, as_index=False).agg(**named).compute()
+    want = pdf.groupby(keys, as_index=False).agg(**named)
+
+    got = got.sort_values(keys, ignore_index=True).sort_index(axis=1)
+    want = want.sort_values(keys, ignore_index=True).sort_index(axis=1)
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        a = got[c].to_numpy()
+        b = want[c].to_numpy()
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            # distributed sums reorder float addition; std/var/median
+            # compound it — tolerance, not bit-equality
+            assert np.allclose(
+                a.astype("float64"), b.astype("float64"),
+                rtol=1e-9, atol=1e-9, equal_nan=True,
+            ), f"{c}: {a} != {b}"
+        else:
+            assert (a == b).all(), f"{c}: {a} != {b}"
+
+
+@st.composite
+def expr_frames(draw):
+    nrows = draw(st.integers(min_value=1, max_value=25))
+    rows = [
+        {
+            # n crosses zero; m is a NONZERO divisor crossing zero from
+            # both sides (the //-floor and %-sign shims' hot edges)
+            "n": draw(st.integers(min_value=-50, max_value=50)),
+            "m": draw(
+                st.integers(min_value=-20, max_value=20).filter(lambda v: v != 0)
+            ),
+            "f": draw(
+                st.floats(min_value=-25, max_value=25, allow_nan=False, width=64)
+            ),
+        }
+        for _ in range(nrows)
+    ]
+    return pd.DataFrame(rows)
+
+
+# each step: (name, engine_fn, pandas_fn) applied to the frame pair;
+# every fn writes a fresh column so chains compound dtype promotions
+_EXPR_STEPS = {
+    "floordiv_ii": lambda d: d.__setitem__("t1", d["n"] // d["m"]),
+    "mod_ii": lambda d: d.__setitem__("t2", d["n"] % d["m"]),
+    "truediv": lambda d: d.__setitem__("t3", d["n"] / d["m"]),
+    "pow_small": lambda d: d.__setitem__("t4", (d["n"] % 7) ** 3),
+    "floordiv_if": lambda d: d.__setitem__("t5", d["f"] // d["m"]),
+    "mod_fi": lambda d: d.__setitem__("t6", d["f"] % d["m"]),
+    "mixed_chain": lambda d: d.__setitem__("t7", (d["n"] * 2 - d["m"]) * d["f"]),
+    "neg_abs": lambda d: d.__setitem__("t8", abs(-d["n"]) - abs(d["m"])),
+    "rsub_radd": lambda d: d.__setitem__("t9", 10 - d["n"] + (1 + d["m"])),
+}
+
+
+@settings(
+    max_examples=50,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    pdf=expr_frames(),
+    steps=st.lists(
+        st.sampled_from(sorted(_EXPR_STEPS)), min_size=1, max_size=4, unique=True
+    ),
+)
+def test_random_arith_exprs(spark, pdf, steps):
+    """Random chains of the Python-semantics arithmetic ops vs pandas:
+    floor-to-−∞ //, divisor-sign %, int-preserving **, true / as float,
+    unary neg/abs, reflected forms — on negative and mixed-dtype data."""
+    df = ps.DataFrame(pdf)
+    want = pdf.copy()
+    for s in steps:
+        _EXPR_STEPS[s](df)
+        _EXPR_STEPS[s](want)
+    got = df.compute().reset_index(drop=True).sort_index(axis=1)
+    want = want.reset_index(drop=True).sort_index(axis=1)
+    assert list(got.columns) == list(want.columns)
+    cols = list(got.columns)
+    got = got.sort_values(cols, ignore_index=True)
+    want = want.sort_values(cols, ignore_index=True)
+    for c in cols:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            assert np.allclose(
+                a.astype("float64"), b.astype("float64"),
+                rtol=1e-9, atol=1e-9, equal_nan=True,
+            ), f"{c}: {a} != {b}"
+        else:
+            assert (a == b).all(), f"{c}: {a} != {b}"
