@@ -74,15 +74,32 @@ def main() -> None:
     # min of 2 runs per query: the first run pays one-time costs (JIT,
     # shuffle-service setup, broadcast build) that a steady-state cluster
     # job amortizes; min-of-2 is the steady-state number.
+    #
+    # Isolation: clearCache() between queries so one query's persisted
+    # intermediates (MinHash signatures, ranking offsets) don't bill
+    # memory pressure to its neighbors — round-2 showed untouched queries
+    # drifting ~30% from accumulated session footprint. A query that
+    # *needs* a cache (q40's IVF index) manages its own, outside the
+    # storage-memory pool the others compete for.
+    #
+    # Fault tolerance: one broken query records an "error" entry instead
+    # of killing the run — a bench line with 24/25 numbers beats rc=1
+    # with none (round-3 failure mode).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
         best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — keep benching
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        finally:
+            spark.catalog.clearCache()
 
     # Honesty entry for the ANN number: q40_ann_ivf above times the
     # PROBE path of a cached index (the operator's build-once/probe-many
@@ -91,24 +108,26 @@ def main() -> None:
     from pandasql_spark.queries import _IVF_CACHE
 
     _IVF_CACHE.clear()
-    t0 = time.perf_counter()
-    REGISTRY["q40_ann_ivf"].fn(spark, SF_DIR).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    timings["q40_ann_ivf_cold_build_probe"] = round(time.perf_counter() - t0, 3)
+    try:
+        t0 = time.perf_counter()
+        REGISTRY["q40_ann_ivf"].fn(spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["q40_ann_ivf_cold_build_probe"] = round(time.perf_counter() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["q40_ann_ivf_cold_build_probe"] = f"{type(exc).__name__}: {exc}"[:300]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

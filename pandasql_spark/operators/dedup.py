@@ -65,6 +65,20 @@ def _hash_coefficients(n: int, seed: int) -> list[tuple[int, int]]:
     ]
 
 
+def lsh_hyperplanes(
+    dim: int, num_planes: int, num_tables: int, seed: int
+) -> list[list[list[float]]]:
+    """Seeded Gaussian hyperplanes for sign-bit LSH, one
+    ``num_planes × dim`` table per entry. Factored out of
+    `embedding_neardup_pairs` so a gate oracle can embed the SAME plane
+    literals in SQL and reproduce the bucket assignment exactly."""
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+        for _ in range(num_tables)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -566,13 +580,10 @@ def embedding_neardup_pairs(
     Same AND/OR construction as the MinHash band scheme."""
     from ..functions.similarity import cosine, random_projection_buckets
 
-    rng = random.Random(seed)
-    table_buckets = []
-    for t in range(num_tables):
-        planes = [
-            [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)
-        ]
-        table_buckets.append(random_projection_buckets(vec_col, planes))
+    table_buckets = [
+        random_projection_buckets(vec_col, planes)
+        for planes in lsh_hyperplanes(dim, num_planes, num_tables, seed)
+    ]
     bucketed = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),

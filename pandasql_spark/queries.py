@@ -722,6 +722,53 @@ LIMIT 50
 """
 
 
+def q10_embedding_neardup(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """LSH-bucketed embedding near-dup pairs on a planted-duplicate
+    corpus (operators/dedup.py:embedding_neardup_pairs — the SCALE path
+    that q25's brute-force baseline justifies). The raw corpus has no
+    near-dups (max pairwise cosine ≈0.51), so each vector gets a planted
+    twin: id+100000, every element x → 0.9·x + 0.01 (cosine ≈0.996,
+    identical double arithmetic in Spark and DuckDB). The oracle is the
+    brute-force all-pairs ground truth at the same threshold, so a green
+    row proves the multi-table sign-bit LSH achieves EXACT recall here —
+    per-pair miss probability (1 − (1−θ/π)^8)^8 ≈ 2e-6 at cosine 0.996,
+    and the seeded hyperplanes make the outcome deterministic."""
+    from pandasql_spark.operators.dedup import embedding_neardup_pairs
+
+    e = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(0.9) + F.lit(0.01)).alias(
+            "embedding"
+        ),
+    )
+    corpus = e.unionByName(planted)
+    return embedding_neardup_pairs(
+        corpus, vec_col="embedding", id_col="vec_id", dim=64, threshold=0.95
+    )
+
+
+Q10_SQL = """
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x * 0.9 + 0.01)
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]), (x, y) -> x + y)
+           / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+            * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))),
+           6) AS cos_sim
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.95
+"""
+
+
 # ------------------------------------------------------------------- events
 
 
@@ -745,6 +792,44 @@ SELECT date_trunc('hour', ts) AS window_start,
        CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2, 3
+"""
+
+
+def q17_session_windows_stream(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Native session windows through the REAL streaming engine
+    (streaming/events.py:replay_session_windows): readStream →
+    `F.session_window(ts, '30 minutes')` per-user agg → complete-mode
+    memory sink, AvailableNow trigger. Complete mode never evicts state,
+    so the replay equals batch sessionization; the oracle is an
+    independent lag/flag/running-sum sessionizer with Spark's half-open
+    semantics (gap ≥ 30 min STARTS a new session; session_end = last
+    event + gap). Cross-checks q26's batch algorithm AND gives the
+    session-window state machine a value-checked gate row."""
+    from pandasql_spark.streaming.events import replay_session_windows
+
+    return replay_session_windows(spark, f"{sf}/events.parquet")
+
+
+Q17_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800.0
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM sess GROUP BY user_id, sess_id
 """
 
 
@@ -1719,6 +1804,14 @@ REGISTRY: dict[str, QueryDef] = {
     "q15_window_topn": QueryDef(q15_window_topn, Q15_SQL, "window row_number top-n"),
     "q16_doc_profile": QueryDef(
         q16_doc_profile, Q16_SQL, "token/lexical stats + quality + language-ID"
+    ),
+    "q10_embedding_neardup": QueryDef(
+        q10_embedding_neardup, Q10_SQL,
+        "LSH embedding near-dup pairs, exact-recall oracle on planted dups",
+    ),
+    "q17_session_windows_stream": QueryDef(
+        q17_session_windows_stream, Q17_SQL,
+        "streaming session windows (complete-mode replay vs batch oracle)",
     ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),

@@ -276,6 +276,34 @@ def replay_hourly_counts(
     to reading nanos as long under the legacy nanosAsLong conf — set for
     the stream build, restored after termination, same contract as
     queries.load_events."""
+    return _replay(spark, events_path, hourly_event_counts, query_name)
+
+
+def replay_session_windows(
+    spark: SparkSession,
+    events_path: str,
+    gap: str = "30 minutes",
+    query_name: str = "q17_session_replay",
+) -> DataFrame:
+    """Run `session_windows` through the real streaming engine over a
+    bounded replay — the second gate-checked streaming surface after the
+    tumbling path. Complete mode never evicts state, so the final table
+    equals batch sessionization; the matching DuckDB oracle is a
+    lag/flag/running-sum sessionizer with Spark's half-open session
+    semantics (an event exactly ``gap`` after the previous one STARTS a
+    new session, because session windows are [start, last+gap))."""
+    return _replay(
+        spark,
+        events_path,
+        lambda ev: session_windows(ev, gap=gap),
+        query_name,
+    )
+
+
+def _replay(spark, events_path, build_agg, query_name) -> DataFrame:
+    """Shared bounded-replay harness: stage the file, pick a stream
+    schema off the file's physical ts type, run build_agg(stream) into a
+    complete-mode memory sink under Trigger.AvailableNow."""
     # the file streaming source requires a directory; when handed a bare
     # parquet FILE (the testdata layout), stage it into a temp dir via
     # symlink — no data copy, read-only on the source
@@ -309,7 +337,7 @@ def replay_hourly_counts(
         raw = spark.readStream.schema(ns_schema).parquet(events_path)
         ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     try:
-        agg = hourly_event_counts(ev)
+        agg = build_agg(ev)
         q = (
             agg.writeStream.format("memory")
             .queryName(query_name)
