@@ -833,6 +833,39 @@ FROM sess GROUP BY user_id, sess_id
 """
 
 
+def q18_sliding_windows_stream(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Sliding-window aggregation through the REAL streaming engine
+    (streaming/events.py:sliding_value_stats — 30-min windows, 10-min
+    slide, so every event lands in exactly 3 overlapping windows).
+    Complete-mode AvailableNow replay equals the batch GROUP BY; the
+    oracle expands each event into its 3 epoch-aligned windows
+    (time_bucket minus k·slide) and aggregates — an independent
+    construction of Spark's window() semantics. Third gate-checked
+    streaming surface after tumbling (q21) and session (q17)."""
+    from pandasql_spark.streaming.events import _replay, sliding_value_stats
+
+    return _replay(
+        spark,
+        f"{sf}/events.parquet",
+        sliding_value_stats,
+        "q18_sliding_replay",
+    )
+
+
+Q18_SQL = """
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL 10 MINUTE, ts) - k * (INTERVAL 10 MINUTE) AS window_start,
+         value
+  FROM events, unnest([0, 1, 2]) AS t(k)
+)
+SELECT window_start,
+       window_start + INTERVAL 30 MINUTE AS window_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(avg(value), 6) AS avg_value
+FROM expanded GROUP BY window_start
+"""
+
+
 def q26_sessionize(spark: SparkSession, sf: str) -> SparkDataFrame:
     """Batch sessionization via window functions (gap = 30 min): lag →
     new-session flag → running sum = session id → per-session agg. An
@@ -1812,6 +1845,10 @@ REGISTRY: dict[str, QueryDef] = {
     "q17_session_windows_stream": QueryDef(
         q17_session_windows_stream, Q17_SQL,
         "streaming session windows (complete-mode replay vs batch oracle)",
+    ),
+    "q18_sliding_windows_stream": QueryDef(
+        q18_sliding_windows_stream, Q18_SQL,
+        "streaming sliding windows (3-way overlap replay vs expand-join oracle)",
     ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
