@@ -1,0 +1,58 @@
+"""Cleanup hooks for operator-internal persisted frames.
+
+Several operators persist an intermediate that feeds multiple plan
+branches (MinHash signature tables, range-partitioned ranking inputs).
+The result is lazy, so there is no safe unpersist point INSIDE the
+operator — but once the caller has materialized or written the result,
+the cache is dead weight in the storage pool. ``attach_cleanup`` gives
+the returned DataFrame an explicit ``result.cleanup()`` for exactly that
+moment; callers that skip it still fall back to Spark's LRU eviction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def attach_cleanup(result: DataFrame, *cached) -> DataFrame:
+    """Attach ``result.cleanup(blocking=False)`` releasing every frame in
+    ``cached``. Entries may be DataFrames to unpersist or zero-arg
+    callables (e.g. an upstream result's own ``cleanup``), so hooks
+    compose through operator pipelines like ``dedup_corpus``."""
+
+    def cleanup(blocking: bool = False) -> None:
+        for c in cached:
+            if callable(getattr(c, "unpersist", None)):
+                c.unpersist(blocking=blocking)
+            elif callable(c):
+                c()
+
+    result.cleanup = cleanup
+    return result
+
+
+def tracked_local_checkpoint(df: DataFrame):
+    """``df.localCheckpoint()`` plus a zero-arg release handle for its
+    persisted blocks — which plain ``DataFrame.unpersist()`` cannot
+    reach (the blocks belong to an internal RDD, not the plan cache).
+
+    Found by persistent-RDD id diff around the (eager) checkpoint call;
+    single-driver-thread operators only — a concurrent persist landing
+    in the diff window would be captured too. Releasing makes the
+    checkpointed frame UNRECOMPUTABLE (lineage was truncated), so only
+    release a round that nothing downstream will read again."""
+    sc = df.sparkSession.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    out = df.localCheckpoint()
+    new_ids = [
+        i for i in sc._jsc.getPersistentRDDs().keySet().toArray() if i not in before
+    ]
+
+    def release(blocking: bool = False) -> None:
+        cur = sc._jsc.getPersistentRDDs()
+        for i in new_ids:
+            r = cur.get(i)
+            if r is not None:
+                r.unpersist(blocking)
+
+    return out, release

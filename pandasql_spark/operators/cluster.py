@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .cache import attach_cleanup, tracked_local_checkpoint
+
 
 def connected_components(
     pairs: DataFrame,
@@ -36,16 +38,22 @@ def connected_components(
     max_iter: int = 20,
 ) -> DataFrame:
     """(node, cluster_id) for every node in ``pairs``; cluster_id = the
-    minimum node id reachable through the pair graph (undirected)."""
-    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    sym = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    minimum node id reachable through the pair graph (undirected).
 
-    labels = (
+    Each superseded round's checkpoint blocks are released as soon as
+    the next round is materialized (a long run otherwise accumulates
+    every round in the storage pool); the edge list and the FINAL round
+    stay resident — the result is lazy and lineage-truncated, so they
+    are unrecoverable once dropped. ``result.cleanup()`` releases them
+    after the caller materializes."""
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    sym, release_sym = tracked_local_checkpoint(
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    )
+
+    labels, release_labels = tracked_local_checkpoint(
         sym.select(F.col("a").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
 
     converged = False
@@ -55,11 +63,11 @@ def connected_components(
             sym.join(labels, sym["b"] == labels["node"])
             .select(F.col("a").alias("node"), "label")
         )
-        new_labels = (
+        new_labels, release_new = tracked_local_checkpoint(
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()  # lineage cut — see module docstring
+            # lineage cut — see module docstring
         )
         changed = (
             new_labels.alias("n")
@@ -67,7 +75,9 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels = new_labels
+        # the changed-count was this round's last read of the OLD labels
+        release_labels()
+        labels, release_labels = new_labels, release_new
         if changed == 0:
             converged = True
             break
@@ -79,7 +89,7 @@ def connected_components(
             "(label-graph diameter exceeds max_iter); raise max_iter"
         )
     out = labels.select("node", F.col("label").alias("cluster_id"))
-    return out
+    return attach_cleanup(out, release_sym, release_labels)
 
 
 def dedup_keep_representative(

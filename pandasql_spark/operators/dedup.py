@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.text import fingerprint, tokens, word_shingles
+from .cache import attach_cleanup
 
 #: Mersenne prime 2^31-1: modulus for universal hashing. Chosen so the
 #: universal hash (a*h + b) never leaves int64 range — with a < 2^31 and
@@ -218,10 +219,11 @@ def minhash_neardup_pairs(
     The signature table feeds three plan branches (band explode + both
     sides of the estimate join); persist it so the shingle-hash pass
     runs once — the same reuse the reference gets from per-node result
-    caching (core.py:41-42). The cached blocks stay until Spark's LRU
-    evicts them (no explicit unpersist — the result is lazy, so there is
-    no safe release point inside the operator); signatures are
-    (id, 64 longs) ≈ 0.5 KB/doc, small relative to the corpus."""
+    caching (core.py:41-42). The result is lazy, so there is no safe
+    release point inside the operator; call ``result.cleanup()`` once
+    materialized (operators/cache.py), or let Spark's LRU evict the
+    blocks — signatures are (id, 64 longs) ≈ 0.5 KB/doc, small relative
+    to the corpus."""
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_k, seed, base_hash
     ).persist()
@@ -238,12 +240,13 @@ def minhash_neardup_pairs(
         / F.size("sig_a"),
         6,
     )
-    return (
+    out = (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
+    return attach_cleanup(out, sigs)
 
 
 def ngram_jaccard_pairs(
@@ -354,7 +357,7 @@ def jaccard_verified_neardup_pairs(
     b = shs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    out = (
         cands.join(a, "id_a")
         .join(b, "id_b")
         .select(
@@ -364,6 +367,7 @@ def jaccard_verified_neardup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    return attach_cleanup(out, sigs)
 
 
 def dedup_corpus(
@@ -423,7 +427,11 @@ def dedup_corpus(
     non_reps = clusters.filter(F.col("node") != F.col("label")).select(
         F.col("node").alias(id_col)
     )
-    return kept.join(non_reps, id_col, "anti")
+    out = kept.join(non_reps, id_col, "anti")
+    # compose the inner stages' releases (signature cache + the
+    # component loop's final checkpoints) into this result's hook
+    # (operators/cache.py) — call only after materializing
+    return attach_cleanup(out, pairs.cleanup, clusters.cleanup)
 
 
 # ------------------------------------------------------------------ SimHash
@@ -634,4 +642,4 @@ def dedup_embeddings(
     non_reps = clusters.filter(F.col("node") != F.col("label")).select(
         F.col("node").alias(id_col)
     )
-    return df.join(non_reps, id_col, "anti")
+    return attach_cleanup(df.join(non_reps, id_col, "anti"), clusters.cleanup)

@@ -39,6 +39,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .cache import attach_cleanup
+
 _PID = "__psql_pid"
 _RN = "__psql_rn"
 
@@ -58,8 +60,8 @@ def _ranked_with_total(
         _PID, F.spark_partition_id()
     )
     # Freeze the sampled range boundaries: counts and ranking must see
-    # the same partitioning (lazy persist; LRU-evicted like dedup.py's
-    # signature cache — no safe unpersist point while the result is lazy).
+    # the same partitioning (lazy persist; callers get a cleanup() hook,
+    # else LRU-evicted like dedup.py's signature cache).
     part = part.persist()
     counts = {
         r[_PID]: r["cnt"]
@@ -84,7 +86,7 @@ def _ranked_with_total(
         offset_expr = F.lit(0)
     w = Window.partitionBy(_PID).orderBy(*cols)
     ranked = part.withColumn(rn_col, F.row_number().over(w) + offset_expr).drop(_PID)
-    return ranked, acc
+    return attach_cleanup(ranked, part), acc
 
 
 def with_global_row_number(
@@ -134,6 +136,7 @@ def exact_ntile(
     SinglePartition Exchange — asserted in tests/test_plans.py.
     """
     ranked, total = _ranked_with_total(df, order_by, _RN, num_partitions)
-    return ranked.withColumn(
+    out = ranked.withColumn(
         bucket_col, ntile_bucket(F.col(_RN), total, n)
     ).drop(_RN)
+    return attach_cleanup(out, ranked.cleanup)

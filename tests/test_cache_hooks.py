@@ -1,0 +1,85 @@
+"""Cleanup hooks (operators/cache.py): operators that persist an
+internal frame expose ``result.cleanup()`` to release it once the caller
+has materialized the result."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pandasql_spark.operators.dedup import (
+    dedup_corpus,
+    jaccard_verified_neardup_pairs,
+    minhash_neardup_pairs,
+)
+from pandasql_spark.operators.ranking import exact_ntile, with_global_row_number
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def _docs(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": [
+                "the quick brown fox jumps over the lazy dog " * 3,
+                "the quick brown fox jumps over the lazy dog " * 3 + "tail",
+                "entirely different content about spark catalyst plans",
+                "entirely different content about spark catalyst plans too",
+                "lorem ipsum dolor sit amet consectetur adipiscing elit",
+                "lorem ipsum dolor sit amet consectetur adipiscing elit sed",
+                "unrelated verse of text with its own vocabulary entirely",
+                "a final standalone document with nothing shared at all",
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+# Baselines are DELTAS, not zero: the session is shared across test
+# files and other tests' localCheckpoint blocks (not covered by
+# clearCache) may linger.
+
+
+def test_minhash_pairs_cleanup_releases_cache(spark):
+    base = _n_persistent(spark)
+    out = minhash_neardup_pairs(_docs(spark), threshold=0.3)
+    out.count()
+    assert _n_persistent(spark) > base
+    out.cleanup(blocking=True)
+    assert _n_persistent(spark) == base
+
+
+def test_dedup_corpus_cleanup_composes(spark):
+    base = _n_persistent(spark)
+    out = dedup_corpus(_docs(spark), threshold=0.3)
+    n = out.count()
+    assert 0 < n <= 8
+    out.cleanup(blocking=True)
+    # exact baseline return: the component loop released every
+    # superseded round inline and cleanup() got the rest
+    assert _n_persistent(spark) == base
+
+
+def test_ranking_cleanup(spark):
+    base = _n_persistent(spark)
+    df = spark.range(100).withColumnRenamed("id", "v")
+    ranked = with_global_row_number(df, ["v"], num_partitions=4)
+    ranked.count()
+    assert _n_persistent(spark) > base
+    ranked.cleanup(blocking=True)
+    assert _n_persistent(spark) == base
+
+    tiles = exact_ntile(df, 4, ["v"], num_partitions=4)
+    tiles.count()
+    tiles.cleanup(blocking=True)
+    assert _n_persistent(spark) == base
+
+
+def test_jaccard_verified_cleanup(spark):
+    base = _n_persistent(spark)
+    out = jaccard_verified_neardup_pairs(_docs(spark), threshold=0.3)
+    out.count()
+    out.cleanup(blocking=True)
+    assert _n_persistent(spark) == base
