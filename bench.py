@@ -51,6 +51,7 @@ HEADLINE = [
     "q33_count_distinct",
     "q52_distribution",
     "q50_jaccard_verified",
+    "q10_embedding_neardup",
 ]
 
 

@@ -866,6 +866,68 @@ FROM expanded GROUP BY window_start
 """
 
 
+def q53_stateful_running_totals(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Custom stateful operator through the REAL streaming engine
+    (streaming/events.py:user_running_totals — applyInPandasWithState,
+    the Spark analog of a keyed process function; replay via
+    replay_running_totals). The single-file testdata replays as exactly
+    one micro-batch, so the update-mode sink's final row per user equals
+    the batch GROUP BY — which the oracle checks; multi-batch state
+    accumulation is covered by tests/test_streaming.py with
+    maxFilesPerTrigger pacing. The fourth gate-checked streaming
+    surface, and the only one exercising user-defined state."""
+    from pandasql_spark.streaming.events import replay_running_totals
+
+    return replay_running_totals(spark, f"{sf}/events.parquet")
+
+
+Q53_SQL = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
+def q56_interval_join_stream(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Stream-stream interval join through the REAL streaming engine
+    (streaming/events.py:click_purchase_interval_join): each purchase
+    matched to the same user's clicks in the preceding hour, both sides
+    watermarked so join state is evictable. The single-file replay is
+    one micro-batch, within which an append-mode inner join emits every
+    match — equal to the batch interval join the oracle runs; watermark
+    eviction across batches is covered in tests/test_streaming.py.
+    Fifth gate-checked streaming surface."""
+    from pandasql_spark.streaming.events import (
+        _replay,
+        click_purchase_interval_join,
+    )
+
+    return _replay(
+        spark,
+        f"{sf}/events.parquet",
+        click_purchase_interval_join,
+        "q56_interval_replay",
+        output_mode="append",
+    )
+
+
+Q56_SQL = """
+WITH purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts AS c_ts, value AS click_value
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.purchase_id, p.user_id, p.p_ts, c.c_ts, p.purchase_value, c.click_value
+FROM purchases p JOIN clicks c
+  ON p.user_id = c.user_id
+ AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+ AND c.c_ts < p.p_ts
+"""
+
+
 def q26_sessionize(spark: SparkSession, sf: str) -> SparkDataFrame:
     """Batch sessionization via window functions (gap = 30 min): lag →
     new-session flag → running sum = session id → per-session agg. An
@@ -1849,6 +1911,14 @@ REGISTRY: dict[str, QueryDef] = {
     "q18_sliding_windows_stream": QueryDef(
         q18_sliding_windows_stream, Q18_SQL,
         "streaming sliding windows (3-way overlap replay vs expand-join oracle)",
+    ),
+    "q53_stateful_running_totals": QueryDef(
+        q53_stateful_running_totals, Q53_SQL,
+        "applyInPandasWithState running totals (update-mode replay vs batch oracle)",
+    ),
+    "q56_interval_join_stream": QueryDef(
+        q56_interval_join_stream, Q56_SQL,
+        "stream-stream interval join (append-mode replay vs batch oracle)",
     ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),

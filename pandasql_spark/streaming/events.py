@@ -300,10 +300,32 @@ def replay_session_windows(
     )
 
 
-def _replay(spark, events_path, build_agg, query_name) -> DataFrame:
+def replay_running_totals(
+    spark: SparkSession, events_path: str, query_name: str = "q53_stateful_replay"
+) -> DataFrame:
+    """Run `user_running_totals` (applyInPandasWithState) through the
+    real streaming engine over a bounded replay. The testdata is ONE
+    parquet file, so AvailableNow yields exactly one micro-batch and the
+    update-mode sink holds one final row per user — equal to the batch
+    GROUP BY, which is what the oracle checks. A multi-batch replay
+    would append one update per user per batch (update-mode history);
+    the per-batch accumulation path is covered by
+    tests/test_streaming.py with maxFilesPerTrigger pacing."""
+    return _replay(
+        spark,
+        events_path,
+        user_running_totals,
+        query_name,
+        output_mode="update",
+    )
+
+
+def _replay(spark, events_path, build_agg, query_name, output_mode="complete") -> DataFrame:
     """Shared bounded-replay harness: stage the file, pick a stream
     schema off the file's physical ts type, run build_agg(stream) into a
-    complete-mode memory sink under Trigger.AvailableNow."""
+    memory sink under Trigger.AvailableNow (complete mode for window
+    aggs; update mode for applyInPandasWithState, whose contract
+    forbids complete)."""
     # the file streaming source requires a directory; when handed a bare
     # parquet FILE (the testdata layout), stage it into a temp dir via
     # symlink — no data copy, read-only on the source
@@ -341,7 +363,7 @@ def _replay(spark, events_path, build_agg, query_name) -> DataFrame:
         q = (
             agg.writeStream.format("memory")
             .queryName(query_name)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .trigger(availableNow=True)
             .start()
         )
