@@ -424,7 +424,7 @@ def dedup_corpus(
         base_hash=base_hash,
     )
     clusters = connected_components(pairs, max_iter=max_iter)
-    non_reps = clusters.filter(F.col("node") != F.col("label")).select(
+    non_reps = clusters.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias(id_col)
     )
     out = kept.join(non_reps, id_col, "anti")
@@ -639,7 +639,7 @@ def dedup_embeddings(
         df, vec_col, id_col, dim, threshold, num_planes, num_tables, seed
     )
     clusters = connected_components(pairs, max_iter=max_iter)
-    non_reps = clusters.filter(F.col("node") != F.col("label")).select(
+    non_reps = clusters.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias(id_col)
     )
     return attach_cleanup(df.join(non_reps, id_col, "anti"), clusters.cleanup)
