@@ -592,11 +592,14 @@ def embedding_neardup_pairs(
         random_projection_buckets(vec_col, planes)
         for planes in lsh_hyperplanes(dim, num_planes, num_tables, seed)
     ]
+    # persist: the self-join would otherwise recompute the bucket
+    # projection (num_tables × num_planes dot products per row) for each
+    # side; result.cleanup() releases it (operators/cache.py)
     bucketed = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.posexplode(F.array(*table_buckets)).alias("table_idx", "bucket"),
-    )
+    ).persist()
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     cands = (
@@ -614,7 +617,7 @@ def embedding_neardup_pairs(
         # a pair found in several tables must appear once
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cands.filter(F.col("cos_sim") >= threshold)
+    return attach_cleanup(cands.filter(F.col("cos_sim") >= threshold), bucketed)
 
 
 def dedup_embeddings(
@@ -642,4 +645,6 @@ def dedup_embeddings(
     non_reps = clusters.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias(id_col)
     )
-    return attach_cleanup(df.join(non_reps, id_col, "anti"), clusters.cleanup)
+    return attach_cleanup(
+        df.join(non_reps, id_col, "anti"), pairs.cleanup, clusters.cleanup
+    )

@@ -14,8 +14,8 @@ from pandasql_spark.operators.dedup import (
 from pandasql_spark.operators.ranking import exact_ntile, with_global_row_number
 
 
-def _n_persistent(spark) -> int:
-    return spark.sparkContext._jsc.getPersistentRDDs().size()
+def _ids(spark) -> set:
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
 
 
 def _docs(spark):
@@ -37,49 +37,53 @@ def _docs(spark):
     return spark.createDataFrame(pdf)
 
 
-# Baselines are DELTAS, not zero: the session is shared across test
-# files and other tests' localCheckpoint blocks (not covered by
-# clearCache) may linger.
+# Assertions track the SPECIFIC RDD ids each operator creates: the
+# session is shared across test files, and Spark's ContextCleaner
+# asynchronously unpersists other tests' garbage-collected frames, so
+# global counts drift in both directions mid-test.
 
 
 def test_minhash_pairs_cleanup_releases_cache(spark):
-    base = _n_persistent(spark)
+    base = _ids(spark)
     out = minhash_neardup_pairs(_docs(spark), threshold=0.3)
     out.count()
-    assert _n_persistent(spark) > base
+    mine = _ids(spark) - base
+    assert mine
     out.cleanup(blocking=True)
-    assert _n_persistent(spark) == base
+    assert not (_ids(spark) & mine)
 
 
 def test_dedup_corpus_cleanup_composes(spark):
-    base = _n_persistent(spark)
+    base = _ids(spark)
     out = dedup_corpus(_docs(spark), threshold=0.3)
     n = out.count()
     assert 0 < n <= 8
     out.cleanup(blocking=True)
-    # exact baseline return: the component loop released every
-    # superseded round inline and cleanup() got the rest
-    assert _n_persistent(spark) == base
+    # every persist/checkpoint the pipeline created is gone: the
+    # component loop released superseded rounds inline, cleanup() the rest
+    assert not (_ids(spark) - base)
 
 
 def test_ranking_cleanup(spark):
-    base = _n_persistent(spark)
+    base = _ids(spark)
     df = spark.range(100).withColumnRenamed("id", "v")
     ranked = with_global_row_number(df, ["v"], num_partitions=4)
     ranked.count()
-    assert _n_persistent(spark) > base
+    mine = _ids(spark) - base
+    assert mine
     ranked.cleanup(blocking=True)
-    assert _n_persistent(spark) == base
+    assert not (_ids(spark) & mine)
 
+    base = _ids(spark)
     tiles = exact_ntile(df, 4, ["v"], num_partitions=4)
     tiles.count()
     tiles.cleanup(blocking=True)
-    assert _n_persistent(spark) == base
+    assert not (_ids(spark) - base)
 
 
 def test_jaccard_verified_cleanup(spark):
-    base = _n_persistent(spark)
+    base = _ids(spark)
     out = jaccard_verified_neardup_pairs(_docs(spark), threshold=0.3)
     out.count()
     out.cleanup(blocking=True)
-    assert _n_persistent(spark) == base
+    assert not (_ids(spark) - base)
