@@ -928,6 +928,24 @@ FROM purchases p JOIN clicks c
 """
 
 
+def q58_stream_dedup(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Streaming exact-dedup with REAL cross-batch state
+    (streaming/events.py:replay_stream_dedup): the event file replays
+    twice as two micro-batches and `dropDuplicatesWithinWatermark` must
+    drop the entire second batch from state — the streaming twin of
+    q19's batch exact-dedup, for at-least-once sources. Oracle: the
+    source itself (each event exactly once). Sixth gate-checked
+    streaming surface."""
+    from pandasql_spark.streaming.events import replay_stream_dedup
+
+    return replay_stream_dedup(spark, f"{sf}/events.parquet")
+
+
+Q58_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+
 def q26_sessionize(spark: SparkSession, sf: str) -> SparkDataFrame:
     """Batch sessionization via window functions (gap = 30 min): lag →
     new-session flag → running sum = session id → per-session agg. An
@@ -1919,6 +1937,10 @@ REGISTRY: dict[str, QueryDef] = {
     "q56_interval_join_stream": QueryDef(
         q56_interval_join_stream, Q56_SQL,
         "stream-stream interval join (append-mode replay vs batch oracle)",
+    ),
+    "q58_stream_dedup": QueryDef(
+        q58_stream_dedup, Q58_SQL,
+        "streaming exact-dedup, double-replay drops the second batch",
     ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),

@@ -320,6 +320,45 @@ def replay_running_totals(
     )
 
 
+def replay_stream_dedup(
+    spark: SparkSession,
+    events_path: str,
+    query_name: str = "q58_dedup_replay",
+) -> DataFrame:
+    """Run `dedup_event_stream` through the real engine with the input
+    staged TWICE (two symlinks, ``maxFilesPerTrigger=1`` → two
+    micro-batches of identical events): batch 2 is a full replay of
+    batch 1, so every one of its rows must be dropped by cross-batch
+    state — the at-least-once-source scenario the operator exists for.
+    The watermark is set beyond the data's time span so no state is
+    evicted mid-replay; the final table must equal the source exactly
+    (each event once), which the oracle checks. With a realistic
+    watermark, events older than the horizon would re-emit — that
+    eviction behavior is covered in tests/test_streaming.py."""
+    import os
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="evdedup_")
+    src = os.path.abspath(events_path)
+    os.symlink(src, os.path.join(stage, "events_a.parquet"))
+    os.symlink(src, os.path.join(stage, "events_b.parquet"))
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    deduped = dedup_event_stream(raw, keys=["event_id"], watermark="36500 days")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def _replay(spark, events_path, build_agg, query_name, output_mode="complete") -> DataFrame:
     """Shared bounded-replay harness: stage the file, pick a stream
     schema off the file's physical ts type, run build_agg(stream) into a
