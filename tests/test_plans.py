@@ -129,3 +129,27 @@ def test_pivot_two_phase(spark):
     # both on tiny-cardinality keys
     df = _q(spark, "q38_pivot")
     assert shuffle_count(df) <= 2, operator_names(df)
+
+
+def test_embedding_neardup_equi_join_not_cartesian(spark):
+    # the LSH candidate join must be an equi-join on (table_idx, bucket)
+    # with id< as a residual filter — a CartesianProduct or
+    # BroadcastNestedLoopJoin means the bucket keys fell out of the
+    # join condition and the plan is O(n^2) at scale
+    df = _q(spark, "q10_embedding_neardup")
+    ops = operator_names(df)
+    assert "CartesianProduct" not in ops, ops
+    assert "BroadcastNestedLoopJoin" not in ops, ops
+    assert any("Join" in o for o in ops), ops
+
+
+def test_stateful_totals_single_state_shuffle(spark):
+    # applyInPandasWithState: exactly one hash shuffle on user_id to
+    # co-locate state, then the Arrow-batched stateful map
+    from pandasql_spark.streaming.events import EVENT_SCHEMA, user_running_totals
+
+    ev = spark.readStream.schema(EVENT_SCHEMA).parquet(f"{SF}/events.parquet")
+    agg = user_running_totals(ev)
+    # streaming plans can't be explained pre-start the same way; check
+    # the analyzed plan mentions the stateful operator
+    assert "FlatMapGroupsInPandasWithState" in agg._jdf.queryExecution().analyzed().toString()
