@@ -108,15 +108,18 @@ def minhash_signatures(
     sh = F.array_distinct(word_shingles(text_col, shingle_k))
     # nonnegative 31-bit base hashes (see _MERSENNE_31: ANSI-overflow-safe)
     if base_hash == "md5":
-        # conv() reads the first 16 hex chars as an unsigned 64-bit int
-        # (returned as a digit string); decimal(20,0) holds the full
-        # unsigned range, so the reduction is exact and ANSI-safe
+        # conv() reads the first 15 hex chars as a 60-bit int — inside
+        # signed-long range on BOTH engines, so the reduction runs in
+        # long arithmetic (an earlier 16-char variant needed
+        # decimal(20,0) for the unsigned top bit; profiling showed the
+        # decimal pmod nearly doubling signature time). ANSI-safe: 60-bit
+        # value, 31-bit modulus.
         base = F.transform(
             sh,
             lambda s: F.pmod(
-                F.conv(F.substring(F.md5(s), 1, 16), 16, 10).cast("decimal(20,0)"),
+                F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
                 F.lit(_MERSENNE_31),
-            ).cast("long"),
+            ),
         )
     else:
         base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)))
@@ -404,7 +407,19 @@ def dedup_corpus(
 
     All shuffles are on ids/hashes, never full text except the one
     verification join; no driver-side data beyond the component loop's
-    scalar convergence counts."""
+    scalar convergence counts.
+
+    **Incremental (streaming) dedup design note.** This operator is the
+    batch/backfill pass. For a continuously-arriving corpus: exact dedup
+    runs online today (`streaming/events.py:dedup_event_stream` —
+    dropDuplicatesWithinWatermark on the fingerprint, gate row q58);
+    near-dup goes incremental by persisting the (band_hash → id) bucket
+    table this pipeline already builds, then joining each micro-batch's
+    band hashes against it — new docs compare only against same-bucket
+    history, the same near-linear candidate discipline as the batch
+    path. The signature table is append-only and mergeable, so the
+    historical store can live as a bucketed parquet/Delta table keyed by
+    band_hash with no reprocessing of old documents."""
     from .cluster import connected_components
 
     id_ = F.col(id_col)

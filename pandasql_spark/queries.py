@@ -613,7 +613,9 @@ WITH sh AS (
   FROM documents
 ),
 hh AS (
-  SELECT id, (('0x' || substr(md5(sh), 1, 16))::UBIGINT % {m})::BIGINT AS h
+  -- 15 hex chars = 60 bits: BIGINT-safe on both engines (mirrors
+  -- minhash_signatures' long-arithmetic md5 reduction)
+  SELECT id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % {m} AS h
   FROM sh
 ),
 coef(j, a, b) AS (VALUES {coef_rows}),
