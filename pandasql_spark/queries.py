@@ -948,6 +948,44 @@ SELECT event_id, ts, user_id, event_type, value, props FROM events
 """
 
 
+def q48_write_roundtrip(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Sink-path gate: filter+project lineitem → `write_compacted`
+    (sources/io.py — sizes the parquet file count from the optimizer's
+    size estimate instead of inheriting upstream partitioning, the
+    small-files fix) → read the files back → aggregate. The oracle runs
+    the same aggregate on the ORIGINAL table, so a green row proves the
+    write→read cycle is lossless for every column it carries — the
+    first gate coverage for a writer (they were pytest-only)."""
+    import tempfile
+
+    from pandasql_spark.sources.io import write_compacted
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").filter(
+        F.col("l_shipdate") <= "1995-12-31"
+    ).select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+    out_dir = tempfile.mkdtemp(prefix="q48_roundtrip_") + "/part"
+    write_compacted(li, out_dir, target_file_mb=64)
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+    )
+
+
+Q48_SQL = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem
+WHERE l_shipdate <= DATE '1995-12-31'
+GROUP BY l_returnflag
+"""
+
+
 def q26_sessionize(spark: SparkSession, sf: str) -> SparkDataFrame:
     """Batch sessionization via window functions (gap = 30 min): lag →
     new-session flag → running sum = session id → per-session agg. An
@@ -1943,6 +1981,10 @@ REGISTRY: dict[str, QueryDef] = {
     "q58_stream_dedup": QueryDef(
         q58_stream_dedup, Q58_SQL,
         "streaming exact-dedup, double-replay drops the second batch",
+    ),
+    "q48_write_roundtrip": QueryDef(
+        q48_write_roundtrip, Q48_SQL,
+        "write_compacted sink → read back → aggregate (lossless round-trip)",
     ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
