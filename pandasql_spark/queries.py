@@ -986,6 +986,52 @@ GROUP BY l_returnflag
 """
 
 
+def q55_csv_roundtrip(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """CSV reader/writer gate (sources/io.py:read_csv — the reference's
+    flagship ingest, io.py:12-28, whose memory-estimation/chunking
+    machinery Spark's distributed scan subsumes): project+filter events
+    → write CSV (header, ISO timestamps) → `read_csv` with schema
+    inference → aggregate. Oracle aggregates the original parquet, so a
+    green row proves the CSV round-trip preserves values AND that
+    inference recovers workable types (timestamps survive via ISO
+    format; doubles via plain notation)."""
+    import tempfile
+
+    from pandasql_spark.sources.io import read_csv
+
+    ev = load_events(spark, sf).filter(F.col("event_type") != "").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    out_dir = tempfile.mkdtemp(prefix="q55_csv_") + "/part"
+    ev.write.mode("overwrite").option("header", True).option(
+        "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    ).csv(out_dir)
+    back = read_csv(
+        out_dir,
+        spark=spark,
+        timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    )
+    sdf = back.to_spark()
+    return sdf.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+Q55_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 def q26_sessionize(spark: SparkSession, sf: str) -> SparkDataFrame:
     """Batch sessionization via window functions (gap = 30 min): lag →
     new-session flag → running sum = session id → per-session agg. An
@@ -1985,6 +2031,10 @@ REGISTRY: dict[str, QueryDef] = {
     "q48_write_roundtrip": QueryDef(
         q48_write_roundtrip, Q48_SQL,
         "write_compacted sink → read back → aggregate (lossless round-trip)",
+    ),
+    "q55_csv_roundtrip": QueryDef(
+        q55_csv_roundtrip, Q55_SQL,
+        "CSV write → read_csv with inference → aggregate (lossless round-trip)",
     ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),

@@ -86,6 +86,28 @@ def read_orc(path: str, spark: SparkSession | None = None) -> DataFrame:
     return DataFrame(sdf=spark.read.orc(path))
 
 
+def read_binary_files(
+    path: str,
+    pattern: str | None = None,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Directory of media/blob files → DataFrame via Spark's built-in
+    ``binaryFile`` source: (path, modificationTime, length, content:
+    binary). The ingest half of the multimodal pipeline
+    (operators/multimodal.py consumes exactly this shape): each file
+    becomes one row, scans are distributed and partition-pruned by
+    path, and ``pattern`` (e.g. ``"*.jpg"``) pushes a pathGlobFilter to
+    the listing — no driver-side file walking. Large blobs: one file
+    per row, so set ``spark.sql.files.maxPartitionBytes`` to bound
+    per-task memory rather than splitting (binary files aren't
+    splittable)."""
+    spark = spark or get_spark()
+    reader = spark.read.format("binaryFile")
+    if pattern:
+        reader = reader.option("pathGlobFilter", pattern)
+    return DataFrame(sdf=reader.load(path))
+
+
 def write_compacted(
     df,
     path: str,
