@@ -24,7 +24,16 @@ from .core import (
     sql,
 )
 from .session import get_spark, stop
-from .sources import read_csv, read_json, read_numpy, read_orc, read_parquet, read_pickle
+from .sources import (
+    read_binary_files,
+    read_csv,
+    read_json,
+    read_numpy,
+    read_orc,
+    read_parquet,
+    read_pickle,
+    write_compacted,
+)
 
 __version__ = "0.1.0"
 
@@ -39,10 +48,12 @@ __all__ = [
     "sql",
     "get_spark",
     "stop",
+    "read_binary_files",
     "read_csv",
     "read_json",
     "read_numpy",
     "read_orc",
     "read_parquet",
     "read_pickle",
+    "write_compacted",
 ]

@@ -14,7 +14,17 @@ from .io import (
     read_orc,
     read_parquet,
     read_pickle,
+    read_binary_files,
     write_compacted,
 )
 
-__all__ = ["read_csv", "read_json", "read_numpy", "read_orc", "read_parquet", "read_pickle", "write_compacted"]
+__all__ = [
+    "read_binary_files",
+    "read_csv",
+    "read_json",
+    "read_numpy",
+    "read_orc",
+    "read_parquet",
+    "read_pickle",
+    "write_compacted",
+]
