@@ -1032,6 +1032,56 @@ FROM events GROUP BY event_type
 """
 
 
+def q59_stream_sink_roundtrip(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Exactly-once file sink gate
+    (streaming/events.py:write_stream_parquet): stream the events file →
+    checkpointed parquet sink, STARTED TWICE with the same checkpoint
+    (the second start must replay nothing — source offsets live in the
+    checkpoint, committed files in the sink's _spark_metadata log) →
+    read the sink back and aggregate. The oracle aggregates the source,
+    so a green row proves no loss AND no duplication across restart —
+    the end-to-end exactly-once contract, value-checked. Seventh
+    streaming gate surface."""
+    import os
+    import tempfile
+
+    from pandasql_spark.streaming.events import EVENT_SCHEMA
+
+    events_path = f"{sf}/events.parquet"
+    stage = tempfile.mkdtemp(prefix="q59_src_")
+    os.symlink(os.path.abspath(events_path), os.path.join(stage, "events.parquet"))
+    base = tempfile.mkdtemp(prefix="q59_sink_")
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+
+    for _ in range(2):  # second start = restart from checkpoint
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(stage)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("event_id").alias("n_distinct_ids"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+Q59_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_ids,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 def q26_sessionize(spark: SparkSession, sf: str) -> SparkDataFrame:
     """Batch sessionization via window functions (gap = 30 min): lag →
     new-session flag → running sum = session id → per-session agg. An
@@ -2035,6 +2085,10 @@ REGISTRY: dict[str, QueryDef] = {
     "q55_csv_roundtrip": QueryDef(
         q55_csv_roundtrip, Q55_SQL,
         "CSV write → read_csv with inference → aggregate (lossless round-trip)",
+    ),
+    "q59_stream_sink_roundtrip": QueryDef(
+        q59_stream_sink_roundtrip, Q59_SQL,
+        "exactly-once stream sink: double-start, no loss, no duplication",
     ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
