@@ -71,6 +71,12 @@ def main() -> None:
     REGISTRY["q02_filter_distinct"].fn(spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
+    # warm the Python-worker pool + Arrow serialization path too, so the
+    # first mapInPandas query (MinHash/SimHash kernels) isn't billed the
+    # one-time worker spin-up a steady-state cluster amortizes
+    spark.range(1000).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     # min of 2 runs per query: the first run pays one-time costs (JIT,
     # shuffle-service setup, broadcast build) that a steady-state cluster
