@@ -52,3 +52,16 @@ def assert_series_equals_pandas(result, expected: pd.Series, check_row_order=Fal
         got = got.sort_values(ignore_index=True)
         expected = expected.sort_values(ignore_index=True)
     pd.testing.assert_series_equal(got, expected, check_dtype=False, check_names=False)
+
+
+# Hypothesis soak mode: SOAK=1 multiplies example counts 10x for
+# long-running edge hunts (the round-4 // and % bugs surfaced this way);
+# default profile keeps CI fast.
+try:
+    from hypothesis import settings as _hyp_settings
+
+    _hyp_settings.register_profile("soak", max_examples=500, deadline=None)
+    if os.environ.get("SOAK"):
+        _hyp_settings.load_profile("soak")
+except ImportError:  # pragma: no cover
+    pass
