@@ -56,12 +56,7 @@ def assert_series_equals_pandas(result, expected: pd.Series, check_row_order=Fal
 
 # Hypothesis soak mode: SOAK=1 multiplies example counts 10x for
 # long-running edge hunts (the round-4 // and % bugs surfaced this way);
-# default profile keeps CI fast.
-try:
-    from hypothesis import settings as _hyp_settings
-
-    _hyp_settings.register_profile("soak", max_examples=500, deadline=None)
-    if os.environ.get("SOAK"):
-        _hyp_settings.load_profile("soak")
-except ImportError:  # pragma: no cover
-    pass
+# per-test @settings would override a profile, so tests pass their
+# max_examples through this helper instead.
+def soak_examples(default: int) -> int:
+    return default * 10 if os.environ.get("SOAK") else default

@@ -16,6 +16,8 @@ from hypothesis import strategies as st
 
 import pandasql_spark as ps
 
+from tests.conftest import soak_examples
+
 COLS = ["n", "m", "s"]
 
 
@@ -149,7 +151,7 @@ def _apply(df, pdf, op):
 
 
 @settings(
-    max_examples=100,
+    max_examples=soak_examples(100),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )
@@ -171,7 +173,7 @@ def test_random_pipeline_matches_pandas(spark, pdf, pipeline):
     pd.testing.assert_frame_equal(got, expected, check_dtype=False)
 
 
-@settings(max_examples=15, deadline=None,
+@settings(max_examples=soak_examples(15), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(pdf=frames(), keys=st.lists(st.sampled_from(["n", "m", "s"]),
                                    min_size=1, max_size=2, unique=True))
@@ -193,7 +195,7 @@ def test_random_groupby_matches_pandas(spark, pdf, keys):
     how=st.sampled_from(["inner", "left", "semi", "anti"]),
 )
 @settings(
-    max_examples=100,
+    max_examples=soak_examples(100),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -235,7 +237,7 @@ def test_random_merge_matches_pandas(spark, left, right, how):
         )
 
 
-@settings(max_examples=15, deadline=None,
+@settings(max_examples=soak_examples(15), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(lpdf=frames(), rpdf=frames(), key=st.sampled_from(["n", "m", "s"]))
 def test_random_join_matches_pandas(spark, lpdf, rpdf, key):

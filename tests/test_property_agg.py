@@ -19,6 +19,8 @@ from hypothesis import strategies as st
 
 import pandasql_spark as ps
 
+from tests.conftest import soak_examples
+
 
 @st.composite
 def agg_frames(draw):
@@ -44,7 +46,7 @@ AGGS = ["sum", "mean", "min", "max", "count", "std", "var", "median", "nunique"]
 
 
 @settings(
-    max_examples=50,
+    max_examples=soak_examples(50),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )
@@ -115,7 +117,7 @@ _EXPR_STEPS = {
 
 
 @settings(
-    max_examples=50,
+    max_examples=soak_examples(50),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )

@@ -16,6 +16,8 @@ import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests.conftest import soak_examples
+
 from pandasql_spark.operators.asof import asof_join
 from pandasql_spark.operators.skew import salted_groupby_agg
 
@@ -42,7 +44,7 @@ def event_frames(draw):
 
 
 @settings(
-    max_examples=40,
+    max_examples=soak_examples(40),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )
@@ -87,7 +89,7 @@ def test_asof_join_matches_pandas_merge_asof(spark, frames):
 
 
 @settings(
-    max_examples=30,
+    max_examples=soak_examples(30),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )

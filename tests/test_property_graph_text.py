@@ -15,6 +15,8 @@ import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests.conftest import soak_examples
+
 from pandasql_spark.functions.text import winnowing_fingerprints
 from pandasql_spark.operators.cluster import connected_components
 
@@ -35,7 +37,7 @@ def doc_pairs_with_shared_run(draw):
 
 
 @settings(
-    max_examples=40,
+    max_examples=soak_examples(40),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )
@@ -88,7 +90,7 @@ def _uf_components(edges):
 
 
 @settings(
-    max_examples=25,
+    max_examples=soak_examples(25),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )

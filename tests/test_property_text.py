@@ -19,6 +19,8 @@ import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests.conftest import soak_examples
+
 from pandasql_spark.functions import text as tx
 
 WORDS = ["the", "a", "of", "and", "cat", "dog", "runs", "x1", "Zeta", "le", "la"]
@@ -68,7 +70,7 @@ def _py_lang(s: str, profiles) -> str:
 
 
 @settings(
-    max_examples=40,
+    max_examples=soak_examples(40),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )
