@@ -17,6 +17,7 @@ from . import (
     rangejoin,
     ranking,
     skew,
+    zorder,
 )
 
 __all__ = [
@@ -29,4 +30,5 @@ __all__ = [
     "rangejoin",
     "ranking",
     "skew",
+    "zorder",
 ]

@@ -1,0 +1,85 @@
+"""Z-order (Morton-curve) clustering for multi-dimensional data skipping.
+
+A single-column sort clusters parquet min/max stats on ONE predicate
+dimension; filters on any other column touch every file. Interleaving
+the bits of several columns' normalized ranks (the Morton key) clusters
+ALL of them at once — a box query on any subset of the z-ordered columns
+then matches a small fraction of files, and the parquet reader's
+row-group min/max skipping turns that into real I/O reduction. This is
+the same layout technique as Delta Lake's OPTIMIZE ZORDER BY, built here
+from plain Catalyst integer expressions (shift/or — codegen'd, no UDF).
+
+At 100 TB the win compounds: the layout is computed once at write time
+(one range shuffle), and every downstream scan with predicates on the
+z-columns prunes. The alternative — per-query shuffles — pays at read
+time forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 16
+) -> tuple[DataFrame, Column]:
+    """Return (df, key_column) where the key interleaves ``bits`` bits of
+    each column's min/max-normalized value (Morton code).
+
+    Normalization uses the GLOBAL min/max of each column (one tiny agg,
+    2·len(cols) scalars to the driver) so the curve covers the actual
+    data range; ranks would cluster equally well but need a full sort
+    per column. len(cols)·bits must fit a signed long (≤ 63)."""
+    if len(cols) * bits > 63:
+        raise ValueError(f"{len(cols)} cols × {bits} bits exceeds a signed long")
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+    ).first()
+    top = (1 << bits) - 1
+    key = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        q = F.least(
+            F.lit(top),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top),
+            ),
+        ).cast("long")
+        # spread bit i of column j to position (i * ncols + j)
+        for i in range(bits):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(q, i).bitwiseAND(F.lit(1)), i * len(cols) + j
+                )
+            )
+    return df, key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int = 32,
+    bits: int = 16,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` laid out along the Z-curve of ``cols``: range-shuffle
+    on the Morton key (equal-size files via sampled boundaries), sort
+    within partitions, drop the key. Filters on any z-column after
+    ``spark.read`` then skip most files via parquet min/max stats —
+    see tests/test_zorder.py for the measured file-pruning factor."""
+    keyed, key = zorder_key(df, cols, bits)
+    (
+        keyed.withColumn("__zkey", key)
+        .repartitionByRange(num_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .format(fmt)
+        .save(path)
+    )

@@ -1082,6 +1082,51 @@ FROM events GROUP BY event_type
 """
 
 
+def q60_zorder_pruned_scan(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Z-order clustering gate (operators/zorder.py): lay lineitem out
+    along the Morton curve of (l_orderkey, l_partkey) — the multi-dim
+    data-skipping layout — read it back, and answer a 2-D box query
+    with an aggregate. The oracle runs the same box on the original
+    table, so a green row proves the z-ordered write→scan path is
+    value-lossless; the file-pruning benefit itself (the reason the
+    layout exists) is measured in tests/test_zorder.py — a 10% box on
+    the SECOND dimension touches a minority of z-ordered files but
+    nearly all single-sort files."""
+    import tempfile
+
+    from pandasql_spark.operators.zorder import write_zordered
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    ok_max = li.agg(F.max("l_orderkey")).first()[0]
+    pk_max = li.agg(F.max("l_partkey")).first()[0]
+    out = tempfile.mkdtemp(prefix="q60_z_") + "/t"
+    write_zordered(li, out, ["l_orderkey", "l_partkey"], num_files=16)
+    back = spark.read.parquet(out)
+    box = back.filter(
+        (F.col("l_orderkey") <= int(ok_max * 0.2))
+        & (F.col("l_partkey") <= int(pk_max * 0.2))
+    )
+    return box.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+        F.count_distinct("l_partkey").alias("n_parts"),
+    )
+
+
+Q60_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+FROM lineitem
+WHERE l_orderkey <= (SELECT CAST(floor(CAST(max(l_orderkey) AS DOUBLE) * 0.2) AS BIGINT) FROM lineitem)
+  AND l_partkey  <= (SELECT CAST(floor(CAST(max(l_partkey)  AS DOUBLE) * 0.2) AS BIGINT) FROM lineitem)
+"""
+
+
 def q26_sessionize(spark: SparkSession, sf: str) -> SparkDataFrame:
     """Batch sessionization via window functions (gap = 30 min): lag →
     new-session flag → running sum = session id → per-session agg. An
@@ -2089,6 +2134,10 @@ REGISTRY: dict[str, QueryDef] = {
     "q59_stream_sink_roundtrip": QueryDef(
         q59_stream_sink_roundtrip, Q59_SQL,
         "exactly-once stream sink: double-start, no loss, no duplication",
+    ),
+    "q60_zorder_pruned_scan": QueryDef(
+        q60_zorder_pruned_scan, Q60_SQL,
+        "Z-order layout round-trip: 2-D box query over the pruned scan",
     ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
