@@ -16,6 +16,7 @@ from . import (
     multimodal,
     rangejoin,
     ranking,
+    sampling,
     skew,
     zorder,
 )
@@ -29,6 +30,7 @@ __all__ = [
     "multimodal",
     "rangejoin",
     "ranking",
+    "sampling",
     "skew",
     "zorder",
 ]

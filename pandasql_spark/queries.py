@@ -1127,6 +1127,44 @@ WHERE l_orderkey <= (SELECT CAST(floor(CAST(max(l_orderkey) AS DOUBLE) * 0.2) AS
 """
 
 
+def q61_stratified_sample(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Deterministic exact stratified sampling
+    (operators/sampling.py:stratified_sample_exact): exactly 40 docs per
+    language, chosen by md5-rank of the doc id — an order uncorrelated
+    with content but identical on every engine, so the oracle reproduces
+    the SAME sample row-for-row in DuckDB. The curation primitive for
+    balanced training mixes; the approximate scale path (native
+    sampleBy) is covered in tests/test_sampling.py."""
+    from pandasql_spark.operators.sampling import stratified_sample_exact
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    samp = stratified_sample_exact(docs, "lang", 40, "doc_id")
+    return samp.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+Q61_SQL = """
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id
+FROM ranked WHERE r <= 40 GROUP BY lang
+"""
+
+
 def q26_sessionize(spark: SparkSession, sf: str) -> SparkDataFrame:
     """Batch sessionization via window functions (gap = 30 min): lag →
     new-session flag → running sum = session id → per-session agg. An
@@ -2138,6 +2176,10 @@ REGISTRY: dict[str, QueryDef] = {
     "q60_zorder_pruned_scan": QueryDef(
         q60_zorder_pruned_scan, Q60_SQL,
         "Z-order layout round-trip: 2-D box query over the pruned scan",
+    ),
+    "q61_stratified_sample": QueryDef(
+        q61_stratified_sample, Q61_SQL,
+        "exact stratified sample by portable md5-rank (same rows on both engines)",
     ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
