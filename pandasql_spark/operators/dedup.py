@@ -164,7 +164,13 @@ def minhash_signatures(
                 mins = np.minimum.reduceat(vals, starts, axis=1)  # (H, ndocs)
                 yield pd.DataFrame({"id": pdf["id"], "signature": list(mins.T)})
 
-        return hashed.mapInPandas(kernel, schema="id long, signature array<long>")
+        # Derive the id field's type from the input schema — hardcoding
+        # "long" here would Arrow-crash callers with string/decimal doc
+        # ids (LSH only needs orderable ids, any type is valid).
+        id_ddl = df.schema[id_col].dataType.simpleString()
+        return hashed.mapInPandas(
+            kernel, schema=f"id {id_ddl}, signature array<long>"
+        )
 
     # "hof": let-bind the base hashes (evaluated ONCE per row) and loop
     # over a literal (a, b) coefficient array — instead of num_hashes
@@ -703,7 +709,15 @@ def embedding_neardup_pairs(
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<double>").alias("v"),
         )
-        .mapInPandas(bucket_kernel, schema="id long, table_idx int, bucket long")
+        .mapInPandas(
+            bucket_kernel,
+            # id type follows the input column (string/long/... ids all
+            # valid — see minhash_signatures' matching derivation)
+            schema=(
+                f"id {df.schema[id_col].dataType.simpleString()},"
+                " table_idx int, bucket long"
+            ),
+        )
         .persist()
     )
     a = bucketed.alias("a")

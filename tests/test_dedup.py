@@ -321,3 +321,42 @@ def test_dedup_corpus_tiny_inputs(spark):
     one = spark.createDataFrame([(7, "just one document here")], schema)
     out = dedup.dedup_corpus(one).toPandas()
     assert list(out["doc_id"]) == [7]
+
+
+def test_minhash_string_ids_numpy_path(corpus, spark):
+    """The numpy mapInPandas kernel must carry non-long id types through
+    its output schema (regression: the schema was hardcoded "id long",
+    Arrow-crashing string-id callers on the default path)."""
+    sdf, pdf = corpus
+    named = sdf.withColumn("doc_id", F.concat(F.lit("doc-"), F.col("doc_id")))
+    sigs = dedup.minhash_signatures(named, impl="numpy").toPandas()
+    assert sigs["id"].map(lambda s: s.startswith("doc-")).all()
+    # signatures identical to the long-id run — id type is metadata only
+    base = dedup.minhash_signatures(sdf, impl="numpy").toPandas()
+    base_map = {f"doc-{r.id}": list(r.signature) for r in base.itertuples()}
+    for r in sigs.itertuples():
+        assert list(r.signature) == base_map[r.id]
+    # end-to-end: pairs still found with string ids
+    pairs = dedup.minhash_neardup_pairs(named, threshold=0.5).toPandas()
+    found = {(r.id_a, r.id_b) for r in pairs.itertuples()}
+    assert ("doc-0", "doc-25") in found and ("doc-1", "doc-26") in found
+
+
+def test_embedding_neardup_string_ids(spark):
+    """Same regression for the embedding bucket kernel's id column."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(8, 64))
+    vecs = list(base) + [base[2] + rng.normal(scale=0.005, size=64)]
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [f"v{i:03d}" for i in range(len(vecs))],
+            "embedding": [[float(x) for x in v] for v in vecs],
+        }
+    )
+    out = dedup.embedding_neardup_pairs(
+        spark.createDataFrame(pdf), threshold=0.9
+    ).toPandas()
+    got = {(r.id_a, r.id_b) for r in out.itertuples()}
+    assert ("v002", "v008") in got
