@@ -2226,9 +2226,38 @@ REGISTRY: dict[str, QueryDef] = {
     "q57_moving_avg": QueryDef(q57_moving_avg, Q57_SQL, "RANGE-frame trailing-30d moving average"),
 }
 
+# ---------------------------------------------------------------------------
+# Gate roster: the driver's oracle gate runs at most 50 queries, in dict
+# order, but the registry holds more. Rotation policy (see COVERAGE.md
+# "Gate roster"): queries in _RESTING sort to the END of the registry —
+# past slot 50 — and sit out ONE round; every query must hold a green
+# oracle row from one of the last two rounds. Each round, _RESTING is
+# flipped to the cohort that was gated twice running, so nothing rests
+# twice in a row. Resting queries stay fully covered by pytest.
+#
+# Round-5 roster: q43–q47, q49–q52, q54, q57 (rested in r4, last oracle
+# row r3) rotate IN; these eleven r3+r4-green slots rest:
+_RESTING: tuple[str, ...] = (
+    "q07_join_diffkeys",
+    "q09_union",
+    "q13_rename_sort_limit",
+    "q20_cosine_topk",
+    "q29_anti_join",
+    "q30_set_ops",
+    "q36_array_dims",
+    "q37_string_funcs",
+    "q38_pivot",
+    "q55_csv_roundtrip",
+    "q61_stratified_sample",
+)
+assert set(_RESTING) <= set(REGISTRY), "roster names must exist"
+assert len(REGISTRY) - len(_RESTING) <= 50, "active roster must fit the gate"
+
 # Every gate query runs under the engine's pinned semantics regardless of
-# which session the driver supplies.
+# which session the driver supplies; resting queries order last.
 REGISTRY = {
     name: QueryDef(_with_semantics(qd.fn), qd.oracle, qd.doc)
-    for name, qd in REGISTRY.items()
+    for name, qd in sorted(
+        REGISTRY.items(), key=lambda kv: kv[0] in _RESTING
+    )
 }
