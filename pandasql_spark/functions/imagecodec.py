@@ -1,0 +1,259 @@
+"""Image codecs for the multimodal pipeline — real decode, no stubs.
+
+Two layers:
+
+- ``decode_image_meta``: header-only parse (PNG IHDR, JPEG SOF scan,
+  GIF logical screen descriptor) → (format, width, height, mode).
+  Pure stdlib, O(header) per image.
+- ``decode_image`` / ``encode_png``: full pixel decode/encode. PNG is
+  implemented natively (zlib inflate + per-scanline unfilter in numpy,
+  all five filter types, 8-bit gray/gray+alpha/RGB/RGBA, non-interlaced)
+  so the container needs no image libraries; if PIL is importable it is
+  preferred and also unlocks JPEG/GIF pixel decode.
+
+These run inside Arrow-batched ``mapInPandas`` kernels on executors
+(see operators/multimodal.py) — plain ``bytes -> numpy`` functions with
+no Spark dependency, so they are unit-testable in isolation.
+
+Reference parity note: the reference engine (pandasql) has no media
+handling at all; this module is part of the beyond-reference
+training-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+try:  # optional fast path + JPEG/GIF pixel support
+    from PIL import Image as _PILImage  # type: ignore
+    import io as _io
+
+    HAVE_PIL = True
+except Exception:  # pragma: no cover - PIL absent in this container
+    _PILImage = None
+    _io = None
+    HAVE_PIL = False
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: PNG color type -> (channels, mode name)
+_PNG_COLOR = {0: (1, "L"), 2: (3, "RGB"), 3: (1, "P"), 4: (2, "LA"), 6: (4, "RGBA")}
+_MODE_COLOR = {"L": 0, "LA": 4, "RGB": 2, "RGBA": 6}
+
+
+class ImageDecodeError(ValueError):
+    """Payload is not a decodable image (bad magic, truncated, or an
+    unsupported encoding variant)."""
+
+
+# ---------------------------------------------------------------------------
+# header-only metadata
+# ---------------------------------------------------------------------------
+
+
+def sniff_format(b: bytes) -> str | None:
+    """Magic-byte sniff: 'png' | 'jpeg' | 'gif' | None."""
+    if b[:8] == _PNG_SIG:
+        return "png"
+    if b[:2] == b"\xff\xd8":
+        return "jpeg"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    return None
+
+
+def decode_image_meta(b: bytes) -> tuple[str, int, int, str]:
+    """(format, width, height, mode) from the image header alone.
+
+    Raises ImageDecodeError on non-image bytes. Never inflates pixel
+    data — safe to run over arbitrary crawl payloads."""
+    fmt = sniff_format(b)
+    if fmt == "png":
+        if len(b) < 33 or b[12:16] != b"IHDR":
+            raise ImageDecodeError("truncated PNG (no IHDR)")
+        w, h = struct.unpack(">II", b[16:24])
+        depth, color = b[24], b[25]
+        ch_mode = _PNG_COLOR.get(color)
+        if ch_mode is None:
+            raise ImageDecodeError(f"unknown PNG color type {color}")
+        mode = ch_mode[1] if depth == 8 else f"{ch_mode[1]};{depth}"
+        return "png", w, h, mode
+    if fmt == "jpeg":
+        return ("jpeg", *_jpeg_dims(b))
+    if fmt == "gif":
+        w, h = struct.unpack("<HH", b[6:10])
+        return "gif", w, h, "P"
+    raise ImageDecodeError("unrecognized image magic")
+
+
+def _jpeg_dims(b: bytes) -> tuple[int, int, str]:
+    """Scan JFIF markers for the frame header (SOF0..SOF15, minus the
+    DHT/DAC/RST family) → (width, height, mode)."""
+    i = 2
+    n = len(b)
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
+            i += 2
+            continue
+        seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+            ncomp = b[i + 9]
+            return w, h, {1: "L", 3: "RGB", 4: "CMYK"}.get(ncomp, f"C{ncomp}")
+        i += 2 + seglen
+    raise ImageDecodeError("no SOF marker in JPEG")
+
+
+# ---------------------------------------------------------------------------
+# full PNG decode (native)
+# ---------------------------------------------------------------------------
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """PNG bytes → uint8 array (h, w, channels). Native implementation:
+    chunk walk, zlib inflate, scanline unfilter (all 5 filter types).
+    Supports 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced — the
+    shapes ``encode_png`` writes and the overwhelming web majority.
+    Palette, 16-bit, and Adam7 raise ImageDecodeError (PIL path handles
+    them when available)."""
+    if b[:8] != _PNG_SIG:
+        raise ImageDecodeError("not a PNG")
+    w = h = None
+    depth = color = interlace = None
+    idat = []
+    i = 8
+    while i + 8 <= len(b):
+        (clen,) = struct.unpack(">I", b[i : i + 4])
+        ctype = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + clen]
+        if ctype == b"IHDR":
+            w, h = struct.unpack(">II", data[:8])
+            depth, color, _, _, interlace = data[8:13]
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen
+    if w is None or not idat:
+        raise ImageDecodeError("truncated PNG")
+    if depth != 8 or color not in (0, 2, 4, 6) or interlace != 0:
+        raise ImageDecodeError(
+            f"unsupported PNG variant (depth={depth} color={color} "
+            f"interlace={interlace}); install PIL for full coverage"
+        )
+    ch = _PNG_COLOR[color][0]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ImageDecodeError("PNG pixel payload has wrong length")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = raw[:, 0]
+    rows = raw[:, 1:].astype(np.int32)  # int32: unfilter sums exceed uint8
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = filters[y]
+        cur = rows[y]
+        if f == 0:
+            rec = cur
+        elif f == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        else:
+            rec = cur.copy()
+            if f == 1:  # Sub — sequential in x, vector over channels
+                for x in range(ch, stride, ch):
+                    rec[x : x + ch] = (rec[x : x + ch] + rec[x - ch : x]) & 0xFF
+            elif f == 3:  # Average
+                rec[:ch] = (rec[:ch] + prev[:ch] // 2) & 0xFF
+                for x in range(ch, stride, ch):
+                    rec[x : x + ch] = (
+                        rec[x : x + ch]
+                        + (rec[x - ch : x] + prev[x : x + ch]) // 2
+                    ) & 0xFF
+            elif f == 4:  # Paeth
+                rec[:ch] = (rec[:ch] + _paeth(0, prev[:ch], 0)) & 0xFF
+                for x in range(ch, stride, ch):
+                    rec[x : x + ch] = (
+                        rec[x : x + ch]
+                        + _paeth(
+                            rec[x - ch : x], prev[x : x + ch], prev[x - ch : x]
+                        )
+                    ) & 0xFF
+            else:
+                raise ImageDecodeError(f"bad PNG filter type {f}")
+        out[y] = rec
+        prev = rec.astype(np.int32)
+    return out.reshape(h, w, ch)
+
+
+def _paeth(a, b, c):
+    """Paeth predictor (RFC 2083 §6.6), elementwise over channel slices."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
+    """uint8 array (h, w[, channels]) → real PNG bytes. ``filter_type``
+    applies one PNG filter (0–4) to every scanline — used by the tests
+    to exercise each unfilter path with true round-trips."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if color is None:
+        raise ValueError(f"unsupported channel count {ch}")
+    stride = w * ch
+    flat = a.reshape(h, stride).astype(np.int32)
+    lines = []
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        left = np.zeros(stride, dtype=np.int32)
+        left[ch:] = cur[:-ch]
+        upleft = np.zeros(stride, dtype=np.int32)
+        upleft[ch:] = prev[:-ch]
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - prev
+        elif filter_type == 3:
+            filt = cur - (left + prev) // 2
+        elif filter_type == 4:
+            filt = cur - _paeth(left, prev, upleft)
+        else:
+            raise ValueError(f"bad filter type {filter_type}")
+        lines.append(bytes([filter_type]) + (filt & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), level)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_image(b: bytes) -> np.ndarray:
+    """Any supported image bytes → uint8 pixel array (h, w, channels).
+    PIL when available (all formats), else the native PNG decoder."""
+    if HAVE_PIL:  # pragma: no cover - PIL absent in this container
+        img = _PILImage.open(_io.BytesIO(b))
+        return np.asarray(img.convert(img.mode if img.mode in _MODE_COLOR else "RGB"))
+    return decode_png(b)

@@ -1667,32 +1667,57 @@ LIMIT 20
 
 
 def q41_multimodal(spark: SparkSession, sf: str) -> SparkDataFrame:
-    """Multimodal pipeline plumbing (operators/multimodal.py) driven
-    end-to-end: binary payload column + typed metadata struct + Arrow-
-    batched mapInPandas feature extraction. Payloads are derived from
-    document text (no media files in the container); the decode stub's
-    sha256/size outputs are deterministic, so the full distributed
-    pipeline faces a real DuckDB oracle. The float feature vector is
-    exercised by tests/test_dedup.py::test_multimodal_plumbing."""
-    from pandasql_spark.operators.multimodal import (
-        attach_media_meta,
-        extract_image_features,
-    )
+    """Multimodal pipeline with REAL image decode, end-to-end: each
+    document is rendered into an actual PNG (dims / fill value / PNG
+    filter type all deterministic functions of the text length), then a
+    second, independent mapInPandas stage decodes the bytes — zlib
+    inflate, scanline unfilter, pixel stats (functions/imagecodec.py).
+    The oracle recomputes the dims/fill arithmetic from the text in
+    SQL: the only way the Spark side gets those numbers is by truly
+    parsing and decoding the PNG payload (the decode stage never sees
+    the text). Varying the filter type exercises all five PNG unfilter
+    paths under the gate."""
+    from pandasql_spark.operators.multimodal import image_meta
 
-    d = spark.read.parquet(f"{sf}/documents.parquet")
-    media = d.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode("text", "UTF-8").alias("payload"),
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+
+    def render(it):
+        import numpy as np
+        import pandas as pd
+
+        from pandasql_spark.functions.imagecodec import encode_png
+
+        for pdf in it:
+            payloads = []
+            for t in pdf["text"]:
+                n = len(t)
+                img = np.full((1 + n % 13, 1 + n % 16, 3), n % 251, dtype=np.uint8)
+                payloads.append(encode_png(img, filter_type=n % 5))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    media = d.mapInPandas(render, "media_id long, payload binary")
+    stats = image_meta(media, decode_pixels=True)
+    return stats.select(
+        "media_id",
+        F.col("format").alias("fmt"),
+        "width",
+        "height",
+        "mode",
+        "n_pixels",
+        F.round("mean_px", 6).alias("mean_px"),
     )
-    media = attach_media_meta(media, "payload", "image", "png")
-    feats = extract_image_features(media, "payload", "media_id")
-    return feats.select("media_id", "sha256", "n_bytes")
 
 
 Q41_SQL = """
 SELECT doc_id AS media_id,
-       sha256(text) AS sha256,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+       'png' AS fmt,
+       CAST(1 + length(text) % 16 AS INT) AS width,
+       CAST(1 + length(text) % 13 AS INT) AS height,
+       'RGB' AS mode,
+       CAST((1 + length(text) % 16) * (1 + length(text) % 13) AS BIGINT) AS n_pixels,
+       round(CAST(length(text) % 251 AS DOUBLE), 6) AS mean_px
 FROM documents
 """
 
@@ -2209,7 +2234,10 @@ REGISTRY: dict[str, QueryDef] = {
     "q38_pivot": QueryDef(q38_pivot, Q38_SQL, "pivot / crosstab"),
     "q39_winnowing": QueryDef(q39_winnowing, Q39_SQL, "rolling-hash winnowing fingerprints"),
     "q40_ann_ivf": QueryDef(q40_ann_ivf, Q40_SQL, "IVF ANN search (exhaustive-probe oracle)"),
-    "q41_multimodal": QueryDef(q41_multimodal, Q41_SQL, "multimodal mapInPandas pipeline"),
+    "q41_multimodal": QueryDef(
+        q41_multimodal, Q41_SQL,
+        "multimodal real-decode gate (render PNG -> decode -> pixel stats)",
+    ),
     "q42_salted_agg": QueryDef(q42_salted_agg, Q42_SQL, "skew-proof two-phase salted aggregation"),
     "q43_decorrelated_scalar": QueryDef(q43_decorrelated_scalar, Q43_SQL, "correlated scalar subquery, de-correlated"),
     "q44_in_subquery": QueryDef(q44_in_subquery, Q44_SQL, "IN-subquery via semi join"),

@@ -136,23 +136,38 @@ def test_embedding_neardup(spark):
 
 
 def test_multimodal_plumbing(spark):
+    """Mixed real-PNG + garbage corpus through the full pipeline: real
+    decode where possible (see test_imagecodec.py for codec coverage),
+    deterministic fallback with decode_ok=false where not."""
+    import numpy as np
+
+    from pandasql_spark.functions.imagecodec import encode_png
+
     payloads = [bytes([i]) * (100 + i) for i in range(8)]
-    pdf = pd.DataFrame({"media_id": range(8), "payload": payloads})
+    payloads += [
+        encode_png(np.full((3 + i, 5, 3), 40 * i, dtype=np.uint8), filter_type=i % 5)
+        for i in range(4)
+    ]
+    pdf = pd.DataFrame({"media_id": range(12), "payload": payloads})
     sdf = spark.createDataFrame(pdf)
     with_meta = multimodal.attach_media_meta(sdf, "payload", "image", "png")
-    meta = with_meta.select("media_meta.size_bytes").toPandas()["size_bytes"]
-    assert list(meta) == [100 + i for i in range(8)]
+    meta = with_meta.select("media_meta.*").toPandas()
+    assert list(meta["size_bytes"]) == [len(p) for p in payloads]
+    # JVM header dims populated exactly for the four real PNGs
+    assert list(meta["width"].dropna()) == [5.0] * 4
+    assert list(meta["height"].dropna()) == [3.0, 4.0, 5.0, 6.0]
 
-    feats = multimodal.extract_image_features(sdf).toPandas()
-    assert len(feats) == 8
+    feats = multimodal.extract_image_features(sdf).toPandas().sort_values("media_id")
+    assert len(feats) == 12
     assert all(len(f) == 16 for f in feats["feature"])
+    assert list(feats["decode_ok"]) == [False] * 8 + [True] * 4
     # deterministic: same payload → same feature
-    f2 = multimodal.extract_image_features(sdf).toPandas()
-    assert feats.sort_values("media_id")["sha256"].tolist() == \
-        f2.sort_values("media_id")["sha256"].tolist()
+    f2 = multimodal.extract_image_features(sdf).toPandas().sort_values("media_id")
+    assert feats["sha256"].tolist() == f2["sha256"].tolist()
+    assert [list(f) for f in feats["feature"]] == [list(f) for f in f2["feature"]]
 
     frames = multimodal.sample_frames(sdf).toPandas()
-    assert len(frames) == 24  # 3 per media
+    assert len(frames) == 36  # 3 per media
     assert set(frames["frame_idx"]) == {0, 1, 2}
 
 

@@ -1,0 +1,141 @@
+"""Real image decode: native PNG codec round-trips, header parsers,
+JVM-side dim expressions, and the decode-aware multimodal operators."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pandasql_spark.functions import imagecodec as ic
+from pandasql_spark.operators import multimodal as mm
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_every_filter(channels, filter_type):
+    rng = np.random.default_rng(channels * 10 + filter_type)
+    a = rng.integers(0, 256, size=(13, 17, channels), dtype=np.uint8)
+    b = ic.encode_png(a, filter_type=filter_type)
+    assert np.array_equal(ic.decode_png(b), a)
+    fmt, w, h, mode = ic.decode_image_meta(b)
+    assert (fmt, w, h) == ("png", 17, 13)
+    assert mode == {1: "L", 2: "LA", 3: "RGB", 4: "RGBA"}[channels]
+
+
+def test_png_grayscale_2d_input():
+    g = np.arange(45, dtype=np.uint8).reshape(5, 9)
+    out = ic.decode_png(ic.encode_png(g, filter_type=4))
+    assert out.shape == (5, 9, 1)
+    assert np.array_equal(out[:, :, 0], g)
+
+
+def test_jpeg_and_gif_headers():
+    jfif = b"\xff\xd8\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + bytes([8])
+        + struct.pack(">HH", 240, 320)
+        + bytes([3, 1, 0x11, 0])
+    )
+    assert ic.decode_image_meta(jfif + sof0 + b"\xff\xd9") == (
+        "jpeg", 320, 240, "RGB",
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 64, 48) + b"\x00" * 10
+    assert ic.decode_image_meta(gif) == ("gif", 64, 48, "P")
+
+
+def test_garbage_raises_decode_error():
+    for junk in (b"", b"hello world, definitely not an image", b"\x89PNGbroken"):
+        with pytest.raises(ic.ImageDecodeError):
+            ic.decode_image_meta(junk)
+    with pytest.raises(ic.ImageDecodeError):
+        ic.decode_png(b"\xff\xd8 jpeg is not png")
+
+
+def test_jvm_png_gif_dims_match_header(spark):
+    """png_dims/gif_dims are pure column expressions — assert they agree
+    with the Python header parse on real encoded bytes."""
+    pngs = [
+        ic.encode_png(np.zeros((h, w, 3), dtype=np.uint8))
+        for w, h in [(1, 1), (17, 13), (300, 2)]
+    ]
+    gif = b"GIF89a" + struct.pack("<HH", 513, 300) + b"\x00" * 10
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"i": range(3), "payload": pngs})
+    )
+    w, h = mm.png_dims("payload")
+    got = sdf.select("i", w.alias("w"), h.alias("h")).toPandas().set_index("i")
+    assert list(got["w"]) == [1, 17, 300] and list(got["h"]) == [1, 13, 2]
+    gdf = spark.createDataFrame(pd.DataFrame({"payload": [gif]}))
+    gw, gh = mm.gif_dims("payload")
+    row = gdf.select(gw.alias("w"), gh.alias("h")).first()
+    assert (row.w, row.h) == (513, 300)
+
+    # attach_media_meta carries the JVM dims into the struct, and leaves
+    # NULLs for a payload that fails the magic check
+    mixed = spark.createDataFrame(
+        pd.DataFrame({"payload": [pngs[1], b"not a png"]})
+    )
+    meta = mm.attach_media_meta(mixed, "payload", "image", "png").select(
+        "media_meta.*"
+    ).toPandas()
+    ok = meta[meta["width"].notna()].iloc[0]
+    assert (ok["width"], ok["height"]) == (17, 13)
+    assert meta["width"].isna().sum() == 1
+
+
+def test_image_meta_mixed_corpus(spark):
+    """Real decode over a mixed corpus: PNGs decode with pixel stats,
+    garbage survives as decode_ok=false rows (no job failure)."""
+    rng = np.random.default_rng(3)
+    img0 = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    img1 = np.full((2, 3, 1), 7, dtype=np.uint8)
+    pdf = pd.DataFrame(
+        {
+            "media_id": [0, 1, 2],
+            "payload": [
+                ic.encode_png(img0, filter_type=3),
+                ic.encode_png(img1),
+                b"corrupt bytes here",
+            ],
+        }
+    )
+    out = (
+        mm.image_meta(spark.createDataFrame(pdf), decode_pixels=True)
+        .toPandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+    assert out.loc[0, "decode_ok"] and out.loc[1, "decode_ok"]
+    assert not out.loc[2, "decode_ok"]
+    assert (out.loc[0, "width"], out.loc[0, "height"], out.loc[0, "mode"]) == (6, 4, "RGB")
+    assert out.loc[0, "mean_px"] == pytest.approx(img0.mean())
+    assert out.loc[1, "mean_px"] == pytest.approx(7.0)
+    assert out.loc[1, "n_pixels"] == 6
+
+
+def test_extract_image_features_real_content(spark):
+    """Features from decoded pixels: dims flow through, constant-fill
+    images of different brightness separate on the luma coordinates,
+    and identical content yields identical features."""
+    dark = ic.encode_png(np.full((8, 8, 3), 10, dtype=np.uint8))
+    bright = ic.encode_png(np.full((8, 8, 3), 240, dtype=np.uint8))
+    pdf = pd.DataFrame(
+        {"media_id": [0, 1, 2], "payload": [dark, bright, dark]}
+    )
+    out = (
+        mm.extract_image_features(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+    assert out["decode_ok"].all()
+    assert set(out["width"]) == {8} and set(out["height"]) == {8}
+    f_dark, f_bright = out.loc[0, "feature"], out.loc[1, "feature"]
+    assert list(out.loc[2, "feature"]) == list(f_dark)
+    assert f_bright[4] > f_dark[4] + 100  # mean-luma coordinate
