@@ -21,6 +21,7 @@ from .core import (
     merge,
     offloading_strategy,
     register,
+    set_max_fetch_bytes,
     sql,
 )
 from .session import get_spark, stop
@@ -45,6 +46,7 @@ __all__ = [
     "merge",
     "offloading_strategy",
     "register",
+    "set_max_fetch_bytes",
     "sql",
     "get_spark",
     "stop",

@@ -59,6 +59,31 @@ from .session import get_spark
 #: rows fetched by __repr__/_repr_html_ previews (never full-frame).
 REPR_ROWS = 20
 
+#: fetch-back guard for compute()/to_pandas(): None → auto (free driver
+#: memory, reference core.py:181-187 `_free_memory()`); an int caps the
+#: estimated fetch at that many bytes; float('inf') disables the guard.
+_MAX_FETCH_BYTES: int | float | None = None
+
+
+def set_max_fetch_bytes(n: int | float | None) -> None:
+    """Configure the compute() fetch-back guard (None = auto: free
+    driver memory; float('inf') = disabled)."""
+    global _MAX_FETCH_BYTES
+    _MAX_FETCH_BYTES = n
+
+
+def _free_driver_memory() -> int | None:
+    """MemAvailable from /proc/meminfo (the reference's `_free_memory()`
+    analog, pandasql/core.py:34-38 via psutil). None when unknowable."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return None
+
 _FLOAT_TYPES = (T.DoubleType, T.FloatType, T.DecimalType)
 _SUPPORTED_CONSTANT_TYPES = (int, float, str, bool, list)
 
@@ -472,10 +497,27 @@ class BaseFrame:
 
     def compute(self) -> Any:
         """Force materialization → pandas (reference ``compute()``,
-        core.py:91-112). Explicit full fetch — caller's responsibility to
-        know the result fits on the driver; use ``head``/``limit`` first
-        for big frames (the reference's _out_of_memory guard analog,
-        core.py:181-187)."""
+        core.py:91-112), behind a fetch-back guard: when the optimizer's
+        size estimate for the result exceeds the cap (default: free
+        driver memory — the reference's ``_out_of_memory`` behavior,
+        core.py:181-187), raise MemoryError instead of OOM-ing the
+        driver mid-``toPandas``. Override per call site with
+        ``set_max_fetch_bytes`` (``float('inf')`` disables)."""
+        return self._guarded_to_pandas()
+
+    def _guarded_to_pandas(self) -> pd.DataFrame:
+        cap = _MAX_FETCH_BYTES if _MAX_FETCH_BYTES is not None else _free_driver_memory()
+        if cap is not None:
+            est = self.memory_usage()
+            if est > cap:
+                raise MemoryError(
+                    f"compute() would fetch an estimated {est:,} bytes to "
+                    f"the driver (cap {cap:,.0f}). Try accessing a smaller "
+                    "subset of the data you need, e.g. df.head(n) or "
+                    "df[:n].compute(), or write it out distributed with "
+                    "to_parquet(); set_max_fetch_bytes(float('inf')) "
+                    "overrides the guard."
+                )
         return self.to_spark().toPandas()
 
     def to_pandas(self) -> Any:
@@ -986,7 +1028,7 @@ class Projection(BaseFrame, Expression):
         return self.to_spark().distinct().count()
 
     def compute(self):
-        pdf = self.to_spark().toPandas()
+        pdf = self._guarded_to_pandas()
         if len(self._cols) == 1:
             return pdf[self._cols[0]]  # 1-col projection → Series
         return pdf

@@ -130,3 +130,37 @@ def test_write_compacted(spark, tmp_path):
     assert len(glob.glob(p2 + "/part-*")) == n2
     # round-trip intact
     assert ps.read_parquet(p1).to_spark().count() == 10_000
+
+
+def test_compute_fetch_guard(spark):
+    """Oversized compute() raises MemoryError (reference _out_of_memory,
+    core.py:181-187) instead of OOM-ing the driver; bounded fetches
+    (head/limit) stay under the same cap and succeed."""
+    import pandas as pd
+    import pytest
+
+    import pandasql_spark as ps
+    from pandasql_spark.core import set_max_fetch_bytes
+
+    df = ps.DataFrame(
+        pd.DataFrame({"x": range(50_000), "s": ["payload" * 8] * 50_000})
+    )
+    try:
+        set_max_fetch_bytes(10_000)  # ~10 kB cap; frame is megabytes
+        with pytest.raises(MemoryError, match="smaller subset"):
+            df.compute()
+        with pytest.raises(MemoryError):
+            df[["s"]].compute()  # Projection path shares the guard
+        with pytest.raises(MemoryError):
+            df.to_csv("/tmp/_guard_should_not_write.csv")
+        # bounded fetches pass under the same cap
+        assert len(df.head(5).compute()) == 5
+        assert len(df[:7].compute()) == 7
+        # disabling the guard restores the full fetch
+        set_max_fetch_bytes(float("inf"))
+        assert len(df.compute()) == 50_000
+    finally:
+        set_max_fetch_bytes(None)
+
+    # auto mode (free driver memory) lets ordinary small frames through
+    assert len(df.head(3).compute()) == 3
