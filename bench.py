@@ -133,6 +133,10 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
     }
     if errors:
+        # a failed query shrinks the sum — never publish that as a
+        # comparable headline number
+        out["value"] = None
+        out["partial"] = True
         out["errors"] = errors
     print(json.dumps(out))
 

@@ -83,7 +83,11 @@ def connected_components(
             break
     if not converged:
         # silent non-convergence would return WRONG cluster ids (a long
-        # chain's min label travels one hop per round) — fail loudly.
+        # chain's min label travels one hop per round) — fail loudly,
+        # releasing the tracked checkpoints first (no cleanup handle
+        # escapes to the caller on the raise path).
+        release_sym(blocking=True)
+        release_labels(blocking=True)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations "
             "(label-graph diameter exceeds max_iter); raise max_iter"

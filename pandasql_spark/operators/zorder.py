@@ -41,12 +41,27 @@ def zorder_key(
     key = F.lit(0).cast("long")
     for j, c in enumerate(cols):
         mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None or mx is None:
+            # empty frame or all-NULL column: there is no range to
+            # z-order over — a silent (mx - mn) TypeError here was the
+            # old failure mode
+            raise ValueError(
+                f"cannot z-order on {c!r}: no non-NULL values to derive "
+                "a min/max range from (empty input or all-NULL column)"
+            )
         span = (mx - mn) or 1.0
+        # NULL values quantize to slot 0 (coalesce BEFORE the arithmetic:
+        # NULL would otherwise poison the whole Morton key and collapse
+        # those rows into one unsorted range partition)
         q = F.least(
             F.lit(top),
             F.greatest(
                 F.lit(0),
-                F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top),
+                F.floor(
+                    (F.coalesce(F.col(c).cast("double"), F.lit(mn)) - F.lit(mn))
+                    / F.lit(span)
+                    * top
+                ),
             ),
         ).cast("long")
         # spread bit i of column j to position (i * ncols + j)

@@ -79,7 +79,9 @@ def load_events(spark: SparkSession, sf_dir: str) -> SparkDataFrame:
     ensure_semantics(spark)
     try:
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    except Exception:  # TIMESTAMP(NANOS) file: legacy long-read path
+    except Exception as exc:  # TIMESTAMP(NANOS) file: legacy long-read path
+        if "nanos" not in str(exc).lower():
+            raise  # missing file / genuine failure — don't mask it
         prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         try:

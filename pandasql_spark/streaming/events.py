@@ -379,25 +379,31 @@ def _replay(spark, events_path, build_agg, query_name, output_mode="complete") -
     try:
         spark.read.parquet(events_path).schema
         nanos = False
-    except Exception:  # TIMESTAMP(NANOS): vectorized reader rejects it
+    except Exception as exc:  # TIMESTAMP(NANOS): vectorized reader rejects it
+        if "nanos" not in str(exc).lower():
+            raise  # a real read failure, not the known nanos rejection
         nanos = True
 
-    if not nanos:
-        raw = spark.readStream.schema(EVENT_SCHEMA).parquet(events_path)
-        ev = raw
-        prev = None
-    else:
-        ns_schema = T.StructType(
-            [
-                f if f.name != "ts" else T.StructField("ts", T.LongType())
-                for f in EVENT_SCHEMA.fields
-            ]
-        )
-        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.readStream.schema(ns_schema).parquet(events_path)
-        ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # conf.set only happens INSIDE the try whose finally restores it —
+    # a failure while building the stream must not leak the legacy conf
+    # into the shared session.
+    prev = None
+    nanos_set = False
     try:
+        if not nanos:
+            ev = spark.readStream.schema(EVENT_SCHEMA).parquet(events_path)
+        else:
+            ns_schema = T.StructType(
+                [
+                    f if f.name != "ts" else T.StructField("ts", T.LongType())
+                    for f in EVENT_SCHEMA.fields
+                ]
+            )
+            prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            nanos_set = True
+            raw = spark.readStream.schema(ns_schema).parquet(events_path)
+            ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         agg = build_agg(ev)
         q = (
             agg.writeStream.format("memory")
@@ -408,7 +414,7 @@ def _replay(spark, events_path, build_agg, query_name, output_mode="complete") -
         )
         q.awaitTermination()
     finally:
-        if nanos:
+        if nanos_set:
             if prev is None:
                 spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
             else:

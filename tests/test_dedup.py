@@ -268,8 +268,19 @@ def test_connected_components_raises_on_nonconvergence(spark):
     )
     import pytest as _pytest
 
+    base = {
+        rid for rid in
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=2)
+    # the failure path must release its tracked checkpoints — no cleanup
+    # handle escapes to the caller on a raise
+    leaked = {
+        rid for rid in
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    } - base
+    assert not leaked, f"non-convergence leaked persisted RDDs: {leaked}"
     # and converges fine with enough rounds
     ok = connected_components(chain, max_iter=20)
     assert ok.filter("cluster_id != 0").count() == 0

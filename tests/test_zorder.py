@@ -79,3 +79,32 @@ def test_zorder_key_bit_budget(spark):
     df = spark.range(10).select(F.col("id").alias("a"), F.col("id").alias("b"))
     with pytest.raises(ValueError):
         zorder_key(df, ["a", "b"], bits=32)
+
+
+def test_zorder_null_and_empty_inputs(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pandasql_spark.operators.zorder import write_zordered, zorder_key
+
+    # empty frame / all-NULL column → clear error, not a TypeError
+    empty = spark.createDataFrame([], "x long, y long")
+    with pytest.raises(ValueError, match="no non-NULL values"):
+        zorder_key(empty, ["x", "y"])
+    all_null = spark.range(10).withColumn("x", F.lit(None).cast("long"))
+    with pytest.raises(ValueError, match="no non-NULL values"):
+        zorder_key(all_null, ["x", "id"])
+
+    # scattered NULLs quantize into slot 0 instead of poisoning the key
+    df = spark.range(100).select(
+        F.col("id").alias("x"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("y"),
+    )
+    keyed, key = zorder_key(df, ["x", "y"], bits=8)
+    got = keyed.withColumn("k", key).toPandas()
+    assert got["k"].notna().all()  # every row keyed, NULLs included
+    p = str(tmp_path / "znull")
+    write_zordered(df, p, ["x", "y"], num_files=4, bits=8)
+    back = spark.read.parquet(p)
+    assert back.count() == 100
+    assert back.filter(F.col("y").isNull()).count() == 10
