@@ -132,6 +132,10 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
     }
+    try:
+        out["ingest"] = bench_ingest(spark)
+    except Exception as exc:  # noqa: BLE001 — ingest must not kill the run
+        errors["ingest"] = f"{type(exc).__name__}: {exc}"[:300]
     if errors:
         # a failed query shrinks the sum — never publish that as a
         # comparable headline number
@@ -139,6 +143,51 @@ def main() -> None:
         out["partial"] = True
         out["errors"] = errors
     print(json.dumps(out))
+
+
+def bench_ingest(spark) -> dict:
+    """Ingest/transfer overhead analog of the reference's
+    benchmarks/measure_overhead.py (BASELINE.md table 2): time
+    (a) read_csv → engine-native storage (the reference's CSV load +
+    SQLite offload) and (b) result transfer engine → pandas. The CSV is
+    exported from lineitem at the bench SF first (prep, untimed); per-MB
+    figures make the numbers comparable to the reference's 6,000 MB
+    sweep — see SCALING.md."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pandasql_spark as ps
+
+    tmp = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        csv_dir = os.path.join(tmp, "csv")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        li.write.option("header", True).mode("overwrite").csv(csv_dir)
+        csv_mb = sum(
+            os.path.getsize(p) for p in glob.glob(csv_dir + "/part-*")
+        ) / 1e6
+
+        t0 = time.perf_counter()
+        df = ps.read_csv(csv_dir, spark=spark)
+        df.to_parquet(os.path.join(tmp, "native"))
+        ingest_s = time.perf_counter() - t0
+
+        native = ps.read_parquet(os.path.join(tmp, "native"), spark=spark)
+        t0 = time.perf_counter()
+        pdf = native.compute()
+        transfer_s = time.perf_counter() - t0
+
+        return {
+            "rows": int(len(pdf)),
+            "csv_mb": round(csv_mb, 1),
+            "read_csv_offload_s": round(ingest_s, 3),
+            "transfer_to_pandas_s": round(transfer_s, 3),
+            "read_ms_per_mb": round(ingest_s * 1000 / csv_mb, 2),
+            "transfer_ms_per_mb": round(transfer_s * 1000 / csv_mb, 2),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":
