@@ -52,6 +52,8 @@ HEADLINE = [
     "q52_distribution",
     "q50_jaccard_verified",
     "q10_embedding_neardup",
+    "q51_tfidf",
+    "q54_fuzzy_match",
 ]
 
 

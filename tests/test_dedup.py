@@ -386,3 +386,61 @@ def test_embedding_neardup_string_ids(spark):
     ).toPandas()
     got = {(r.id_a, r.id_b) for r in out.itertuples()}
     assert ("v002", "v008") in got
+
+
+def test_lsh_bucket_cap_adversarial_boilerplate(spark):
+    """Adversarial corpus: a 1,000-copy boilerplate clique must not send
+    LSH quadratic.
+
+    Every boilerplate doc lands in the SAME bucket in all 16 bands; an
+    uncapped bucket-join would emit ~499,500 candidate pairs from the
+    clique alone — quadratic in clique size, the exact failure mode a
+    boilerplate-heavy web corpus triggers at 100 TB. ``max_bucket_size``
+    must (a) keep the candidate count near-linear, (b) preserve recall
+    on planted near-dups outside the degenerate bucket, and (c) lose
+    nothing overall, because capped-away members are byte-identical and
+    the exact-dup path catches them for the price of one 16-byte-key
+    shuffle (measured counts in SCALING.md)."""
+    import random
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(500)]
+    boiler = " ".join(rng.choice(vocab) for _ in range(40))
+    docs = {i: boiler for i in range(1000)}
+    uniq = {2000 + i: " ".join(rng.choice(vocab) for _ in range(40)) for i in range(50)}
+    docs.update(uniq)
+    planted = []
+    for i in range(5):  # near-dups of 5 unique docs: one-token edit
+        toks = uniq[2000 + i].split(" ")
+        toks[7] = "EDITED"
+        docs[3000 + i] = " ".join(toks)
+        planted.append((2000 + i, 3000 + i))
+    pdf = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    sdf = spark.createDataFrame(pdf)
+
+    sigs = dedup.minhash_signatures(sdf).persist()
+    try:
+        capped = dedup.lsh_candidate_pairs(sigs, max_bucket_size=100)
+        got = {
+            tuple(sorted(t))
+            for t in capped.toPandas().itertuples(index=False, name=None)
+        }
+        # (a) bounded: nowhere near the clique's ~499,500 pairs
+        assert len(got) < 1000, f"bucket cap failed: {len(got)} candidates"
+        # (b) recall outside the degenerate bucket is untouched
+        for pair in planted:
+            assert pair in got
+    finally:
+        sigs.unpersist()
+
+    # (c) the capped-away clique is exact-duplicate territory
+    groups = dedup.exact_dedup(sdf).toPandas()
+    clique = groups[groups["n_copies"] == 1000]
+    assert len(clique) == 1 and clique.iloc[0]["first_id"] == 0
+
+    # end-to-end: dedup_corpus runs exact-first, so the clique never even
+    # reaches LSH; survivors = 1 boilerplate rep + the 50 unique docs
+    # (each planted near-dup collapsed onto its lower id)
+    out = dedup.dedup_corpus(sdf, threshold=0.5)
+    survivors = set(out.select("doc_id").toPandas()["doc_id"])
+    assert survivors == {0} | set(uniq)
