@@ -13,6 +13,7 @@ from . import (
     bucketing,
     cluster,
     dedup,
+    freq,
     multimodal,
     rangejoin,
     ranking,
@@ -27,6 +28,7 @@ __all__ = [
     "bucketing",
     "cluster",
     "dedup",
+    "freq",
     "multimodal",
     "rangejoin",
     "ranking",

@@ -1,0 +1,129 @@
+"""Heavy hitters (frequent items) at corpus scale.
+
+The naive plan — ``groupBy(item).count()`` then filter — shuffles one
+record per DISTINCT item. For training-data pipelines the item domain is
+the problem: n-grams, URLs, hostnames, shingles easily reach 10¹⁰+
+distinct values at 100 TB, so the "simple" groupBy is a full-corpus
+shuffle of mostly-singleton keys.
+
+This module does candidates-then-verify instead (the same shape as the
+dedup operators):
+
+1. **Candidates** — per-partition Misra-Gries summaries of capacity m,
+   via Arrow-batched ``mapInPandas`` (no shuffle; O(m) memory per task).
+   MG's guarantee: any item with partition frequency > n_p/(m+1)
+   survives the partition's summary. Summing over partitions, any item
+   with GLOBAL count > n/(m+1) must exceed that bound in at least one
+   partition, so the union of partition summaries contains every global
+   heavy hitter — at most P·m candidate rows cross the wire.
+2. **Verify** — exact counts for candidate items only: broadcast
+   semi-join + groupBy. Map-side partial aggregation reduces the
+   shuffle to ≤ P·(P·m) tiny rows.
+
+With ``capacity ≥ ceil(1/threshold)``, recall is exact and the verified
+counts are exact, so the result is IDENTICAL to the naive groupBy plan
+(the q62 gate checks this against DuckDB) — at a shuffle cost that
+depends on the number of partitions and the capacity, not on the
+distinct-item count.
+
+Reference scope note: the reference engine (pandasql) has no frequency
+sketch; this is part of the beyond-reference LLM-pipeline surface.
+Sketch merge rule follows Agarwal et al., "Mergeable Summaries" (PODS
+'12): combine counters, subtract the (m+1)-th largest, drop non-positive.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mg_candidates(df: DataFrame, item_col: str, capacity: int) -> DataFrame:
+    """Per-partition Misra-Gries candidate items (one column, distinct).
+
+    Superset guarantee: contains every item whose global count exceeds
+    n/(capacity+1). NULL items are ignored (they are not countable
+    "items"; filter upstream if NULL frequency matters). Memory is
+    O(capacity) per task regardless of partition size — batches fold
+    into one running summary."""
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    # keep the kernel's output schema tied to the input column's type
+    # (hardcoding would break string/decimal item domains)
+    field = df.schema[item_col]
+
+    def _mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters = None
+        for pdf in batches:
+            vc = pdf[item_col].value_counts()  # dropna=True
+            counters = vc if counters is None else counters.add(vc, fill_value=0)
+            if len(counters) > capacity:
+                # mergeable-summaries decrement: subtract the
+                # (capacity+1)-th largest count, keep strictly positive
+                cut = counters.nlargest(capacity + 1).iloc[-1]
+                counters = counters[counters > cut] - cut
+        if counters is not None and len(counters):
+            yield pd.DataFrame({item_col: counters.index})
+
+    out_schema = f"`{field.name}` {field.dataType.simpleString()}"
+    return df.select(item_col).mapInPandas(_mg, schema=out_schema).dropDuplicates()
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    threshold: float = 0.001,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Exact (item, cnt) for every item occurring in at least
+    ``ceil(threshold * n)`` of the n non-NULL rows.
+
+    ``capacity`` defaults to ``ceil(1/threshold)`` — the smallest value
+    for which the Misra-Gries candidate pass provably misses no heavy
+    hitter. A larger capacity only adds candidate rows; a smaller one
+    voids the recall guarantee, so it is rejected."""
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    floor_cap = math.ceil(1 / threshold)
+    if capacity is None:
+        capacity = floor_cap
+    elif capacity < floor_cap:
+        raise ValueError(
+            f"capacity={capacity} voids the recall guarantee for "
+            f"threshold={threshold}; need >= {floor_cap}"
+        )
+    n = df.filter(F.col(item_col).isNotNull()).count()
+    if n == 0:
+        return (
+            df.select(item_col)
+            .limit(0)
+            .withColumn("cnt", F.lit(0).cast("long"))
+        )
+    min_count = math.ceil(threshold * n)
+    cand = mg_candidates(df, item_col, capacity)
+    return (
+        df.join(F.broadcast(cand), item_col, "leftsemi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+
+
+def heavy_hitter_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.001,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Frequent tokens across a document corpus: whitespace-tokenize,
+    explode, then :func:`heavy_hitters` over the token rows. The explode
+    never materializes a distinct-token table — exactly the case where
+    the sketch path beats the naive groupBy at scale."""
+    toks = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    return heavy_hitters(toks, "token", threshold, capacity)

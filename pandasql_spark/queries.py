@@ -1167,6 +1167,34 @@ FROM ranked WHERE r <= 40 GROUP BY lang
 """
 
 
+def q62_heavy_hitters(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Frequent tokens via the Misra-Gries candidates-then-verify plan
+    (operators/freq.py): per-partition MG summaries (mapInPandas, no
+    shuffle) → broadcast semi-join → exact counts of candidates only.
+    With capacity ≥ ceil(1/threshold) the result is IDENTICAL to the
+    naive groupBy — which is exactly what the DuckDB oracle runs — but
+    the shuffle scales with partitions × capacity instead of the
+    distinct-item count (the n-gram/URL domain killer at 100 TB)."""
+    from pandasql_spark.operators.freq import heavy_hitter_tokens
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = heavy_hitter_tokens(docs, "text", threshold=0.01)
+    return out.select("token", F.col("cnt").cast("long").alias("cnt"))
+
+
+Q62_SQL = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), tot AS (
+  SELECT count(*) AS n FROM tok WHERE token IS NOT NULL
+)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM tok
+GROUP BY token
+HAVING count(*) >= ceil(0.01 * (SELECT n FROM tot))
+"""
+
+
 def q26_sessionize(spark: SparkSession, sf: str) -> SparkDataFrame:
     """Batch sessionization via window functions (gap = 30 min): lag →
     new-session flag → running sum = session id → per-session agg. An
@@ -2223,6 +2251,10 @@ REGISTRY: dict[str, QueryDef] = {
         q61_stratified_sample, Q61_SQL,
         "exact stratified sample by portable md5-rank (same rows on both engines)",
     ),
+    "q62_heavy_hitters": QueryDef(
+        q62_heavy_hitters, Q62_SQL,
+        "Misra-Gries heavy hitters: sketch candidates + exact verify == naive groupBy",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -2281,8 +2313,10 @@ REGISTRY: dict[str, QueryDef] = {
 # twice in a row. Resting queries stay fully covered by pytest.
 #
 # Round-5 roster: q43–q47, q49–q52, q54, q57 (rested in r4, last oracle
-# row r3) rotate IN; these eleven r3+r4-green slots rest:
+# row r3) rotate IN; new-this-round q62 gates immediately (new queries
+# never start resting); these twelve r3+r4-green slots rest:
 _RESTING: tuple[str, ...] = (
+    "q03_predicates",
     "q07_join_diffkeys",
     "q09_union",
     "q13_rename_sort_limit",

@@ -1,0 +1,131 @@
+"""Heavy-hitters tests: the sketch path must be INDISTINGUISHABLE from
+the naive groupBy-count-filter plan (that is its contract), across
+skewed, uniform, tie-at-threshold, and NULL-bearing inputs."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tests.conftest import soak_examples
+
+from pandasql_spark.operators import freq
+
+
+def _naive(df, item_col, threshold):
+    n = df.filter(F.col(item_col).isNotNull()).count()
+    mc = math.ceil(threshold * n)
+    return (
+        df.groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= mc)
+    )
+
+
+def _sorted(pdf):
+    return pdf.sort_values(list(pdf.columns), ignore_index=True)
+
+
+@pytest.fixture(scope="module")
+def zipf_df(spark):
+    """50k rows: zipf head + 20k near-singleton tail — the domain shape
+    (few heavy, huge distinct tail) the sketch plan exists for."""
+    rng = np.random.default_rng(1)
+    items = np.concatenate(
+        [
+            rng.zipf(1.5, 30000).astype(str),
+            np.char.add("rare_", rng.integers(0, 10**9, 20000).astype(str)),
+        ]
+    )
+    rng.shuffle(items)
+    df = spark.createDataFrame(pd.DataFrame({"item": items})).repartition(8)
+    df.persist().count()
+    yield df, len(items)
+    df.unpersist()
+
+
+@pytest.mark.parametrize("threshold", [0.0005, 0.001, 0.01, 0.05])
+def test_matches_naive_groupby(zipf_df, spark, threshold):
+    df, _ = zipf_df
+    got = _sorted(freq.heavy_hitters(df, "item", threshold).toPandas())
+    exp = _sorted(_naive(df, "item", threshold).toPandas())
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_candidate_set_is_small_superset(zipf_df, spark):
+    """The point of the operator: candidates ≪ distinct items, yet a
+    superset of every true heavy hitter."""
+    df, n = zipf_df
+    cap = 1000
+    cand = set(freq.mg_candidates(df, "item", cap).toPandas()["item"])
+    n_parts = df.rdd.getNumPartitions()
+    assert len(cand) <= n_parts * cap
+    distinct = df.select("item").distinct().count()
+    assert len(cand) < distinct / 10  # 21k distinct → a few hundred
+    heavy = set(
+        _naive(df, "item", 1 / (cap + 1)).toPandas()["item"]
+    )  # freq > n/(cap+1) ⊂ the guarantee
+    assert heavy <= cand
+
+
+def test_nulls_ignored_and_empty_input(spark):
+    pdf = pd.DataFrame({"item": ["a", "a", "a", None, "b", None]})
+    df = spark.createDataFrame(pdf)
+    got = freq.heavy_hitters(df, "item", 0.5).toPandas()
+    # n = 4 non-NULL rows; min_count = 2 → only "a" (3)
+    assert list(got.itertuples(index=False, name=None)) == [("a", 3)]
+    empty = spark.createDataFrame([], schema="item string")
+    out = freq.heavy_hitters(empty, "item", 0.1).toPandas()
+    assert len(out) == 0 and list(out.columns) == ["item", "cnt"]
+
+
+def test_capacity_guard(spark):
+    df = spark.range(10).select(F.col("id").cast("string").alias("item"))
+    with pytest.raises(ValueError, match="voids the recall guarantee"):
+        freq.heavy_hitters(df, "item", 0.01, capacity=10)
+    with pytest.raises(ValueError, match="threshold"):
+        freq.heavy_hitters(df, "item", 0.0)
+    with pytest.raises(ValueError, match="capacity"):
+        freq.mg_candidates(df, "item", 0)
+
+
+def test_long_item_type(spark):
+    """Output schema follows the item column's type (no hardcoded
+    string schema in the kernel)."""
+    df = spark.range(100).select((F.col("id") % 5).alias("item"))
+    got = _sorted(freq.heavy_hitters(df, "item", 0.1).toPandas())
+    assert got["item"].dtype == np.int64
+    assert list(got["cnt"]) == [20] * 5
+
+
+@settings(
+    max_examples=soak_examples(30),
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.data_too_large,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    items=st.lists(
+        st.integers(min_value=0, max_value=8), min_size=1, max_size=60
+    ),
+    threshold=st.sampled_from([0.01, 0.1, 0.25, 0.5, 1.0]),
+    parts=st.integers(min_value=1, max_value=4),
+)
+def test_property_matches_naive(spark, items, threshold, parts):
+    """Tiny domains force threshold ties, single-item frames, capacity
+    >= distinct, and every partition-boundary shape."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"item": [str(i) for i in items]})
+    ).repartition(parts)
+    got = _sorted(freq.heavy_hitters(df, "item", threshold).toPandas())
+    exp = _sorted(_naive(df, "item", threshold).toPandas())
+    pd.testing.assert_frame_equal(got, exp)
