@@ -197,23 +197,17 @@ def minhash_signatures(
     return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
 
 
-def lsh_candidate_pairs(
-    sig_df: DataFrame,
-    num_bands: int = 16,
-    num_hashes: int = 64,
-    max_bucket_size: int = 1000,
+def band_table(
+    sig_df: DataFrame, num_bands: int = 16, num_hashes: int = 64
 ) -> DataFrame:
-    """Candidate (id_a, id_b) pairs from banded LSH over signatures.
+    """LSH bucket table (id, band_idx, band_hash): one row per band per
+    doc. Docs sharing a (band_idx, band_hash) are near-dup candidates.
 
-    Signature is split into ``num_bands`` bands of ``num_hashes //
-    num_bands`` rows; docs sharing any band hash become candidates. The
-    bucket-join is the scale path: cost is Σ bucket² per band,
-    near-linear when buckets are small.
-
-    ``max_bucket_size`` drops degenerate buckets (boilerplate/empty docs
-    collapsing into one bucket would otherwise go quadratic at 100 TB);
-    dropped buckets are exact-duplicate territory anyway, which
-    `exact_dedup` catches more cheaply."""
+    This is ALSO the persisted store format for incremental dedup
+    (streaming/incremental.py) — a continuously-arriving corpus appends
+    each micro-batch's rows here and joins new docs' bands against it,
+    so the batch and streaming paths bucket identically by
+    construction."""
     if num_hashes % num_bands:
         raise ValueError("num_hashes must be divisible by num_bands")
     width = num_hashes // num_bands
@@ -232,9 +226,43 @@ def lsh_candidate_pairs(
             for b in range(num_bands)
         ]
     )
-    bands = sig_df.select(
+    return sig_df.select(
         "id", F.posexplode(band_hashes).alias("band_idx", "band_hash")
     )
+
+
+def signature_est_jaccard(sig_a: str = "sig_a", sig_b: str = "sig_b"):
+    """Estimated Jaccard from two MinHash signature columns: fraction of
+    equal positions, rounded to 6 digits (the rounding is part of the
+    contract — oracles reproduce it)."""
+    return F.round(
+        F.size(
+            F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda eq: eq)
+        )
+        / F.size(sig_a),
+        6,
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    num_bands: int = 16,
+    num_hashes: int = 64,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from banded LSH over signatures.
+
+    Signature is split into ``num_bands`` bands of ``num_hashes //
+    num_bands`` rows; docs sharing any band hash become candidates. The
+    bucket-join is the scale path: cost is Σ bucket² per band,
+    near-linear when buckets are small.
+
+    ``max_bucket_size`` drops degenerate buckets (boilerplate/empty docs
+    collapsing into one bucket would otherwise go quadratic at 100 TB);
+    dropped buckets are exact-duplicate territory anyway, which
+    `exact_dedup` catches more cheaply (adversarial-corpus measurements
+    in SCALING.md)."""
+    bands = band_table(sig_df, num_bands, num_hashes)
     # prune degenerate buckets before the self-join
     sizes = bands.groupBy("band_idx", "band_hash").agg(F.count(F.lit(1)).alias("sz"))
     ok = sizes.filter(F.col("sz") <= max_bucket_size).select("band_idx", "band_hash")
@@ -282,16 +310,7 @@ def minhash_neardup_pairs(
     cands = lsh_candidate_pairs(sigs, num_bands, num_hashes)
     sa = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
-    est = F.round(
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        )
-        / F.size("sig_a"),
-        6,
-    )
+    est = signature_est_jaccard("sig_a", "sig_b")
     out = (
         cands.join(sa, "id_a")
         .join(sb, "id_b")

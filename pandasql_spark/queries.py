@@ -601,7 +601,12 @@ def q23_minhash_neardup(spark: SparkSession, sf: str) -> SparkDataFrame:
     return minhash_neardup_pairs(d, threshold=0.5, base_hash="md5")
 
 
-def _q23_sql() -> str:
+def _minhash_oracle_cte() -> str:
+    """The engine-portable MinHash pipeline as a DuckDB WITH-prefix:
+    recomputes md5-based signatures, 16-band candidates, and exposes
+    `cand` (id_a, id_b) + `sig` (id, sig) for a final SELECT. Shared by
+    the q23 (pairs) and q63 (incremental-dedup survivors) oracles so
+    both gates pin the SAME candidate/estimate semantics."""
     from pandasql_spark.operators.dedup import _MERSENNE_31, _hash_coefficients
 
     coeffs = _hash_coefficients(64, seed=42)
@@ -634,7 +639,10 @@ cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
 ),
-sig AS (SELECT id, list(v ORDER BY j) AS sig FROM sigrow GROUP BY id)
+sig AS (SELECT id, list(v ORDER BY j) AS sig FROM sigrow GROUP BY id)"""
+
+
+Q23_SQL = _minhash_oracle_cte() + """
 SELECT id_a, id_b,
        round(len(list_filter(list_zip(sa.sig, sb.sig), x -> x[1] = x[2]))
              / len(sa.sig), 6) AS est_jaccard
@@ -644,9 +652,6 @@ JOIN sig sb ON id_b = sb.id
 WHERE round(len(list_filter(list_zip(sa.sig, sb.sig), x -> x[1] = x[2]))
             / len(sa.sig), 6) >= 0.5
 """
-
-
-Q23_SQL = _q23_sql()
 
 
 def q24_simhash_neardup(spark: SparkSession, sf: str) -> SparkDataFrame:
@@ -1192,6 +1197,38 @@ SELECT token, CAST(count(*) AS BIGINT) AS cnt
 FROM tok
 GROUP BY token
 HAVING count(*) >= ceil(0.01 * (SELECT n FROM tot))
+"""
+
+
+def q63_incremental_dedup(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Incremental STREAMING near-dup dedup
+    (streaming/incremental.py): documents replay as 3 doc_id-ordered
+    micro-batches through a real foreachBatch query; each batch's band
+    hashes join against the persisted band-bucket store of everything
+    seen before, verified by signature-estimate ≥ 0.5; survivors are the
+    docs with no earlier near-duplicate. Because every doc's bands are
+    appended (not just survivors'), the survivor set is exactly the
+    batch relation — documents minus the id_b side of q23's pair
+    relation — which the oracle recomputes independently in DuckDB from
+    raw text. Idempotent store writes (dynamic partition overwrite per
+    batch_id) are regression-tested in tests/test_incremental_dedup.py."""
+    from pandasql_spark.streaming.incremental import replay_incremental_dedup
+
+    return replay_incremental_dedup(
+        spark, f"{sf}/documents.parquet", n_batches=3, base_hash="md5"
+    )
+
+
+Q63_SQL = _minhash_oracle_cte() + """,
+pairs AS (
+  SELECT id_a, id_b FROM cand
+  JOIN sig sa ON id_a = sa.id
+  JOIN sig sb ON id_b = sb.id
+  WHERE round(len(list_filter(list_zip(sa.sig, sb.sig), x -> x[1] = x[2]))
+              / len(sa.sig), 6) >= 0.5
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id_b FROM pairs)
 """
 
 
@@ -2255,6 +2292,10 @@ REGISTRY: dict[str, QueryDef] = {
         q62_heavy_hitters, Q62_SQL,
         "Misra-Gries heavy hitters: sketch candidates + exact verify == naive groupBy",
     ),
+    "q63_incremental_dedup": QueryDef(
+        q63_incremental_dedup, Q63_SQL,
+        "incremental streaming near-dup dedup vs persisted band store (value-checked)",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -2318,6 +2359,7 @@ REGISTRY: dict[str, QueryDef] = {
 _RESTING: tuple[str, ...] = (
     "q03_predicates",
     "q07_join_diffkeys",
+    "q12_having",
     "q09_union",
     "q13_rename_sort_limit",
     "q20_cosine_topk",

@@ -12,6 +12,10 @@ from .events import (
     user_running_totals,
     write_stream_parquet,
 )
+from .incremental import (
+    incremental_neardup_dedup,
+    replay_incremental_dedup,
+)
 
 __all__ = [
     "read_event_stream",
@@ -22,4 +26,6 @@ __all__ = [
     "dedup_event_stream",
     "click_purchase_interval_join",
     "write_stream_parquet",
+    "incremental_neardup_dedup",
+    "replay_incremental_dedup",
 ]

@@ -1,0 +1,282 @@
+"""Incremental (streaming) near-duplicate dedup against a persisted
+band-bucket store.
+
+`operators/dedup.dedup_corpus` is the batch/backfill pass; this module
+is its streaming continuation for a corpus that keeps arriving. The
+store is two append-only parquet tables under ``store_dir``:
+
+- ``sigs``  — (id, signature array<long>, batch_id)
+- ``bands`` — (id, band_idx, band_hash, batch_id), the SAME layout
+  `operators/dedup.band_table` produces, so batch and stream bucket
+  identically by construction.
+
+Per micro-batch (`foreachBatch`):
+
+1. signatures + band table for the new docs — one `mapInPandas` pass,
+   no shuffle;
+2. candidates vs HISTORY: join the batch's bands against the store on
+   (band_idx, band_hash) — new docs compare only against same-bucket
+   history, never all of it;
+3. candidates WITHIN the batch: the ordinary `lsh_candidate_pairs`;
+4. both candidate sets verify with `signature_est_jaccard` ≥ threshold;
+   a doc is dropped iff it near-matches ANY earlier doc (earlier batch,
+   or smaller id within its own batch);
+5. survivors append to ``survivors_dir``; ALL batch docs' sigs+bands
+   append to the store.
+
+Appending every doc (not just survivors) to the store makes the
+survivor set ORDER-INDEPENDENT and equal to the batch relation: doc x
+is dropped iff ∃ y with y.id < x.id and est_jaccard(x, y) ≥ threshold —
+exactly the `minhash_neardup_pairs` id_b set, assuming ids arrive in
+nondecreasing batches (ingestion ids are monotone in practice). The q63
+gate checks this equivalence end-to-end against a DuckDB oracle.
+
+Exactly-once: every write is parquet `partitionBy(batch_id)` under
+DYNAMIC partition overwrite, so a replayed micro-batch (failure before
+the checkpoint commit) overwrites its own partition instead of
+duplicating rows — the standard idempotent-foreachBatch recipe. At
+production scale the store would be a Delta/Iceberg table bucketed by
+band_hash; the parquet layout keeps the same join and the same
+idempotency contract.
+
+State growth: the store holds num_bands longs + one signature per doc
+ever seen (~0.6 KB/doc at 64 hashes) — linear in corpus size, stored on
+disk, not in executor memory; the per-batch join reads only matching
+buckets once the store is bucketed/partition-pruned.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandasql_spark.operators.dedup import (
+    band_table,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    signature_est_jaccard,
+)
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Read a store table, or an empty frame before the first batch.
+    ``schema`` covers the data columns; the ``batch_id`` partition
+    column is appended by partition discovery on the real read, so the
+    empty frame appends it too."""
+    if os.path.isdir(path):
+        return spark.read.schema(schema).parquet(path)
+    return spark.createDataFrame([], schema=schema + ", batch_id int")
+
+
+def process_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    survivors_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+    base_hash: str = "xxhash64",
+) -> None:
+    """One micro-batch of the incremental pipeline (exposed separately
+    so tests can drive idempotency/replay without a streaming query).
+
+    Everything — reads, conf, writes — goes through
+    ``batch.sparkSession``, NOT a captured outer session: inside
+    `foreachBatch` Spark hands the closure a CLONED session with an
+    isolated conf, so setting partitionOverwriteMode on the outer
+    session would silently leave the clone's writes in static mode and
+    each batch would wipe the whole store (observed before this fix)."""
+    spark = batch.sparkSession
+    sig_schema = "id long, signature array<long>"
+    band_schema = "id long, band_idx int, band_hash long"
+
+    batch = batch.dropDuplicates([id_col]).persist()
+    sigs = minhash_signatures(
+        batch, text_col, id_col, num_hashes, shingle_k, seed, base_hash
+    ).persist()
+    bands = band_table(sigs, num_bands, num_hashes)
+
+    # history = strictly EARLIER batches. The filter matters twice on a
+    # RETRY of this batch_id (failure after the store write, before the
+    # checkpoint commit): (a) the store already holds this batch's rows,
+    # and unfiltered history would make every doc near-match itself
+    # (est=1.0) and drop the whole batch; (b) partition pruning keeps
+    # the lazy history read off the very partition the retry is about
+    # to overwrite (read-then-overwrite FileNotFound race).
+    hist_sigs = _read_or_empty(spark, os.path.join(store_dir, "sigs"), sig_schema).filter(
+        F.col("batch_id") < F.lit(batch_id)
+    )
+    hist_bands = _read_or_empty(
+        spark, os.path.join(store_dir, "bands"), band_schema
+    ).filter(F.col("batch_id") < F.lit(batch_id))
+
+    # vs history: same-bucket join; any verified match drops the new doc
+    cand_hist = (
+        bands.join(
+            hist_bands.select(
+                "band_idx", "band_hash", F.col("id").alias("hist_id")
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select("id", "hist_id")
+        .distinct()
+    )
+    est = signature_est_jaccard("sig_a", "sig_b")
+    dropped_hist = (
+        cand_hist.join(
+            sigs.select(F.col("id"), F.col("signature").alias("sig_a")), "id"
+        )
+        .join(
+            hist_sigs.select(
+                F.col("id").alias("hist_id"), F.col("signature").alias("sig_b")
+            ),
+            "hist_id",
+        )
+        .filter(est >= threshold)
+        .select("id")
+        .distinct()
+    )
+    # within batch: ordinary LSH pairs; min-id-wins drops id_b
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
+    dropped_batch = (
+        lsh_candidate_pairs(sigs, num_bands, num_hashes)
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(signature_est_jaccard("sig_a", "sig_b") >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    dropped = dropped_hist.union(dropped_batch).distinct()
+    survivors = batch.join(
+        dropped.withColumnRenamed("id", id_col), id_col, "anti"
+    )
+
+    # idempotent writes: replaying this batch_id overwrites its own
+    # partition (dynamic mode), never appends duplicates
+    conf = spark.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        for frame, sub in (
+            (sigs, "sigs"),
+            (bands, "bands"),
+        ):
+            frame.withColumn("batch_id", F.lit(batch_id)).write.partitionBy(
+                "batch_id"
+            ).mode("overwrite").parquet(os.path.join(store_dir, sub))
+        survivors.withColumn("batch_id", F.lit(batch_id)).write.partitionBy(
+            "batch_id"
+        ).mode("overwrite").parquet(survivors_dir)
+    finally:
+        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        sigs.unpersist()
+        batch.unpersist()
+
+
+def incremental_neardup_dedup(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    store_dir: str,
+    survivors_dir: str,
+    checkpoint_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+    base_hash: str = "xxhash64",
+    available_now: bool = True,
+):
+    """Start the incremental near-dup stream; returns the
+    StreamingQuery. ``docs_stream`` must carry (id_col, text_col)."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        process_batch(
+            batch,
+            batch_id,
+            store_dir,
+            survivors_dir,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            num_bands=num_bands,
+            shingle_k=shingle_k,
+            seed=seed,
+            base_hash=base_hash,
+        )
+
+    writer = docs_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def replay_incremental_dedup(
+    spark: SparkSession,
+    documents_path: str,
+    n_batches: int = 3,
+    threshold: float = 0.5,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """Drive the incremental pipeline through the REAL streaming engine:
+    stage ``documents_path`` as ``n_batches`` doc_id-ordered parquet
+    files (``maxFilesPerTrigger=1`` → one micro-batch each, arrival
+    order = id order), run to completion, and return the survivor set —
+    which must equal the batch relation's survivors (docs that are not
+    the id_b of any `minhash_neardup_pairs` pair). Gate q63's oracle
+    recomputes that relation independently in DuckDB."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="inc_dedup_")
+    stage = os.path.join(work, "stage")
+    docs = spark.read.parquet(documents_path).select("doc_id", "text")
+    # ntile over doc_id order → equal-size, id-ordered chunks; each
+    # chunk written as ONE file so file order == id order
+    from pandasql_spark.operators.ranking import exact_ntile
+
+    # distributed ntile (no single-reducer window) — same operator the
+    # q52 gate uses
+    chunked = exact_ntile(docs, n_batches, ["doc_id"], bucket_col="chunk")
+    for i in range(1, n_batches + 1):
+        chunked.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(stage, f"chunk_{i:02d}"))
+        d = os.path.join(stage, f"chunk_{i:02d}")
+        part = next(p for p in os.listdir(d) if p.startswith("part-"))
+        dest = os.path.join(stage, f"{i:02d}.parquet")
+        os.replace(os.path.join(d, part), dest)
+        # the file source orders micro-batches by modification time;
+        # pin strictly-increasing mtimes so chunk i replays as batch i-1
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "*.parquet"))
+    )
+    q = incremental_neardup_dedup(
+        spark,
+        stream,
+        store_dir=os.path.join(work, "store"),
+        survivors_dir=os.path.join(work, "survivors"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        threshold=threshold,
+        base_hash=base_hash,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(work, "survivors")).select("doc_id")

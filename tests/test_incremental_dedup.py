@@ -1,0 +1,96 @@
+"""Incremental streaming near-dup dedup (streaming/incremental.py):
+differential vs the batch pair relation, cross-batch detection, and
+idempotent store writes (the foreachBatch exactly-once contract)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from pandasql_spark.operators.dedup import minhash_neardup_pairs
+from pandasql_spark.streaming.incremental import (
+    process_batch,
+    replay_incremental_dedup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _batch_survivors(docs):
+    """The relation the incremental pipeline must reproduce: drop every
+    id_b of the batch near-dup pairs (min-id representative wins)."""
+    pairs = minhash_neardup_pairs(docs, threshold=0.5)
+    dropped = {r.id_b for r in pairs.collect()}
+    return sorted(
+        r.doc_id for r in docs.select("doc_id").collect() if r.doc_id not in dropped
+    )
+
+
+def test_replay_matches_batch_relation(spark):
+    """3-micro-batch replay through the real engine == batch dedup."""
+    surv = replay_incremental_dedup(
+        spark, f"{SF}/documents.parquet", n_batches=3, threshold=0.5
+    )
+    got = sorted(r.doc_id for r in surv.collect())
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert got == _batch_survivors(docs)
+    assert len(got) < docs.count()  # the corpus does contain near-dups
+
+
+@pytest.fixture()
+def mini_corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    near = base.replace("lazy", "sleepy")
+    uniq = [
+        f"document {i} totally distinct content alpha{i} beta{i} gamma{i} delta{i}"
+        for i in range(8)
+    ]
+    # ids ordered so doc 0 (batch 0) and doc 9 (batch 1) are near-dups
+    rows = [(0, base)] + [(i + 1, uniq[i]) for i in range(4)]
+    rows += [(9, near)] + [(10 + i, uniq[4 + i]) for i in range(4)]
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def test_cross_batch_neardup_dropped(spark, mini_corpus, tmp_path):
+    store, surv_dir = str(tmp_path / "store"), str(tmp_path / "surv")
+    b0 = spark.createDataFrame(mini_corpus[mini_corpus.doc_id < 9])
+    b1 = spark.createDataFrame(mini_corpus[mini_corpus.doc_id >= 9])
+    process_batch(b0, 0, store, surv_dir)
+    process_batch(b1, 1, store, surv_dir)
+    surv = set(
+        spark.read.parquet(surv_dir).select("doc_id").toPandas()["doc_id"]
+    )
+    assert 0 in surv  # first-seen representative kept
+    assert 9 not in surv  # its cross-batch near-dup dropped
+    assert surv == set(mini_corpus.doc_id) - {9}
+    # the store holds EVERY doc (survivor or not) — order-independence
+    sigs = spark.read.parquet(os.path.join(store, "sigs"))
+    assert sigs.count() == len(mini_corpus)
+
+
+def test_batch_replay_is_idempotent(spark, mini_corpus, tmp_path):
+    """Re-running a batch_id (foreachBatch retry after a failure before
+    the checkpoint commit) must overwrite, not append — store and
+    survivor counts unchanged."""
+    store, surv_dir = str(tmp_path / "store"), str(tmp_path / "surv")
+    b0 = spark.createDataFrame(mini_corpus[mini_corpus.doc_id < 9])
+    b1 = spark.createDataFrame(mini_corpus[mini_corpus.doc_id >= 9])
+    process_batch(b0, 0, store, surv_dir)
+    process_batch(b1, 1, store, surv_dir)
+
+    def snapshot():
+        return (
+            spark.read.parquet(os.path.join(store, "sigs")).count(),
+            spark.read.parquet(os.path.join(store, "bands")).count(),
+            sorted(
+                spark.read.parquet(surv_dir)
+                .select("doc_id")
+                .toPandas()["doc_id"]
+            ),
+        )
+
+    before = snapshot()
+    process_batch(b1, 1, store, surv_dir)  # retry of the last batch
+    assert snapshot() == before
