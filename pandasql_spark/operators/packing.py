@@ -1,0 +1,101 @@
+"""Sequence packing: concatenate-and-chunk documents into fixed-size
+token windows — the shard layout an LLM pretraining pipeline actually
+feeds the trainer.
+
+Semantics (the standard "concat then chunk" packing): documents are
+laid end-to-end in a deterministic order (default: id order) into one
+global token stream, which is cut into chunks of exactly
+``chunk_tokens`` tokens (the last chunk may be short). A document whose
+span crosses a boundary is SPLIT across the adjacent chunks; every
+token lands in exactly one chunk and no chunk has padding except the
+tail. This maximizes token utilization (zero padding waste), vs.
+greedy no-split bin packing which trades waste for document
+contiguity.
+
+Scale shape: the only global coordination is the running token offset,
+computed by `ranking.with_global_running_sum` (range shuffle +
+per-partition window + one scalar-per-partition driver prefix — no
+single-reducer window). Chunk assignment is then pure per-row
+arithmetic: doc with global span [start, end) overlaps chunks
+floor(start/L) … floor((end-1)/L), exploded JVM-side via
+`sequence()`; the explode factor per doc is ceil(len/L)+1, bounded.
+Everything is closed-form, so the q64 gate value-checks the full
+output against a DuckDB window recomputation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .ranking import with_global_running_sum
+
+
+def pack_chunks(
+    df: DataFrame,
+    chunk_tokens: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    order_by: list[str | Column] | None = None,
+) -> DataFrame:
+    """Chunk-assignment table: one row per (document, chunk) overlap.
+
+    Returns (id_col, chunk_id, piece_start, piece_end, chunk_pos):
+    tokens ``[piece_start, piece_end)`` of the document (0-based,
+    doc-relative) land in chunk ``chunk_id`` starting at offset
+    ``chunk_pos`` within the chunk. Zero-token documents contribute no
+    rows. Invariants (property-tested): pieces partition each document;
+    every chunk except the last holds exactly ``chunk_tokens`` tokens;
+    within a chunk, (chunk_pos, piece length) tile it exactly."""
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    order_by = order_by or [id_col]
+    L = F.lit(chunk_tokens)
+    spans = (
+        with_global_running_sum(
+            df.select(id_col, token_col).filter(F.col(token_col) > 0),
+            order_by,
+            token_col,
+            out_col="cend",
+        )
+        .withColumn("cstart", F.col("cend") - F.col(token_col))
+    )
+    out = spans.select(
+        id_col,
+        F.col(token_col),
+        "cstart",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("cstart") / L),
+                F.floor((F.col("cend") - 1) / L),
+            )
+        ).alias("chunk_id"),
+    )
+    piece_start = F.greatest(F.lit(0), F.col("chunk_id") * L - F.col("cstart"))
+    piece_end = F.least(
+        F.col(token_col), (F.col("chunk_id") + 1) * L - F.col("cstart")
+    )
+    chunk_pos = F.greatest(F.lit(0), F.col("cstart") - F.col("chunk_id") * L)
+    return out.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        piece_start.cast("long").alias("piece_start"),
+        piece_end.cast("long").alias("piece_end"),
+        chunk_pos.cast("long").alias("chunk_pos"),
+    )
+
+
+def chunk_utilization(packed: DataFrame, chunk_tokens: int) -> DataFrame:
+    """Per-chunk fill stats from a `pack_chunks` table: (chunk_id,
+    n_pieces, n_tokens, fill_ratio). All chunks except the last must
+    show fill_ratio = 1.0 — the zero-padding-waste property."""
+    return (
+        packed.groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pieces"),
+            F.sum(F.col("piece_end") - F.col("piece_start")).alias("n_tokens"),
+        )
+        .withColumn(
+            "fill_ratio", F.round(F.col("n_tokens") / F.lit(chunk_tokens), 6)
+        )
+    )

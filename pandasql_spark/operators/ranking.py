@@ -89,6 +89,59 @@ def _ranked_with_total(
     return attach_cleanup(ranked, part), acc
 
 
+def with_global_running_sum(
+    df: DataFrame,
+    order_by: list[str | Column],
+    value_col: str,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``df`` plus an INCLUSIVE global running sum of ``value_col``
+    ordered by ``order_by`` — same range-partition + per-partition
+    window + driver prefix-offset recipe as `with_global_row_number`
+    (no single-reducer global window). Deterministic when the sort keys
+    are unique; the driver-side state is one scalar per partition."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    part = df.repartitionByRange(num_partitions, *cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    part = part.persist()
+    sums = {
+        r[_PID]: r["s"]
+        for r in part.groupBy(_PID)
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += int(sums[pid] or 0)
+    if offsets:
+        offset_expr = F.element_at(
+            F.map_from_arrays(
+                F.array(*[F.lit(int(p)) for p in offsets]),
+                F.array(*[F.lit(int(o)) for o in offsets.values()]),
+            ),
+            F.col(_PID),
+        )
+    else:
+        offset_expr = F.lit(0)
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = part.withColumn(
+        out_col, F.sum(value_col).over(w) + offset_expr
+    ).drop(_PID)
+    return attach_cleanup(out, part)
+
+
 def with_global_row_number(
     df: DataFrame,
     order_by: list[str | Column],

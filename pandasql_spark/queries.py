@@ -1232,6 +1232,45 @@ WHERE doc_id NOT IN (SELECT id_b FROM pairs)
 """
 
 
+def q64_sequence_packing(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Sequence packing (operators/packing.py): documents concatenated
+    in doc_id order and cut into 512-token chunks; each (doc, chunk)
+    overlap row gives the doc-relative token slice and its offset in
+    the chunk. The global token offset comes from the distributed
+    running sum (range partition + per-partition window + scalar
+    prefix offsets — no single-reducer window); chunk assignment is
+    closed-form arithmetic + a bounded `sequence()` explode, so the
+    oracle reproduces the whole table from a DuckDB window cumsum."""
+    from pandasql_spark.operators.packing import pack_chunks
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return pack_chunks(docs, 512)
+
+
+Q64_SQL = """
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+), spans AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id) AS cend
+  FROM toks WHERE n_tokens > 0
+), exploded AS (
+  SELECT doc_id, n_tokens, cend, cend - n_tokens AS cstart,
+         unnest(range(CAST((cend - n_tokens) // 512 AS BIGINT),
+                      CAST((cend - 1) // 512 + 1 AS BIGINT))) AS chunk_id
+  FROM spans
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(greatest(0, chunk_id * 512 - cstart) AS BIGINT) AS piece_start,
+       CAST(least(n_tokens, (chunk_id + 1) * 512 - cstart) AS BIGINT) AS piece_end,
+       CAST(greatest(0, cstart - chunk_id * 512) AS BIGINT) AS chunk_pos
+FROM exploded
+"""
+
+
 def q26_sessionize(spark: SparkSession, sf: str) -> SparkDataFrame:
     """Batch sessionization via window functions (gap = 30 min): lag →
     new-session flag → running sum = session id → per-session agg. An
@@ -2296,6 +2335,10 @@ REGISTRY: dict[str, QueryDef] = {
         q63_incremental_dedup, Q63_SQL,
         "incremental streaming near-dup dedup vs persisted band store (value-checked)",
     ),
+    "q64_sequence_packing": QueryDef(
+        q64_sequence_packing, Q64_SQL,
+        "concat-and-chunk sequence packing via distributed running sum",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -2362,6 +2405,7 @@ _RESTING: tuple[str, ...] = (
     "q12_having",
     "q09_union",
     "q13_rename_sort_limit",
+    "q15_window_topn",
     "q20_cosine_topk",
     "q29_anti_join",
     "q30_set_ops",

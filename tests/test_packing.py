@@ -1,0 +1,130 @@
+"""Sequence-packing tests: differential vs a pandas cumsum oracle, the
+token-conservation/utilization invariants, and the distributed running
+sum against its single-machine twin."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tests.conftest import soak_examples
+
+from pandasql_spark.operators.packing import chunk_utilization, pack_chunks
+from pandasql_spark.operators.ranking import with_global_running_sum
+
+
+def _pandas_pack(pdf: pd.DataFrame, L: int) -> pd.DataFrame:
+    """Single-machine oracle: cumsum + per-doc chunk expansion."""
+    pdf = pdf[pdf.n_tokens > 0].sort_values("doc_id").reset_index(drop=True)
+    cend = pdf.n_tokens.cumsum()
+    cstart = cend - pdf.n_tokens
+    rows = []
+    for doc, n, s, e in zip(pdf.doc_id, pdf.n_tokens, cstart, cend):
+        for c in range(s // L, (e - 1) // L + 1):
+            rows.append(
+                {
+                    "doc_id": doc,
+                    "chunk_id": c,
+                    "piece_start": max(0, c * L - s),
+                    "piece_end": min(n, (c + 1) * L - s),
+                    "chunk_pos": max(0, s - c * L),
+                }
+            )
+    return pd.DataFrame(
+        rows, columns=["doc_id", "chunk_id", "piece_start", "piece_end", "chunk_pos"]
+    )
+
+
+def _sorted(pdf):
+    return pdf.sort_values(["doc_id", "chunk_id"], ignore_index=True).sort_index(
+        axis=1
+    )
+
+
+def test_matches_pandas_oracle(spark):
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {"doc_id": range(500), "n_tokens": rng.integers(0, 300, 500)}
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    got = _sorted(pack_chunks(df, 128).toPandas())
+    exp = _sorted(_pandas_pack(pdf, 128))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_invariants_and_utilization(spark):
+    rng = np.random.default_rng(4)
+    pdf = pd.DataFrame(
+        {"doc_id": range(200), "n_tokens": rng.integers(1, 90, 200)}
+    )
+    L = 64
+    df = spark.createDataFrame(pdf).repartition(5)
+    packed = pack_chunks(df, L)
+    out = packed.toPandas()
+    # token conservation: pieces partition each doc exactly
+    per_doc = out.groupby("doc_id").apply(
+        lambda g: (g.piece_end - g.piece_start).sum(), include_groups=False
+    )
+    assert (per_doc == pdf.set_index("doc_id").n_tokens).all()
+    # pieces within a doc are contiguous ascending
+    for _, g in out.sort_values("chunk_id").groupby("doc_id"):
+        assert g.piece_start.iloc[0] == 0
+        assert (g.piece_end.iloc[:-1].values == g.piece_start.iloc[1:].values).all()
+    # every chunk except the last is exactly full (zero padding waste)
+    util = (
+        chunk_utilization(pack_chunks(df, L), L)
+        .toPandas()
+        .sort_values("chunk_id")
+    )
+    assert (util.n_tokens.iloc[:-1] == L).all()
+    assert util.n_tokens.iloc[-1] <= L
+    # chunk ids are dense 0..K
+    assert list(util.chunk_id) == list(range(len(util)))
+
+
+def test_running_sum_matches_pandas(spark):
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame({"k": range(1000), "v": rng.integers(-50, 50, 1000)})
+    df = spark.createDataFrame(pdf).repartition(7)
+    got = (
+        with_global_running_sum(df, ["k"], "v", out_col="rs")
+        .toPandas()
+        .sort_values("k", ignore_index=True)
+    )
+    assert list(got["rs"]) == list(pdf.sort_values("k").v.cumsum())
+
+
+def test_chunk_tokens_guard(spark):
+    df = spark.range(3).select(
+        F.col("id").alias("doc_id"), F.lit(5).alias("n_tokens")
+    )
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        pack_chunks(df, 0)
+
+
+@settings(
+    max_examples=soak_examples(30),
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.data_too_large,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    tokens=st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=40),
+    L=st.sampled_from([1, 2, 7, 16]),
+    parts=st.integers(min_value=1, max_value=4),
+)
+def test_property_matches_pandas(spark, tokens, L, parts):
+    """Tiny L and zero-token docs force every boundary case: docs
+    spanning many chunks, docs exactly on a boundary, empty docs."""
+    pdf = pd.DataFrame({"doc_id": range(len(tokens)), "n_tokens": tokens})
+    df = spark.createDataFrame(pdf).repartition(parts)
+    got = _sorted(pack_chunks(df, L).toPandas())
+    exp = _sorted(_pandas_pack(pdf, L))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
