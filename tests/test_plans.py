@@ -153,3 +153,32 @@ def test_stateful_totals_single_state_shuffle(spark):
     # streaming plans can't be explained pre-start the same way; check
     # the analyzed plan mentions the stateful operator
     assert "FlatMapGroupsInPandasWithState" in agg._jdf.queryExecution().analyzed().toString()
+
+
+def test_heavy_hitters_broadcast_verify_no_domain_shuffle(spark):
+    """q62's verify join must broadcast the tiny candidate set (never
+    shuffle the token rows by item for the semi-join), and the whole
+    plan must not contain a nested-loop join."""
+    df = _q(spark, "q62_heavy_hitters")
+    assert broadcast_join_count(df) >= 1, operator_names(df)
+    ops = operator_names(df)
+    assert "BroadcastNestedLoopJoin" not in ops, ops
+    assert "CartesianProduct" not in ops, ops
+
+
+def test_sequence_packing_no_single_partition_window(spark):
+    """q64's running sum must use the range-partitioned recipe — a
+    SinglePartition Exchange would mean the global window snuck back."""
+    from pandasql_spark.plans import explain_str
+
+    plan = explain_str(_q(spark, "q64_sequence_packing"), "formatted")
+    assert "SinglePartition" not in plan, plan
+
+
+def test_fuzzy_match_broadcasts_name_pairs(spark):
+    """q54's expansion joins must broadcast the matched-name-pair table
+    (the big part table is never shuffled by name)."""
+    df = _q(spark, "q54_fuzzy_match")
+    assert broadcast_join_count(df) >= 2, operator_names(df)
+    ops = operator_names(df)
+    assert "CartesianProduct" not in ops, ops
