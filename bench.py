@@ -54,6 +54,8 @@ HEADLINE = [
     "q10_embedding_neardup",
     "q51_tfidf",
     "q54_fuzzy_match",
+    "q62_heavy_hitters",
+    "q64_sequence_packing",
 ]
 
 
