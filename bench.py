@@ -100,13 +100,19 @@ def main() -> None:
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        best = float("inf")
         try:
+            runs = []
             for _ in range(2):
                 t0 = time.perf_counter()
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
+                runs.append(time.perf_counter() - t0)
+            # noisy pair (shared-VM neighbors, GC) → one tie-break run;
+            # min-of-N stays the steady-state estimator
+            if abs(runs[0] - runs[1]) / min(runs) > 0.25:
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(min(runs), 3)
         except Exception as exc:  # noqa: BLE001 — keep benching
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
         finally:

@@ -51,9 +51,15 @@ def pack_chunks(
         raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
     order_by = order_by or [id_col]
     L = F.lit(chunk_tokens)
+    # prune to the needed columns, keeping any string-named order keys
+    keep = list(
+        dict.fromkeys(
+            [id_col, token_col] + [c for c in order_by if isinstance(c, str)]
+        )
+    )
     spans = (
         with_global_running_sum(
-            df.select(id_col, token_col).filter(F.col(token_col) > 0),
+            df.select(*keep).filter(F.col(token_col) > 0),
             order_by,
             token_col,
             out_col="cend",

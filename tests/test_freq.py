@@ -129,3 +129,12 @@ def test_property_matches_naive(spark, items, threshold, parts):
     got = _sorted(freq.heavy_hitters(df, "item", threshold).toPandas())
     exp = _sorted(_naive(df, "item", threshold).toPandas())
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_all_null_items(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"item": pd.Series([None, None, None], dtype="object")}),
+        schema="item string",
+    )
+    out = freq.heavy_hitters(df, "item", 0.5).toPandas()
+    assert len(out) == 0

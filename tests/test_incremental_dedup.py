@@ -94,3 +94,17 @@ def test_batch_replay_is_idempotent(spark, mini_corpus, tmp_path):
     before = snapshot()
     process_batch(b1, 1, store, surv_dir)  # retry of the last batch
     assert snapshot() == before
+
+
+def test_empty_batch_is_noop(spark, mini_corpus, tmp_path):
+    """A micro-batch with zero rows (idle trigger) must not corrupt the
+    store or emit survivors."""
+    store, surv_dir = str(tmp_path / "store"), str(tmp_path / "surv")
+    b0 = spark.createDataFrame(mini_corpus[mini_corpus.doc_id < 9])
+    process_batch(b0, 0, store, surv_dir)
+    empty = spark.createDataFrame([], schema="doc_id long, text string")
+    process_batch(empty, 1, store, surv_dir)
+    sigs = spark.read.parquet(os.path.join(store, "sigs"))
+    assert sigs.count() == (mini_corpus.doc_id < 9).sum()
+    surv = spark.read.parquet(surv_dir)
+    assert surv.filter(surv.batch_id == 1).count() == 0

@@ -128,3 +128,24 @@ def test_property_matches_pandas(spark, tokens, L, parts):
     got = _sorted(pack_chunks(df, L).toPandas())
     exp = _sorted(_pandas_pack(pdf, L))
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_custom_order_and_all_empty_docs(spark):
+    # packing by a priority column instead of id order
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "n_tokens": [4, 4, 4], "prio": [3, 1, 2]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        pack_chunks(df, 8, order_by=["prio", "doc_id"])
+        .toPandas()
+        .sort_values(["chunk_id", "chunk_pos"], ignore_index=True)
+    )
+    # prio order 2,3,1 → chunk 0 holds docs 2 and 3, chunk 1 holds doc 1
+    assert list(out.doc_id) == [2, 3, 1]
+    assert list(out.chunk_id) == [0, 0, 1]
+    # all-zero-token input produces an empty assignment, not an error
+    empty = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "n_tokens": [0, 0]})
+    )
+    assert pack_chunks(empty, 8).count() == 0
