@@ -175,6 +175,64 @@ def ntile_bucket(rn: Column, total: int, n: int) -> Column:
     )
 
 
+def exact_percentiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: list[float],
+    tiebreak: str | Column | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT percentiles by the inverse-CDF definition (value at global
+    1-based position ``ceil(q·n)``), computed with the distributed
+    ranking recipe — range partition + per-partition sort + offset —
+    never a single-reducer sort and never `percentile()`'s
+    collect-all-values aggregation buffer.
+
+    Spark's built-in exact `percentile` buffers every value of a group
+    in one aggregation state (OOM at scale); `percentile_approx` is
+    bounded but approximate. This is the third point in that trade
+    space: exact AND distributed, at the cost of one range shuffle.
+    Returns (q double, value) rows, one per requested quantile.
+    ``tiebreak`` (default: the value column alone) makes the position
+    deterministic when values repeat — pass a unique key for full
+    determinism, exactly as a deterministic SQL row_number requires."""
+    if not quantiles:
+        raise ValueError("quantiles must be non-empty")
+    for q in quantiles:
+        if not 0 < q <= 1:
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    order: list[str | Column] = [value_col]
+    if tiebreak is not None:
+        order.append(tiebreak)
+    ranked, total = _ranked_with_total(df, order, _RN, num_partitions)
+    if total == 0:
+        out = df.sparkSession.createDataFrame(
+            [], schema=f"q double, value {df.schema[value_col].dataType.simpleString()}"
+        )
+        return out
+    import math
+
+    # rank → [qs] (several quantiles can share a position at tiny n)
+    by_rank: dict[int, list[float]] = {}
+    for q in quantiles:
+        by_rank.setdefault(math.ceil(q * total), []).append(float(q))
+    qs_for_rank = F.create_map(
+        *[
+            x
+            for r, ps in by_rank.items()
+            for x in (
+                F.lit(int(r)).cast("long"),
+                F.array(*[F.lit(p) for p in sorted(ps)]),
+            )
+        ]
+    )
+    out = ranked.filter(F.col(_RN).isin(list(by_rank))).select(
+        F.explode(F.element_at(qs_for_rank, F.col(_RN).cast("long"))).alias("q"),
+        F.col(value_col).alias("value"),
+    )
+    return attach_cleanup(out, ranked.cleanup)
+
+
 def exact_ntile(
     df: DataFrame,
     n: int,

@@ -1271,6 +1271,36 @@ FROM exploded
 """
 
 
+def q65_exact_percentiles(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """EXACT order-price percentiles (operators/ranking.py:
+    exact_percentiles): inverse-CDF value at global position ceil(q·n),
+    found by the distributed ranking recipe — never `percentile()`'s
+    collect-all-values aggregation buffer, never a single-reducer sort,
+    never an approximation. o_orderkey tiebreak makes the position
+    deterministic; the oracle recomputes the identical row_number pick
+    in DuckDB."""
+    from pandasql_spark.operators.ranking import exact_percentiles
+
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    return exact_percentiles(
+        o, "o_totalprice", [0.01, 0.25, 0.5, 0.75, 0.95, 0.99], tiebreak="o_orderkey"
+    )
+
+
+Q65_SQL = """
+WITH r AS (
+  SELECT o_totalprice AS value,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM orders
+)
+SELECT q, value
+FROM r
+JOIN (VALUES (0.01), (0.25), (0.5), (0.75), (0.95), (0.99)) qs(q)
+  ON rn = CAST(ceil(q * n) AS BIGINT)
+"""
+
+
 def q26_sessionize(spark: SparkSession, sf: str) -> SparkDataFrame:
     """Batch sessionization via window functions (gap = 30 min): lag →
     new-session flag → running sum = session id → per-session agg. An
@@ -2339,6 +2369,10 @@ REGISTRY: dict[str, QueryDef] = {
         q64_sequence_packing, Q64_SQL,
         "concat-and-chunk sequence packing via distributed running sum",
     ),
+    "q65_exact_percentiles": QueryDef(
+        q65_exact_percentiles, Q65_SQL,
+        "exact distributed percentiles (no single-reducer sort, no value buffer)",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -2400,6 +2434,7 @@ REGISTRY: dict[str, QueryDef] = {
 # row r3) rotate IN; new-this-round q62 gates immediately (new queries
 # never start resting); these twelve r3+r4-green slots rest:
 _RESTING: tuple[str, ...] = (
+    "q02_filter_distinct",
     "q03_predicates",
     "q07_join_diffkeys",
     "q12_having",

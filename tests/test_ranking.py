@@ -94,3 +94,56 @@ def test_exact_ntile_tiny_inputs(spark):
     one = spark.createDataFrame([(1.5, 1)], schema)
     out = exact_ntile(one, 10, keys, bucket_col="b").toPandas()
     assert list(out["b"]) == [1]
+
+
+def test_exact_percentiles_matches_numpy(spark, orders):
+    from pandasql_spark.operators.ranking import exact_percentiles
+
+    got = (
+        exact_percentiles(
+            orders, "o_totalprice", [0.1, 0.5, 0.9], tiebreak="o_orderkey"
+        )
+        .toPandas()
+        .sort_values("q", ignore_index=True)
+    )
+    vals = sorted(r.o_totalprice for r in orders.select("o_totalprice").collect())
+    import math
+
+    n = len(vals)
+    exp = [vals[math.ceil(q * n) - 1] for q in (0.1, 0.5, 0.9)]
+    assert list(got["value"]) == exp
+
+
+def test_exact_percentiles_edges(spark):
+    import pandas as pd
+
+    from pandasql_spark.operators.ranking import exact_percentiles
+
+    df = spark.createDataFrame(pd.DataFrame({"v": [5.0, 1.0, 3.0], "k": [1, 2, 3]}))
+    # q=1.0 is the max; colliding positions at tiny n emit one row per q
+    got = (
+        exact_percentiles(df, "v", [0.2, 0.3, 1.0], tiebreak="k")
+        .toPandas()
+        .sort_values("q", ignore_index=True)
+    )
+    assert list(got["q"]) == [0.2, 0.3, 1.0]
+    assert list(got["value"]) == [1.0, 1.0, 5.0]  # ceil(.2*3)=ceil(.3*3)=1
+    empty = spark.createDataFrame([], schema="v double, k long")
+    assert exact_percentiles(empty, "v", [0.5], tiebreak="k").count() == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="quantiles"):
+        exact_percentiles(df, "v", [])
+    with _pt.raises(ValueError, match="quantiles"):
+        exact_percentiles(df, "v", [0.0])
+
+
+def test_exact_percentiles_plan_no_single_partition(spark, orders):
+    from pandasql_spark.operators.ranking import exact_percentiles
+    from pandasql_spark.plans import explain_str
+
+    plan = explain_str(
+        exact_percentiles(orders, "o_totalprice", [0.5], tiebreak="o_orderkey"),
+        "formatted",
+    )
+    assert "SinglePartition" not in plan, plan
