@@ -233,6 +233,52 @@ def exact_percentiles(
     return attach_cleanup(out, ranked.cleanup)
 
 
+def grouped_exact_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    quantiles: list[float],
+    tiebreak: str | Column | None = None,
+) -> DataFrame:
+    """Exact inverse-CDF percentiles PER GROUP: (group_cols..., q,
+    value). Unlike the global case, a window partitioned by the group
+    keys is already scale-safe (each task sorts one group's rows), so
+    this is a plain partitioned window — the global
+    `exact_percentiles` recipe is only needed when there is no
+    partitioning key. Groups must individually fit the window-partition
+    envelope (they do for categorical keys; for a near-unique key you
+    don't want percentiles anyway)."""
+    if not quantiles:
+        raise ValueError("quantiles must be non-empty")
+    for q in quantiles:
+        if not 0 < q <= 1:
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    order: list = [F.col(value_col)]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak)
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    wn = Window.partitionBy(*group_cols)
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col).alias("value"),
+        F.row_number().over(w).alias(_RN),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    qarr = F.array(*[F.lit(float(q)) for q in sorted(set(quantiles))])
+    return (
+        ranked.select(
+            *group_cols,
+            "value",
+            F.explode(
+                F.filter(
+                    qarr, lambda q: F.ceil(q * F.col("__n")) == F.col(_RN)
+                )
+            ).alias("q"),
+        )
+        .select(*group_cols, "q", "value")
+    )
+
+
 def exact_ntile(
     df: DataFrame,
     n: int,

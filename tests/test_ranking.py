@@ -147,3 +147,30 @@ def test_exact_percentiles_plan_no_single_partition(spark, orders):
         "formatted",
     )
     assert "SinglePartition" not in plan, plan
+
+
+def test_grouped_exact_percentiles(spark, orders):
+    import math
+
+    import pandas as pd
+
+    from pandasql_spark.operators.ranking import grouped_exact_percentiles
+
+    qs = [0.5, 0.9]
+    got = (
+        grouped_exact_percentiles(
+            orders, ["o_orderstatus"], "o_totalprice", qs, tiebreak="o_orderkey"
+        )
+        .toPandas()
+        .sort_values(["o_orderstatus", "q"], ignore_index=True)
+    )
+    pdf = orders.select("o_orderstatus", "o_totalprice").toPandas()
+    rows = []
+    for g, grp in pdf.groupby("o_orderstatus"):
+        vals = sorted(grp.o_totalprice)
+        for q in qs:
+            rows.append((g, q, vals[math.ceil(q * len(vals)) - 1]))
+    exp = pd.DataFrame(rows, columns=["o_orderstatus", "q", "value"]).sort_values(
+        ["o_orderstatus", "q"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
