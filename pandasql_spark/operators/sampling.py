@@ -52,3 +52,23 @@ def stratified_sample_exact(
         .filter(F.col("__srank") <= n_per_stratum)
         .drop("__srank")
     )
+
+
+def sample_exact_global(df: DataFrame, n: int, id_col: str) -> DataFrame:
+    """Exactly ``min(n, |df|)`` rows, deterministically and
+    engine-portably: global md5-rank of the id (the same "portable
+    random order" trick as `stratified_sample_exact`), selected with
+    the distributed ranking recipe — no stratum key here, so a naive
+    `Window.orderBy` would be a single-reducer sort; instead this rides
+    `ranking.with_global_row_number` (range partition + offsets).
+    Returns the original columns."""
+    from .ranking import with_global_row_number
+
+    if n < 0:
+        raise ValueError(f"n must be >= 0, got {n}")
+    ranked = with_global_row_number(
+        df.withColumn("__skey", F.md5(F.col(id_col).cast("string"))),
+        ["__skey", id_col],
+        rn_col="__srank",
+    )
+    return ranked.filter(F.col("__srank") <= n).drop("__srank", "__skey")

@@ -42,3 +42,30 @@ def test_fraction_sampling_drops_unlisted_strata(spark):
          stratified_sample_fraction(docs, "lang", {keep: 0.5}, seed=7)
          .select("doc_id").collect()}
     assert a == b
+
+
+def test_sample_exact_global(spark):
+    from pandasql_spark.operators.sampling import sample_exact_global
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    total = docs.count()
+    out = sample_exact_global(docs, 40, "doc_id")
+    assert out.count() == 40
+    assert out.columns == docs.columns
+    # deterministic: same 40 ids on a second run
+    a = sorted(r.doc_id for r in out.select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in sample_exact_global(docs, 40, "doc_id").select("doc_id").collect()
+    )
+    assert a == b
+    # n >= |df| returns everything; n=0 returns nothing
+    assert sample_exact_global(docs, total + 10, "doc_id").count() == total
+    assert sample_exact_global(docs, 0, "doc_id").count() == 0
+    # matches the portable oracle: first 40 by md5(doc_id) rank
+    pdf = docs.select("doc_id").toPandas()
+    import hashlib
+
+    pdf["k"] = pdf.doc_id.map(lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    exp = sorted(pdf.sort_values(["k", "doc_id"]).head(40).doc_id)
+    assert a == exp
