@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .cache import attach_cleanup
 from .ranking import with_global_running_sum
 
 
@@ -51,21 +52,20 @@ def pack_chunks(
         raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
     order_by = order_by or [id_col]
     L = F.lit(chunk_tokens)
-    # prune to the needed columns, keeping any string-named order keys
-    keep = list(
-        dict.fromkeys(
-            [id_col, token_col] + [c for c in order_by if isinstance(c, str)]
-        )
+    # prune to the needed columns when the order keys are string-named;
+    # a Column-typed key may reference anything, so skip pruning then
+    if all(isinstance(c, str) for c in order_by):
+        keep = list(dict.fromkeys([id_col, token_col, *order_by]))
+        pruned = df.select(*keep)
+    else:
+        pruned = df
+    ranked = with_global_running_sum(
+        pruned.filter(F.col(token_col) > 0),
+        order_by,
+        token_col,
+        out_col="cend",
     )
-    spans = (
-        with_global_running_sum(
-            df.select(*keep).filter(F.col(token_col) > 0),
-            order_by,
-            token_col,
-            out_col="cend",
-        )
-        .withColumn("cstart", F.col("cend") - F.col(token_col))
-    )
+    spans = ranked.withColumn("cstart", F.col("cend") - F.col(token_col))
     out = spans.select(
         id_col,
         F.col(token_col),
@@ -82,13 +82,16 @@ def pack_chunks(
         F.col(token_col), (F.col("chunk_id") + 1) * L - F.col("cstart")
     )
     chunk_pos = F.greatest(F.lit(0), F.col("cstart") - F.col("chunk_id") * L)
-    return out.select(
+    result = out.select(
         id_col,
         F.col("chunk_id").cast("long").alias("chunk_id"),
         piece_start.cast("long").alias("piece_start"),
         piece_end.cast("long").alias("piece_end"),
         chunk_pos.cast("long").alias("chunk_pos"),
     )
+    # pass through the running sum's persisted-frame release hook
+    # (operators/cache.py contract) — call once materialized
+    return attach_cleanup(result, ranked.cleanup)
 
 
 def chunk_utilization(packed: DataFrame, chunk_tokens: int) -> DataFrame:

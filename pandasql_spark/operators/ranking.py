@@ -45,12 +45,19 @@ _PID = "__psql_pid"
 _RN = "__psql_rn"
 
 
-def _ranked_with_total(
+def _partitioned_with_offsets(
     df: DataFrame,
     order_by: list[str | Column],
-    rn_col: str,
+    agg: Column,
     num_partitions: int | None,
-) -> tuple[DataFrame, int]:
+):
+    """Shared scaffold of the distributed ranking recipe: range-shuffle
+    on the sort keys, persist to freeze the sampled boundaries, collect
+    one ``agg`` scalar per partition, and build the pid→prefix-offset
+    literal map. Returns (part, offset_expr, grand_total). Offsets keep
+    the aggregate's own numeric type (a count recipe gets exact ints; a
+    float-sum recipe gets float offsets — truncating those to int would
+    silently corrupt every downstream partition's values)."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     if num_partitions is None:
         num_partitions = int(
@@ -59,34 +66,46 @@ def _ranked_with_total(
     part = df.repartitionByRange(num_partitions, *cols).withColumn(
         _PID, F.spark_partition_id()
     )
-    # Freeze the sampled range boundaries: counts and ranking must see
-    # the same partitioning (lazy persist; callers get a cleanup() hook,
-    # else LRU-evicted like dedup.py's signature cache).
+    # lazy persist; callers get a cleanup() hook, else LRU-evicted like
+    # dedup.py's signature cache
     part = part.persist()
-    counts = {
-        r[_PID]: r["cnt"]
-        for r in part.groupBy(_PID).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    per_pid = {
+        r[_PID]: r["agg"]
+        for r in part.groupBy(_PID).agg(agg.alias("agg")).collect()
     }
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid in sorted(counts):
+    offsets: dict[int, float | int] = {}
+    acc: float | int = 0
+    for pid in sorted(per_pid):
         offsets[pid] = acc
-        acc += counts[pid]
+        acc += per_pid[pid] or 0
     if offsets:
         # literal pid→offset map: ≤ num_partitions entries, pennies even
         # at thousands of partitions; avoids joining a derived frame
         offset_expr = F.element_at(
             F.map_from_arrays(
                 F.array(*[F.lit(int(p)) for p in offsets]),
-                F.array(*[F.lit(int(o)) for o in offsets.values()]),
+                F.array(*[F.lit(o) for o in offsets.values()]),
             ),
             F.col(_PID),
         )
     else:
         offset_expr = F.lit(0)
+    return part, offset_expr, acc
+
+
+def _ranked_with_total(
+    df: DataFrame,
+    order_by: list[str | Column],
+    rn_col: str,
+    num_partitions: int | None,
+) -> tuple[DataFrame, int]:
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    part, offset_expr, total = _partitioned_with_offsets(
+        df, order_by, F.count(F.lit(1)), num_partitions
+    )
     w = Window.partitionBy(_PID).orderBy(*cols)
     ranked = part.withColumn(rn_col, F.row_number().over(w) + offset_expr).drop(_PID)
-    return attach_cleanup(ranked, part), acc
+    return attach_cleanup(ranked, part), total
 
 
 def with_global_running_sum(
@@ -100,37 +119,13 @@ def with_global_running_sum(
     ordered by ``order_by`` — same range-partition + per-partition
     window + driver prefix-offset recipe as `with_global_row_number`
     (no single-reducer global window). Deterministic when the sort keys
-    are unique; the driver-side state is one scalar per partition."""
+    are unique; the driver-side state is one scalar per partition.
+    Integer value columns get exact sums; float columns inherit the
+    usual float-summation order-sensitivity."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    if num_partitions is None:
-        num_partitions = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
-    part = df.repartitionByRange(num_partitions, *cols).withColumn(
-        _PID, F.spark_partition_id()
+    part, offset_expr, _ = _partitioned_with_offsets(
+        df, order_by, F.sum(value_col), num_partitions
     )
-    part = part.persist()
-    sums = {
-        r[_PID]: r["s"]
-        for r in part.groupBy(_PID)
-        .agg(F.sum(value_col).alias("s"))
-        .collect()
-    }
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid in sorted(sums):
-        offsets[pid] = acc
-        acc += int(sums[pid] or 0)
-    if offsets:
-        offset_expr = F.element_at(
-            F.map_from_arrays(
-                F.array(*[F.lit(int(p)) for p in offsets]),
-                F.array(*[F.lit(int(o)) for o in offsets.values()]),
-            ),
-            F.col(_PID),
-        )
-    else:
-        offset_expr = F.lit(0)
     w = (
         Window.partitionBy(_PID)
         .orderBy(*cols)
@@ -206,16 +201,18 @@ def exact_percentiles(
         order.append(tiebreak)
     ranked, total = _ranked_with_total(df, order, _RN, num_partitions)
     if total == 0:
-        out = df.sparkSession.createDataFrame(
+        ranked.cleanup()  # the empty frame was still persisted+counted
+        return df.sparkSession.createDataFrame(
             [], schema=f"q double, value {df.schema[value_col].dataType.simpleString()}"
         )
-        return out
     import math
 
-    # rank → [qs] (several quantiles can share a position at tiny n)
+    # rank → [qs]; dedup so repeated quantiles emit one row (matching
+    # grouped_exact_percentiles), and several distinct quantiles can
+    # still share a position at tiny n
     by_rank: dict[int, list[float]] = {}
-    for q in quantiles:
-        by_rank.setdefault(math.ceil(q * total), []).append(float(q))
+    for q in sorted(set(float(q) for q in quantiles)):
+        by_rank.setdefault(math.ceil(q * total), []).append(q)
     qs_for_rank = F.create_map(
         *[
             x

@@ -62,6 +62,7 @@ def sample_exact_global(df: DataFrame, n: int, id_col: str) -> DataFrame:
     `Window.orderBy` would be a single-reducer sort; instead this rides
     `ranking.with_global_row_number` (range partition + offsets).
     Returns the original columns."""
+    from .cache import attach_cleanup
     from .ranking import with_global_row_number
 
     if n < 0:
@@ -71,4 +72,6 @@ def sample_exact_global(df: DataFrame, n: int, id_col: str) -> DataFrame:
         ["__skey", id_col],
         rn_col="__srank",
     )
-    return ranked.filter(F.col("__srank") <= n).drop("__srank", "__skey")
+    out = ranked.filter(F.col("__srank") <= n).drop("__srank", "__skey")
+    # pass through the ranking recipe's persisted-frame release hook
+    return attach_cleanup(out, ranked.cleanup)

@@ -14,14 +14,15 @@ Per micro-batch (`foreachBatch`):
 
 1. signatures + band table for the new docs — one `mapInPandas` pass,
    no shuffle;
-2. candidates vs HISTORY: join the batch's bands against the store on
-   (band_idx, band_hash) — new docs compare only against same-bucket
-   history, never all of it;
-3. candidates WITHIN the batch: the ordinary `lsh_candidate_pairs`;
-4. both candidate sets verify with `signature_est_jaccard` ≥ threshold;
-   a doc is dropped iff it near-matches ANY earlier doc (earlier batch,
-   or smaller id within its own batch);
-5. survivors append to ``survivors_dir``; ALL batch docs' sigs+bands
+2. ONE candidate join: the batch's bands against the union of history
+   and batch bands, keeping pairs where the other id is smaller — new
+   docs compare only against same-bucket earlier docs, never all of
+   history (optional ``max_bucket_size`` prunes degenerate buckets by
+   their size over history+batch so far);
+3. candidates verify with `signature_est_jaccard` ≥ threshold; a doc
+   is dropped iff it near-matches ANY earlier doc (earlier batch, or
+   smaller id within its own batch);
+4. survivors append to ``survivors_dir``; ALL batch docs' sigs+bands
    append to the store.
 
 Appending every doc (not just survivors) to the store makes the
@@ -54,7 +55,6 @@ from pyspark.sql import functions as F
 
 from pandasql_spark.operators.dedup import (
     band_table,
-    lsh_candidate_pairs,
     minhash_signatures,
     signature_est_jaccard,
 )
@@ -85,9 +85,28 @@ def process_batch(
     shingle_k: int = 3,
     seed: int = 42,
     base_hash: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> None:
     """One micro-batch of the incremental pipeline (exposed separately
     so tests can drive idempotency/replay without a streaming query).
+
+    Candidates come from ONE join: the batch's band rows against the
+    union of history and batch band rows, keeping pairs where the other
+    doc's id is smaller — with monotone ingestion ids this is exactly
+    the batch pair relation's orientation, within-batch and
+    cross-batch alike.
+
+    ``max_bucket_size=None`` (default) matches the q63 oracle exactly:
+    the survivor set equals the uncapped `minhash_neardup_pairs`
+    relation. Setting a cap prunes degenerate buckets by their size
+    OVER HISTORY+BATCH SO FAR — the production guard against
+    boilerplate buckets going quadratic — but makes decisions online:
+    a bucket that crosses the cap mid-stream stops generating
+    candidates from then on, whereas a batch run over the final corpus
+    would have pruned it throughout, so capped results can differ from
+    the batch relation on exactly those buckets (their content is
+    exact-dup territory; run `exact_dedup` upstream as `dedup_corpus`
+    does).
 
     Everything — reads, conf, writes — goes through
     ``batch.sparkSession``, NOT a captured outer session: inside
@@ -119,44 +138,48 @@ def process_batch(
         spark, os.path.join(store_dir, "bands"), band_schema
     ).filter(F.col("batch_id") < F.lit(batch_id))
 
-    # vs history: same-bucket join; any verified match drops the new doc
-    cand_hist = (
-        bands.join(
-            hist_bands.select(
-                "band_idx", "band_hash", F.col("id").alias("hist_id")
-            ),
-            ["band_idx", "band_hash"],
+    # one candidate join: batch bands vs (history ∪ batch) bands; the
+    # smaller id wins, which with monotone ids covers both the
+    # cross-batch case (history is older) and the within-batch case
+    all_bands = bands.unionByName(
+        hist_bands.select("id", "band_idx", "band_hash")
+    )
+    new_side = bands
+    if max_bucket_size is not None:
+        sizes = all_bands.groupBy("band_idx", "band_hash").agg(
+            F.count(F.lit(1)).alias("sz")
         )
-        .select("id", "hist_id")
+        ok = sizes.filter(F.col("sz") <= max_bucket_size).select(
+            "band_idx", "band_hash"
+        )
+        all_bands = all_bands.join(ok, ["band_idx", "band_hash"])
+        new_side = new_side.join(ok, ["band_idx", "band_hash"])
+    cand = (
+        new_side.alias("n")
+        .join(
+            all_bands.alias("o"),
+            (F.col("n.band_idx") == F.col("o.band_idx"))
+            & (F.col("n.band_hash") == F.col("o.band_hash"))
+            & (F.col("o.id") < F.col("n.id")),
+        )
+        .select(F.col("n.id").alias("id"), F.col("o.id").alias("other_id"))
         .distinct()
     )
-    est = signature_est_jaccard("sig_a", "sig_b")
-    dropped_hist = (
-        cand_hist.join(
-            sigs.select(F.col("id"), F.col("signature").alias("sig_a")), "id"
+    all_sigs = sigs.unionByName(hist_sigs.select("id", "signature"))
+    dropped = (
+        cand.join(
+            sigs.select("id", F.col("signature").alias("sig_a")), "id"
         )
         .join(
-            hist_sigs.select(
-                F.col("id").alias("hist_id"), F.col("signature").alias("sig_b")
+            all_sigs.select(
+                F.col("id").alias("other_id"), F.col("signature").alias("sig_b")
             ),
-            "hist_id",
+            "other_id",
         )
-        .filter(est >= threshold)
+        .filter(signature_est_jaccard("sig_a", "sig_b") >= threshold)
         .select("id")
         .distinct()
     )
-    # within batch: ordinary LSH pairs; min-id-wins drops id_b
-    sa = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
-    sb = sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
-    dropped_batch = (
-        lsh_candidate_pairs(sigs, num_bands, num_hashes)
-        .join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(signature_est_jaccard("sig_a", "sig_b") >= threshold)
-        .select(F.col("id_b").alias("id"))
-        .distinct()
-    )
-    dropped = dropped_hist.union(dropped_batch).distinct()
     survivors = batch.join(
         dropped.withColumnRenamed("id", id_col), id_col, "anti"
     )
@@ -198,6 +221,7 @@ def incremental_neardup_dedup(
     shingle_k: int = 3,
     seed: int = 42,
     base_hash: str = "xxhash64",
+    max_bucket_size: int | None = None,
     available_now: bool = True,
 ):
     """Start the incremental near-dup stream; returns the
@@ -217,6 +241,7 @@ def incremental_neardup_dedup(
             shingle_k=shingle_k,
             seed=seed,
             base_hash=base_hash,
+            max_bucket_size=max_bucket_size,
         )
 
     writer = docs_stream.writeStream.foreachBatch(_process).option(

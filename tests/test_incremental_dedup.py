@@ -108,3 +108,34 @@ def test_empty_batch_is_noop(spark, mini_corpus, tmp_path):
     assert sigs.count() == (mini_corpus.doc_id < 9).sum()
     surv = spark.read.parquet(surv_dir)
     assert surv.filter(surv.batch_id == 1).count() == 0
+
+
+def test_bucket_cap_applies_across_history(spark, tmp_path):
+    """With a cap, a bucket that is under the cap per batch but over it
+    across history+batch stops generating candidates — the online
+    semantics the docstring promises (and without a cap, the pair IS
+    found: the control assertion)."""
+    base = "aa bb cc dd ee ff gg hh ii jj kk ll"
+    # 6 identical docs in batch 0, 6 more (plus one near-dup of base) in
+    # batch 1 → bucket size 6 per batch, 13 across history+batch
+    b0 = pd.DataFrame({"doc_id": range(6), "text": [base] * 6})
+    b1 = pd.DataFrame(
+        {"doc_id": range(10, 17), "text": [base] * 6 + [base.replace("kk", "zz")]}
+    )
+    # uncapped: all 7 batch-1 docs near-match history (the one-token
+    # variant's jaccard ≈ 0.54 ≥ 0.5 too) → 0 survivors. cap=10: the
+    # boilerplate bucket holds 13 > 10 across history+batch, so it
+    # stops generating candidates and all 7 survive — the documented
+    # online-cap semantics (exact_dedup upstream is the real guard).
+    for cap, expect_b1_survivors in ((None, 0), (10, 7)):
+        store = str(tmp_path / f"store_{cap}")
+        surv = str(tmp_path / f"surv_{cap}")
+        process_batch(
+            spark.createDataFrame(b0), 0, store, surv, max_bucket_size=cap
+        )
+        process_batch(
+            spark.createDataFrame(b1), 1, store, surv, max_bucket_size=cap
+        )
+        got = spark.read.parquet(surv)
+        n_b1 = got.filter(got.batch_id == 1).count()
+        assert n_b1 == expect_b1_survivors, (cap, n_b1)

@@ -149,3 +149,31 @@ def test_custom_order_and_all_empty_docs(spark):
         pd.DataFrame({"doc_id": [1, 2], "n_tokens": [0, 0]})
     )
     assert pack_chunks(empty, 8).count() == 0
+
+
+def test_running_sum_float_values(spark):
+    """Float value columns must carry float partition offsets — int
+    truncation of per-partition sums would corrupt every partition
+    after the first."""
+    pdf = pd.DataFrame({"k": range(400), "v": [0.1] * 400})
+    df = spark.createDataFrame(pdf).repartition(6)
+    got = (
+        with_global_running_sum(df, ["k"], "v", out_col="rs")
+        .toPandas()
+        .sort_values("k", ignore_index=True)
+    )
+    exp = pdf.v.cumsum()
+    assert np.allclose(got["rs"], exp, atol=1e-9)
+
+
+def test_column_typed_order_by(spark):
+    """order_by entries may be Column expressions (e.g. F.desc)."""
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "n_tokens": [4, 4, 4], "prio": [3, 1, 2]})
+    df = spark.createDataFrame(pdf)
+    out = (
+        pack_chunks(df, 8, order_by=[F.col("prio").desc(), "doc_id"])
+        .toPandas()
+        .sort_values(["chunk_id", "chunk_pos"], ignore_index=True)
+    )
+    # prio desc → docs 1, 3, 2
+    assert list(out.doc_id) == [1, 3, 2]
