@@ -12,6 +12,7 @@ from . import (
     asof,
     bucketing,
     cluster,
+    contamination,
     dedup,
     freq,
     multimodal,
@@ -27,6 +28,7 @@ __all__ = [
     "asof",
     "bucketing",
     "cluster",
+    "contamination",
     "dedup",
     "freq",
     "multimodal",

@@ -1301,6 +1301,43 @@ JOIN (VALUES (0.01), (0.25), (0.5), (0.75), (0.95), (0.99)) qs(q)
 """
 
 
+def q66_contamination(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Benchmark-contamination check (operators/contamination.py):
+    every 50th document plays the held-out eval set; flag the training
+    docs sharing any word n-gram with it, with occurrence and distinct
+    counts. One corpus scan, eval n-grams broadcast — no corpus-wide
+    shuffle. Gate uses n=3 (the synthetic 31-word vocabulary makes
+    longer n-grams vanishingly rare) and the raw-string join
+    (hashed=False) so the DuckDB oracle reproduces it verbatim;
+    production default is n=13 over xxhash64 keys."""
+    from pandasql_spark.operators.contamination import contaminated_docs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    return contaminated_docs(tr, ev, n=3, hashed=False)
+
+
+Q66_SQL = """
+WITH g AS (
+  SELECT doc_id, unnest(list_transform(
+    range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS g
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), ev AS (
+  SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0
+), tr AS (
+  SELECT doc_id, g FROM g WHERE doc_id % 50 <> 0
+)
+SELECT tr.doc_id,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(count(DISTINCT tr.g) AS BIGINT) AS n_distinct_hits
+FROM tr JOIN ev USING (g)
+GROUP BY tr.doc_id
+"""
+
+
 def q26_sessionize(spark: SparkSession, sf: str) -> SparkDataFrame:
     """Batch sessionization via window functions (gap = 30 min): lag →
     new-session flag → running sum = session id → per-session agg. An
@@ -2373,6 +2410,10 @@ REGISTRY: dict[str, QueryDef] = {
         q65_exact_percentiles, Q65_SQL,
         "exact distributed percentiles (no single-reducer sort, no value buffer)",
     ),
+    "q66_contamination": QueryDef(
+        q66_contamination, Q66_SQL,
+        "benchmark-contamination n-gram overlap (broadcast eval grams, one scan)",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -2444,6 +2485,7 @@ _RESTING: tuple[str, ...] = (
     "q20_cosine_topk",
     "q29_anti_join",
     "q30_set_ops",
+    "q31_rollup",
     "q36_array_dims",
     "q37_string_funcs",
     "q38_pivot",

@@ -1,0 +1,84 @@
+"""Contamination-detection tests: planted n-gram overlaps + a pure-
+Python oracle, hashed/string join parity, and decontaminate round-trip."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pandasql_spark.operators.contamination import (
+    contaminated_docs,
+    decontaminate,
+)
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    evald = pd.DataFrame(
+        {
+            "doc_id": [1000, 1001],
+            "text": [
+                "the capital of france is paris everyone knows",
+                "two plus two equals four in base ten",
+            ],
+        }
+    )
+    train = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                # contains a 5-gram of eval doc 1000 (twice)
+                "q: the capital of france is what answer the capital of france is",
+                # contains a 5-gram of eval doc 1001
+                "we know two plus two equals four obviously",
+                # clean
+                "completely unrelated content about distributed query engines",
+                # shares words but no 5-gram
+                "paris france capital the of is",
+            ],
+        }
+    )
+    return spark.createDataFrame(train), spark.createDataFrame(evald), train
+
+
+def _py_oracle(train_pdf, eval_texts, n):
+    def grams(t):
+        w = t.split(" ")
+        return [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+
+    ev = {g for t in eval_texts for g in grams(t)}
+    out = {}
+    for r in train_pdf.itertuples():
+        hits = [g for g in grams(r.text) if g in ev]
+        if hits:
+            out[r.doc_id] = (len(hits), len(set(hits)))
+    return out
+
+
+@pytest.mark.parametrize("hashed", [True, False])
+def test_contaminated_docs_matches_python(corpora, spark, hashed):
+    train, evald, train_pdf = corpora
+    got = {
+        r.doc_id: (r.n_hits, r.n_distinct_hits)
+        for r in contaminated_docs(train, evald, n=5, hashed=hashed).collect()
+    }
+    exp = _py_oracle(
+        train_pdf, [r.text for r in evald.select("text").collect()], 5
+    )
+    assert got == exp
+    assert 0 in got and 1 in got and 2 not in got and 3 not in got
+    assert got[0] == (2, 1)  # the eval 5-gram appears twice, once distinct
+
+
+def test_decontaminate(corpora, spark):
+    train, evald, _ = corpora
+    clean = decontaminate(train, evald, n=5)
+    assert sorted(r.doc_id for r in clean.select("doc_id").collect()) == [2, 3]
+    # n larger than any doc: nothing flagged, everything survives
+    assert decontaminate(train, evald, n=50).count() == train.count()
+
+
+def test_n_guard(corpora, spark):
+    train, evald, _ = corpora
+    with pytest.raises(ValueError, match="n must be"):
+        contaminated_docs(train, evald, n=0)
