@@ -56,6 +56,8 @@ HEADLINE = [
     "q54_fuzzy_match",
     "q62_heavy_hitters",
     "q64_sequence_packing",
+    "q65_exact_percentiles",
+    "q66_contamination",
 ]
 
 
