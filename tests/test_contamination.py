@@ -82,3 +82,51 @@ def test_n_guard(corpora, spark):
     train, evald, _ = corpora
     with pytest.raises(ValueError, match="n must be"):
         contaminated_docs(train, evald, n=0)
+
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import soak_examples
+
+
+@settings(
+    max_examples=soak_examples(25),
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.data_too_large,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=10**6),
+    n=st.sampled_from([1, 2, 3]),
+    n_train=st.integers(min_value=1, max_value=12),
+    n_eval=st.integers(min_value=1, max_value=4),
+)
+def test_property_matches_python_oracle(spark, seed, n, n_train, n_eval):
+    """Tiny vocab forces heavy overlap; tiny docs force the len<n empty
+    case; n=1 degenerates to token overlap."""
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c", "d"]
+
+    def doc():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 8)))
+
+    train_pdf = pd.DataFrame(
+        {"doc_id": range(n_train), "text": [doc() for _ in range(n_train)]}
+    )
+    eval_texts = [doc() for _ in range(n_eval)]
+    evald = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(1000, 1000 + n_eval), "text": eval_texts})
+    )
+    got = {
+        r.doc_id: (r.n_hits, r.n_distinct_hits)
+        for r in contaminated_docs(
+            spark.createDataFrame(train_pdf), evald, n=n
+        ).collect()
+    }
+    assert got == _py_oracle(train_pdf, eval_texts, n)
