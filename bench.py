@@ -58,6 +58,8 @@ HEADLINE = [
     "q64_sequence_packing",
     "q65_exact_percentiles",
     "q66_contamination",
+    "q67_repetition_signals",
+    "q68_pii_redaction",
 ]
 
 

@@ -1338,6 +1338,119 @@ GROUP BY tr.doc_id
 """
 
 
+def q67_repetition_signals(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Gopher-style repetition quality signals
+    (operators/repetition.py): per-document bigram stats — total
+    bigrams, top-bigram count, top-bigram fraction, duplicated-bigram
+    fraction. Gate runs the default impl="hof" path: array_sort + one
+    aggregate() pass per row, ZERO shuffles (the oracle and the
+    impl="explode" cross-check reproduce it with explode + groupBy)."""
+    from pandasql_spark.operators.repetition import repetition_signals
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return repetition_signals(docs, n=2)
+
+
+Q67_SQL = """
+WITH g AS (
+  SELECT doc_id, unnest(list_transform(
+    range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
+    i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))) AS g
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+), c AS (
+  SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY doc_id, g
+), a AS (
+  SELECT doc_id,
+         sum(cnt) AS n_grams,
+         max(cnt) AS top_gram_count,
+         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_gram_n
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(top_gram_count AS BIGINT) AS top_gram_count,
+       round(top_gram_count / CAST(n_grams AS DOUBLE), 6) AS top_gram_frac,
+       round(dup_gram_n / CAST(n_grams AS DOUBLE), 6) AS dup_gram_frac
+FROM a
+"""
+
+
+def q68_pii_redaction(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """PII detection + redaction (functions/pii.py) over a text column
+    with deterministically planted email/phone/IPv4 literals (the
+    synthetic corpus carries no real PII, so both engines plant the
+    same values from c_custkey). Counts use regexp_count, redaction
+    chained regexp_replace — all JVM-side codegen, zero shuffles; the
+    patterns are restricted to Java-regex/RE2-identical syntax so the
+    DuckDB oracle runs them verbatim."""
+    from pandasql_spark.functions.pii import pii_count, redact_pii
+    from pandasql_spark.functions import pii
+
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    key = F.col("c_custkey")
+    text = F.concat_ws(
+        " ",
+        F.col("c_name"),
+        F.lit("of segment"),
+        F.col("c_mktsegment"),
+        F.lit("mail user") ,
+        F.concat(F.lit("user"), key.cast("string"), F.lit("@example.com")),
+        F.lit("call"),
+        F.concat_ws(
+            "-",
+            F.lpad((key % 90 + 10).cast("string"), 2, "0"),
+            F.lpad((key % 900 + 100).cast("string"), 3, "0"),
+            F.lpad((key % 731).cast("string"), 3, "0"),
+            F.lpad((key % 9973).cast("string"), 4, "0"),
+        ),
+        F.lit("host"),
+        F.concat(
+            F.lit("10."), (key % 256).cast("string"), F.lit(".0."),
+            (key % 100).cast("string"),
+        ),
+    )
+    docs = c.select(key.alias("c_custkey"), text.alias("t"))
+    return docs.select(
+        "c_custkey",
+        F.regexp_count(F.col("t"), F.lit(pii.EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(pii.PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(F.col("t"), F.lit(pii.IPV4_RE)).cast("long").alias("n_ips"),
+        pii_count("t").cast("long").alias("n_pii"),
+        redact_pii("t").alias("redacted"),
+    )
+
+
+Q68_SQL = r"""
+WITH d AS (
+  SELECT c_custkey,
+         c_name || ' of segment ' || c_mktsegment || ' mail user ' ||
+         'user' || CAST(c_custkey AS VARCHAR) || '@example.com call ' ||
+         lpad(CAST(c_custkey % 90 + 10 AS VARCHAR), 2, '0') || '-' ||
+         lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0') || '-' ||
+         lpad(CAST(c_custkey % 731 AS VARCHAR), 3, '0') || '-' ||
+         lpad(CAST(c_custkey % 9973 AS VARCHAR), 4, '0') ||
+         ' host 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.0.' ||
+         CAST(c_custkey % 100 AS VARCHAR) AS t
+  FROM customer
+), pats AS (
+  SELECT '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}' AS email,
+         '\b[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}\b' AS phone,
+         '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b' AS ip
+)
+SELECT c_custkey,
+       CAST(len(regexp_extract_all(t, email)) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, phone)) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(t, ip)) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t, email)) + len(regexp_extract_all(t, phone))
+            + len(regexp_extract_all(t, ip)) AS BIGINT) AS n_pii,
+       regexp_replace(regexp_replace(regexp_replace(t,
+           email, '[EMAIL]', 'g'), phone, '[PHONE]', 'g'), ip, '[IP]', 'g'
+       ) AS redacted
+FROM d, pats
+"""
+
+
 def q26_sessionize(spark: SparkSession, sf: str) -> SparkDataFrame:
     """Batch sessionization via window functions (gap = 30 min): lag →
     new-session flag → running sum = session id → per-session agg. An
@@ -2414,6 +2527,14 @@ REGISTRY: dict[str, QueryDef] = {
         q66_contamination, Q66_SQL,
         "benchmark-contamination n-gram overlap (broadcast eval grams, one scan)",
     ),
+    "q67_repetition_signals": QueryDef(
+        q67_repetition_signals, Q67_SQL,
+        "Gopher-style repetition signals, zero-shuffle HOF run-length path",
+    ),
+    "q68_pii_redaction": QueryDef(
+        q68_pii_redaction, Q68_SQL,
+        "PII detect+redact (email/phone/IPv4), engine-portable regexes",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -2472,9 +2593,11 @@ REGISTRY: dict[str, QueryDef] = {
 # twice in a row. Resting queries stay fully covered by pytest.
 #
 # Round-5 roster: q43–q47, q49–q52, q54, q57 (rested in r4, last oracle
-# row r3) rotate IN; new-this-round q62 gates immediately (new queries
-# never start resting); these twelve r3+r4-green slots rest:
+# row r3) rotate IN; new-this-round q62–q68 gate immediately (new queries
+# never start resting); these r3+r4-green slots rest:
 _RESTING: tuple[str, ...] = (
+    "q04_topk",
+    "q08_composite_join",
     "q02_filter_distinct",
     "q03_predicates",
     "q07_join_diffkeys",
