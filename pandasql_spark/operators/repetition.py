@@ -11,15 +11,19 @@ rules. This module computes token-level analogs per document:
 - ``top_gram_frac``  — top_gram_count / n_grams
 - ``dup_gram_frac``  — (sum of counts of n-grams occurring >1 time) / n_grams
 
-Plan shape — two implementations, equivalent by property test:
+Plan shape — three implementations, equivalent by test:
 
-- ``impl="hof"`` (default): per-row higher-order functions only. The
-  n-gram array is sorted (``array_sort``) and a single ``aggregate``
-  pass over the sorted array counts run lengths (equal adjacent
-  elements), tracking the max run and the duplicated-mass sum. One
-  codegen'd projection, ZERO shuffles — per-doc cost O(L log L) in doc
-  token length, embarrassingly parallel. This is the 100 TB plan: a
-  corpus-wide quality pass that never exchanges a byte.
+- ``impl="numpy"`` (default): Arrow-batched ``mapInPandas`` kernel
+  counting grams per row with a hash map. ZERO shuffles — one scan,
+  one Python crossing. Same lesson as the MinHash kernel (SCALING.md
+  "interpreted HOFs"): Catalyst ``aggregate()`` lambdas over structs
+  are interpreted per-element, and the measured sf0.1 cost was ~3.9 s
+  HOF vs ~0.6 s for the batched kernel.
+- ``impl="hof"``: pure column expressions — the n-gram array is
+  sorted (``array_sort``) and a single ``aggregate`` pass counts run
+  lengths (equal adjacent elements), tracking the max run and the
+  duplicated-mass sum. Also zero-shuffle and the no-Python-workers
+  fallback; slower on wide docs because the lambda is interpreted.
 - ``impl="explode"``: explode n-grams → groupBy(id, gram) count →
   groupBy(id) agg. Two shuffles with map-side partial aggregation;
   kept as the cross-checking second algorithm and as the oracle's
@@ -93,7 +97,7 @@ def repetition_signals(
     n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
-    impl: str = "hof",
+    impl: str = "numpy",
 ) -> DataFrame:
     """(id_col, n_grams, top_gram_count, top_gram_frac, dup_gram_frac)
     per document; documents with zero n-grams (< n tokens) are omitted,
@@ -101,7 +105,45 @@ def repetition_signals(
     6 places for cross-engine comparability."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    if impl == "hof":
+    if impl == "numpy":
+        from collections import Counter
+
+        import pandas as pd
+
+        # id schema derived from the input column, not hardcoded —
+        # string/int doc ids both flow through (cf. dedup.py kernels)
+        id_type = df.schema[id_col].dataType.simpleString()
+        out_schema = (
+            f"{id_col} {id_type}, n_grams long, "
+            "top_gram_count long, dup_gram_n long"
+        )
+
+        def kernel(batches):
+            for pdf in batches:
+                ids, ngs, tops, dups = [], [], [], []
+                for i, t in zip(pdf[id_col], pdf[text_col]):
+                    toks = ("" if t is None else t).split(" ")
+                    m = len(toks) - n + 1
+                    if m < 1:
+                        continue
+                    c = Counter(
+                        " ".join(toks[j : j + n]) for j in range(m)
+                    )
+                    ids.append(i)
+                    ngs.append(m)
+                    tops.append(max(c.values()))
+                    dups.append(sum(v for v in c.values() if v > 1))
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "n_grams": ngs,
+                        "top_gram_count": tops,
+                        "dup_gram_n": dups,
+                    }
+                )
+
+        agg = df.select(id_col, text_col).mapInPandas(kernel, out_schema)
+    elif impl == "hof":
         grams = word_ngrams(text_col, n)
         stats = df.select(
             F.col(id_col),
@@ -127,7 +169,9 @@ def repetition_signals(
             ),
         )
     else:
-        raise ValueError(f"impl must be 'hof' or 'explode', got {impl!r}")
+        raise ValueError(
+            f"impl must be 'numpy', 'hof', or 'explode', got {impl!r}"
+        )
     return agg.select(
         id_col,
         "n_grams",
@@ -145,7 +189,7 @@ def repetition_filter(
     max_top_gram_frac: float = 0.20,
     max_dup_gram_frac: float = 0.60,
     min_grams: int = 16,
-    impl: str = "hof",
+    impl: str = "numpy",
 ) -> DataFrame:
     """Drop documents whose repetition signals exceed the (Gopher-style)
     thresholds. Docs with fewer than ``min_grams`` n-grams are KEPT —

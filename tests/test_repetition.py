@@ -56,12 +56,26 @@ def test_short_docs_omitted(spark):
     assert rows[2].n_grams == 1 and rows[2].dup_gram_frac == 0.0
 
 
-def test_hof_equals_explode_on_corpus(spark):
+def test_all_impls_agree_on_corpus(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     a = repetition_signals(docs, n=2, impl="hof").sort("doc_id").collect()
     b = repetition_signals(docs, n=2, impl="explode").sort("doc_id").collect()
-    assert a == b
+    c = repetition_signals(docs, n=2, impl="numpy").sort("doc_id").collect()
+    assert a == b == c
     assert len(a) > 0
+
+
+def test_numpy_kernel_string_ids(spark):
+    # id schema is derived from the input column (ADVICE r4: no
+    # hardcoded "id long" in mapInPandas schemas)
+    df = spark.createDataFrame(
+        [("a", "x y x y"), ("b", "p q r")], "doc_id string, text string"
+    )
+    rows = {
+        r.doc_id: r.n_grams
+        for r in repetition_signals(df, n=2, impl="numpy").collect()
+    }
+    assert rows == {"a": 3, "b": 2}
 
 
 @settings(
@@ -97,13 +111,14 @@ def test_filter_drops_repetitive_keeps_short(spark):
     assert kept == {1, 2}
 
 
-def test_hof_path_has_no_exchange(spark):
+def test_zero_shuffle_paths_have_no_exchange(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    plan = (
-        repetition_signals(docs, n=2, impl="hof")
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    assert "Exchange" not in plan, plan
+    for impl in ("hof", "numpy"):
+        plan = (
+            repetition_signals(docs, n=2, impl=impl)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, (impl, plan)
 
 
 def test_ngrams_edge_cases(spark):
