@@ -1451,6 +1451,116 @@ FROM d, pats
 """
 
 
+def q69_semantic_dedup(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """SemDeDup-style semantic dedup (operators/semantic.py): cluster
+    embeddings with a deterministic distributed Lloyd's k-means (k=8,
+    2 iterations, lowest-id init, 6-decimal centroid quantization),
+    then drop rows with a lower-id same-cluster neighbor at cosine
+    ≥ 0.35. Every 100th vector is re-planted with id+100000 so the
+    drop path is provably exercised (exact dups ⇒ same cell, cos 1.0).
+    The oracle unrolls both Lloyd iterations in SQL with the identical
+    left-to-right fold order (list_reduce ↔ aggregate())."""
+    from pandasql_spark.operators.semantic import semantic_dedup
+
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    planted = e.filter(F.col("vec_id") % 100 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    corpus = e.unionByName(planted)
+    out = semantic_dedup(corpus, k=8, n_iter=2, tau=0.35)
+    return out.select(
+        "vec_id", F.col("cid").cast("long").alias("cid"), "kept"
+    )
+
+
+Q69_SQL = """
+WITH src AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings
+  WHERE vec_id % 100 = 0
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+  FROM src ORDER BY vec_id LIMIT 8
+),
+a1 AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT s.vec_id, s.v, c.cid,
+           row_number() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY list_reduce(
+               list_transform(list_zip(s.v, c.cv),
+                              x -> (x[1] - x[2]) * (x[1] - x[2])),
+               (acc, x) -> acc + x), c.cid) AS rn
+    FROM src s CROSS JOIN c0 c
+  ) WHERE rn = 1
+),
+m1 AS (
+  SELECT cid, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS val
+  FROM a1
+),
+c1 AS (
+  SELECT c0.cid, coalesce(n.cv, c0.cv) AS cv
+  FROM c0 LEFT JOIN (
+    SELECT cid, list(m ORDER BY pos) AS cv FROM (
+      SELECT cid, pos, round(avg(val), 6) AS m FROM m1 GROUP BY cid, pos
+    ) GROUP BY cid
+  ) n USING (cid)
+),
+a2 AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT s.vec_id, s.v, c.cid,
+           row_number() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY list_reduce(
+               list_transform(list_zip(s.v, c.cv),
+                              x -> (x[1] - x[2]) * (x[1] - x[2])),
+               (acc, x) -> acc + x), c.cid) AS rn
+    FROM src s CROSS JOIN c1 c
+  ) WHERE rn = 1
+),
+m2 AS (
+  SELECT cid, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS val
+  FROM a2
+),
+c2 AS (
+  SELECT c1.cid, coalesce(n.cv, c1.cv) AS cv
+  FROM c1 LEFT JOIN (
+    SELECT cid, list(m ORDER BY pos) AS cv FROM (
+      SELECT cid, pos, round(avg(val), 6) AS m FROM m2 GROUP BY cid, pos
+    ) GROUP BY cid
+  ) n USING (cid)
+),
+a3 AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT s.vec_id, s.v, c.cid,
+           row_number() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY list_reduce(
+               list_transform(list_zip(s.v, c.cv),
+                              x -> (x[1] - x[2]) * (x[1] - x[2])),
+               (acc, x) -> acc + x), c.cid) AS rn
+    FROM src s CROSS JOIN c2 c
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT x.vec_id
+  FROM a3 x JOIN a3 y ON x.cid = y.cid AND y.vec_id < x.vec_id
+  WHERE round(
+    list_reduce(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2]),
+                (acc, e) -> acc + e)
+    / (sqrt(list_reduce(list_transform(x.v, q -> q * q), (acc, e) -> acc + e))
+     * sqrt(list_reduce(list_transform(y.v, q -> q * q), (acc, e) -> acc + e))),
+    6) >= 0.35
+  GROUP BY x.vec_id
+)
+SELECT a3.vec_id, CAST(a3.cid AS BIGINT) AS cid,
+       d.vec_id IS NULL AS kept
+FROM a3 LEFT JOIN dropped d ON a3.vec_id = d.vec_id
+"""
+
+
 def q26_sessionize(spark: SparkSession, sf: str) -> SparkDataFrame:
     """Batch sessionization via window functions (gap = 30 min): lag →
     new-session flag → running sum = session id → per-session agg. An
@@ -2535,6 +2645,10 @@ REGISTRY: dict[str, QueryDef] = {
         q68_pii_redaction, Q68_SQL,
         "PII detect+redact (email/phone/IPv4), engine-portable regexes",
     ),
+    "q69_semantic_dedup": QueryDef(
+        q69_semantic_dedup, Q69_SQL,
+        "SemDeDup: deterministic Lloyd's k-means + in-cluster cosine dedup",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -2597,6 +2711,7 @@ REGISTRY: dict[str, QueryDef] = {
 # never start resting); these r3+r4-green slots rest:
 _RESTING: tuple[str, ...] = (
     "q04_topk",
+    "q05_join_groupby",
     "q08_composite_join",
     "q02_filter_distinct",
     "q03_predicates",

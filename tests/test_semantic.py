@@ -1,0 +1,104 @@
+"""SemDeDup semantic dedup (operators/semantic.py): clustering
+correctness on separable data, tie/empty-cell edges, the keep-lowest
+dedup rule, determinism, and the zero-shuffle assignment plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandasql_spark.operators.semantic import (
+    assign_cells,
+    lloyd_kmeans,
+    semantic_dedup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_kmeans_separates_blobs(spark):
+    pts = [(i, [0.0 + i * 0.01, 0.0]) for i in range(5)] + [
+        (10 + i, [100.0, 100.0 + i * 0.01]) for i in range(5)
+    ]
+    assigned, cents = lloyd_kmeans(_vecs(spark, pts), k=2, n_iter=3)
+    rows = {r.vec_id: r.cid for r in assigned.collect()}
+    low = {rows[i] for i in range(5)}
+    high = {rows[10 + i] for i in range(5)}
+    assert len(low) == 1 and len(high) == 1 and low != high
+    assert len(cents) == 2 and len(cents[0]) == 2
+
+
+def test_assign_ties_go_to_lowest_cid(spark):
+    df = _vecs(spark, [(0, [1.0, 1.0])])
+    # two identical centroids -> equal distance -> cid 0
+    out = assign_cells(df, [[0.0, 0.0], [0.0, 0.0]]).first()
+    assert out.cid == 0
+
+
+def test_empty_cell_carries_centroid_forward(spark):
+    # both init centroids identical; every point ties to cid 0, so
+    # cell 1 is empty after the update and must keep its init centroid
+    df = _vecs(spark, [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [3.0, 0.0])])
+    assigned, cents = lloyd_kmeans(df, k=2, n_iter=1)
+    # after the tie-heavy first assignment cell 1 is empty; its update
+    # must carry the init centroid (vec 1's vector) forward, not crash
+    assert cents[1] == [1.0, 0.0]
+    assert assigned.count() == 3
+
+
+def test_kmeans_k_exceeds_corpus_raises(spark):
+    with pytest.raises(ValueError, match="exceeds corpus"):
+        lloyd_kmeans(_vecs(spark, [(0, [1.0, 0.0])]), k=3)
+
+
+def test_dedup_keep_lowest_rule(spark):
+    df = _vecs(
+        spark,
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.0]),        # dup of 0 -> dropped
+            (2, [1.0, 0.001]),      # near-dup of 0 -> dropped
+            (3, [-1.0, 0.0]),       # opposite -> kept
+        ],
+    )
+    out = {r.vec_id: r.kept for r in semantic_dedup(df, k=2, n_iter=1, tau=0.95).collect()}
+    assert out == {0: True, 1: False, 2: False, 3: True}
+
+
+def test_planted_dups_dropped_on_real_corpus(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    planted = e.filter(F.col("vec_id") % 20 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    out = semantic_dedup(e.unionByName(planted), k=4, n_iter=2, tau=0.99)
+    planted_kept = out.filter((F.col("vec_id") >= 100000) & F.col("kept")).count()
+    assert planted_kept == 0
+    # originals of the planted rows are still kept (no lower twin)
+    orig_dropped = out.filter(
+        (F.col("vec_id") < 100000) & (F.col("vec_id") % 20 == 0) & ~F.col("kept")
+    ).count()
+    assert orig_dropped == 0
+
+
+def test_dedup_deterministic_across_runs(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = sorted(map(tuple, semantic_dedup(e, k=4, n_iter=2, tau=0.3).collect()))
+    b = sorted(map(tuple, semantic_dedup(e, k=4, n_iter=2, tau=0.3).collect()))
+    assert a == b
+
+
+def test_assignment_is_shuffle_free(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = [[0.0] * 64, [1.0] * 64]
+    plan = (
+        assign_cells(e, cents)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
