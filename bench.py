@@ -60,6 +60,7 @@ HEADLINE = [
     "q66_contamination",
     "q67_repetition_signals",
     "q68_pii_redaction",
+    "q69_semantic_dedup",
 ]
 
 
