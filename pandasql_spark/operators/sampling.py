@@ -54,6 +54,65 @@ def stratified_sample_exact(
     )
 
 
+def resample_to_mixture(
+    df: DataFrame,
+    stratum_col: str,
+    weights: dict[str, float],
+    total_n: int,
+    id_col: str,
+) -> DataFrame:
+    """Downsample to a target domain mixture: of ``total_n`` output rows,
+    stratum s gets ``weights[s] / sum(weights)`` of the budget — the
+    standard "apply a data-mixing recipe" step (e.g. a DoReMi-style
+    weight vector) before training.
+
+    Apportionment is the largest-remainder method (floor every target,
+    hand the leftover rows to the largest fractional remainders, ties
+    broken by stratum name) — deterministic, and exactly reproducible in
+    SQL, which is how the q70 oracle checks it. Row selection within a
+    stratum is the same engine-portable md5-rank order as
+    `stratified_sample_exact`.
+
+    Semantics: strata absent from ``weights`` are dropped; a stratum
+    smaller than its target yields all its rows (the shortfall is NOT
+    redistributed — silently reshaping the mixture would defeat the
+    recipe; check the output if budgets are contracts). Pass integer
+    weights when cross-engine reproducibility of the apportionment
+    matters: integer sums are exact in doubles, so the floor/remainder
+    arithmetic is bit-identical everywhere.
+    """
+    import math
+
+    if total_n < 0:
+        raise ValueError(f"total_n must be >= 0, got {total_n}")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    s = sum(weights[k] for k in sorted(weights))
+    if s == 0:
+        raise ValueError("weights must not all be zero")
+    raw = {k: (w / s) * total_n for k, w in weights.items()}
+    targets = {k: math.floor(v) for k, v in raw.items()}
+    leftover = total_n - sum(targets.values())
+    for k in sorted(raw, key=lambda k: (-(raw[k] - targets[k]), k))[:leftover]:
+        targets[k] += 1
+
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(k, n) for k, n in targets.items()], f"{stratum_col} string, __tgt long"
+    )
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__srank", F.row_number().over(w))
+        .join(F.broadcast(tgt), on=stratum_col)
+        .filter(F.col("__srank") <= F.col("__tgt"))
+        .drop("__srank", "__tgt")
+    )
+
+
 def sample_exact_global(df: DataFrame, n: int, id_col: str) -> DataFrame:
     """Exactly ``min(n, |df|)`` rows, deterministically and
     engine-portably: global md5-rank of the id (the same "portable

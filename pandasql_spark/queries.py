@@ -1561,6 +1561,58 @@ FROM a3 LEFT JOIN dropped d ON a3.vec_id = d.vec_id
 """
 
 
+def q70_mixture_resample(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Domain-mixture resampling (operators/sampling.py
+    resample_to_mixture): apply a weight recipe (en:de:es:fr:zh =
+    2:2:3:2:1) to a 400-row budget over the documents corpus.
+    Largest-remainder apportionment (deterministic, integer weights ⇒
+    bit-identical float arithmetic cross-engine), md5-rank row
+    selection within strata, and an undersized stratum (es target 120 >
+    73 available) exercising the no-redistribution cap. The oracle
+    reproduces apportionment AND selection in SQL."""
+    from pandasql_spark.operators.sampling import resample_to_mixture
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = resample_to_mixture(
+        docs,
+        stratum_col="lang",
+        weights={"en": 2, "de": 2, "es": 3, "fr": 2, "zh": 1},
+        total_n=400,
+        id_col="doc_id",
+    )
+    return out.select("doc_id", "lang")
+
+
+Q70_SQL = """
+WITH w(lang, wt) AS (
+  VALUES ('en', 2.0), ('de', 2.0), ('es', 3.0), ('fr', 2.0), ('zh', 1.0)
+),
+raw AS (
+  SELECT lang, (wt / (SELECT sum(wt) FROM w)) * 400 AS r FROM w
+),
+base AS (
+  SELECT lang, CAST(floor(r) AS BIGINT) AS fl, r - floor(r) AS rem FROM raw
+),
+tgt AS (
+  SELECT lang,
+         fl + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+                        <= 400 - (SELECT sum(fl) FROM base)
+              THEN 1 ELSE 0 END AS n
+  FROM base
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.lang
+FROM ranked r JOIN tgt USING (lang)
+WHERE r.rk <= tgt.n
+"""
+
+
 def q26_sessionize(spark: SparkSession, sf: str) -> SparkDataFrame:
     """Batch sessionization via window functions (gap = 30 min): lag →
     new-session flag → running sum = session id → per-session agg. An
@@ -2649,6 +2701,10 @@ REGISTRY: dict[str, QueryDef] = {
         q69_semantic_dedup, Q69_SQL,
         "SemDeDup: deterministic Lloyd's k-means + in-cluster cosine dedup",
     ),
+    "q70_mixture_resample": QueryDef(
+        q70_mixture_resample, Q70_SQL,
+        "domain-mixture resampling: largest-remainder apportionment + md5-rank",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -2713,6 +2769,7 @@ _RESTING: tuple[str, ...] = (
     "q04_topk",
     "q05_join_groupby",
     "q08_composite_join",
+    "q35_shipping_priority",
     "q02_filter_distinct",
     "q03_predicates",
     "q07_join_diffkeys",

@@ -171,3 +171,63 @@ def test_pii_clean_text_untouched(spark):
     t = "no personal data here, just words and 12 numbers"
     r = spark.range(1).select(pii.redact_pii(F.lit(t)).alias("red")).first()
     assert r.red == t
+
+
+@st.composite
+def _pii_texts(draw):
+    import string
+
+    words = ["call", "me", "at", "x", "data", "10.1", "a.b", "1-2", "99"]
+    frags = []
+    for _ in range(draw(st.integers(1, 8))):
+        kind = draw(st.integers(0, 4))
+        if kind == 0:
+            frags.append(draw(st.sampled_from(words)))
+        elif kind == 1:  # email
+            local = draw(st.text(string.ascii_lowercase + "._%+-0123456789",
+                                 min_size=1, max_size=8))
+            frags.append(f"{local}@ex{draw(st.integers(0, 9))}.org")
+        elif kind == 2:  # phone
+            a, b, c, d = (draw(st.integers(0, 99)), draw(st.integers(0, 999)),
+                          draw(st.integers(0, 999)), draw(st.integers(0, 9999)))
+            frags.append(f"{a:02d}-{b:03d}-{c:03d}-{d:04d}")
+        elif kind == 3:  # ip
+            frags.append(".".join(str(draw(st.integers(0, 999))) for _ in range(4)))
+        else:  # near-miss: too-long phone group / trailing dot
+            frags.append("123-456-789-01234")
+    return " ".join(frags)
+
+
+@settings(
+    max_examples=soak_examples(40),
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(texts=st.lists(_pii_texts(), min_size=1, max_size=6))
+def test_pii_property_vs_python_re(spark, texts):
+    """Java regex (Spark) vs Python re on the same patterns: these
+    pattern features (classes, bounded reps, \\b) behave identically in
+    both engines — planted PII, near-misses, and noise all agree."""
+    import re
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    got = {
+        r.i: (r.e, r.p, r.ip, r.red)
+        for r in df.select(
+            "i",
+            pii.email_count("t").alias("e"),
+            pii.phone_count("t").alias("p"),
+            pii.ipv4_count("t").alias("ip"),
+            pii.redact_pii("t").alias("red"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        exp_e = len(re.findall(pii.EMAIL_RE, t))
+        exp_p = len(re.findall(pii.PHONE_RE, t))
+        exp_ip = len(re.findall(pii.IPV4_RE, t))
+        red = re.sub(pii.EMAIL_RE, "[EMAIL]", t)
+        red = re.sub(pii.PHONE_RE, "[PHONE]", red)
+        red = re.sub(pii.IPV4_RE, "[IP]", red)
+        assert got[i] == (exp_e, exp_p, exp_ip, red), (t, got[i])

@@ -69,3 +69,61 @@ def test_sample_exact_global(spark):
     pdf["k"] = pdf.doc_id.map(lambda i: hashlib.md5(str(i).encode()).hexdigest())
     exp = sorted(pdf.sort_values(["k", "doc_id"]).head(40).doc_id)
     assert a == exp
+
+
+def test_mixture_resample_counts(spark):
+    from pandasql_spark.operators.sampling import resample_to_mixture
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    avail = dict(docs.groupBy("lang").count().collect())
+    out = resample_to_mixture(
+        docs, "lang", {"en": 2, "de": 2, "es": 3, "fr": 2, "zh": 1},
+        total_n=40, id_col="doc_id",
+    )
+    got = dict(out.groupBy("lang").count().collect())
+    # apportionment: 40 * (2,2,3,2,1)/10 = 8,8,12,8,4 — capped by avail
+    expect = {"en": 8, "de": 8, "es": 12, "fr": 8, "zh": 4}
+    assert got == {k: min(n, avail.get(k, 0)) for k, n in expect.items() if min(n, avail.get(k, 0)) > 0}
+
+
+def test_mixture_resample_largest_remainder_and_cap(spark):
+    from pandasql_spark.operators.sampling import resample_to_mixture
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(10)] + [(100 + i, "b") for i in range(2)]
+        + [(200 + i, "c") for i in range(10)],
+        "doc_id long, lang string",
+    )
+    # weights 1:1:1, total 10 -> floor 3,3,3 rem 1/3 each; leftover 1
+    # goes to the alphabetically-first stratum 'a'; 'b' capped at 2
+    out = resample_to_mixture(df, "lang", {"a": 1, "b": 1, "c": 1}, 10, "doc_id")
+    got = dict(out.groupBy("lang").count().collect())
+    assert got == {"a": 4, "b": 2, "c": 3}
+
+
+def test_mixture_resample_drops_unlisted_and_validates(spark):
+    import pytest as _pytest
+
+    from pandasql_spark.operators.sampling import resample_to_mixture
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, lang string"
+    )
+    out = resample_to_mixture(df, "lang", {"a": 1}, 1, "doc_id")
+    assert [r.lang for r in out.collect()] == ["a"]
+    with _pytest.raises(ValueError, match="non-empty"):
+        resample_to_mixture(df, "lang", {}, 1, "doc_id")
+    with _pytest.raises(ValueError, match="non-negative"):
+        resample_to_mixture(df, "lang", {"a": -1.0}, 1, "doc_id")
+    with _pytest.raises(ValueError, match="all be zero"):
+        resample_to_mixture(df, "lang", {"a": 0.0}, 1, "doc_id")
+
+
+def test_mixture_resample_deterministic(spark):
+    from pandasql_spark.operators.sampling import resample_to_mixture
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    w = {"en": 3, "de": 1}
+    a = sorted(r.doc_id for r in resample_to_mixture(docs, "lang", w, 30, "doc_id").collect())
+    b = sorted(r.doc_id for r in resample_to_mixture(docs, "lang", w, 30, "doc_id").collect())
+    assert a == b and len(a) == 30
