@@ -6,6 +6,6 @@ endswith). Everything here is Spark-native superset surface, built on
 `pyspark.sql.functions` so it stays JVM-side and codegen-friendly.
 """
 
-from . import similarity, text
+from . import imagecodec, pii, similarity, text
 
-__all__ = ["text", "similarity"]
+__all__ = ["text", "similarity", "pii", "imagecodec"]

@@ -16,9 +16,12 @@ from . import (
     dedup,
     freq,
     multimodal,
+    packing,
     rangejoin,
     ranking,
+    repetition,
     sampling,
+    semantic,
     skew,
     zorder,
 )
@@ -32,9 +35,12 @@ __all__ = [
     "dedup",
     "freq",
     "multimodal",
+    "packing",
     "rangejoin",
     "ranking",
+    "repetition",
     "sampling",
+    "semantic",
     "skew",
     "zorder",
 ]
