@@ -87,6 +87,33 @@ def test_planted_dups_dropped_on_real_corpus(spark):
     assert orig_dropped == 0
 
 
+def test_numpy_pair_stage_matches_expr_fold(spark):
+    # BLAS-order vs fold-order arithmetic, in BOTH the assignment and
+    # the pair stage: verdicts must agree on the full corpus incl.
+    # planted exact dups
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    planted = e.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    corpus = e.unionByName(planted)
+    a = sorted(map(tuple, semantic_dedup(
+        corpus, k=4, n_iter=2, tau=0.35, impl="numpy", assign_impl="numpy"
+    ).collect()))
+    b = sorted(map(tuple, semantic_dedup(
+        corpus, k=4, n_iter=2, tau=0.35, impl="expr", assign_impl="expr"
+    ).collect()))
+    assert a == b
+
+
+def test_dedup_string_ids(spark):
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.0]), ("c", [0.0, 1.0])],
+        "vec_id string, embedding array<float>",
+    )
+    out = {r.vec_id: r.kept for r in semantic_dedup(df, k=1, n_iter=1, tau=0.95).collect()}
+    assert out == {"a": True, "b": False, "c": True}
+
+
 def test_dedup_deterministic_across_runs(spark):
     e = spark.read.parquet(f"{SF}/embeddings.parquet")
     a = sorted(map(tuple, semantic_dedup(e, k=4, n_iter=2, tau=0.3).collect()))
