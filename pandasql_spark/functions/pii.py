@@ -53,8 +53,10 @@ def ipv4_count(col: Column | str) -> Column:
 
 
 def pii_count(col: Column | str) -> Column:
-    """Total PII hits of all types (counted before redaction, so an
-    email's domain can't be double-counted as an IP)."""
+    """Total PII hits of all types, counted independently on the RAW
+    text — overlapping matches each count (a dotted-quad inside an
+    email's domain counts as both an email and an IP here, even though
+    `redact_pii`'s email-first ordering consumes it once)."""
     return email_count(col) + phone_count(col) + ipv4_count(col)
 
 

@@ -33,13 +33,13 @@ from pyspark.sql import functions as F
 
 
 def _ngrams(text_col: str, n: int) -> Column:
-    """Array of word n-grams of ``text_col`` (whitespace tokens); docs
-    shorter than n words produce no n-grams (nothing to match)."""
-    toks = F.split(F.col(text_col), " ")
-    return F.when(F.size(toks) >= n, F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )).otherwise(F.array().cast("array<string>"))
+    """Array of word n-grams of ``text_col`` (single-space tokens); docs
+    shorter than n words produce no n-grams (nothing to match). One
+    shared tokenization convention with the repetition signals — change
+    it in repetition.word_ngrams and both q66 and q67 move together."""
+    from .repetition import word_ngrams
+
+    return word_ngrams(text_col, n)
 
 
 def contaminated_docs(

@@ -122,7 +122,9 @@ def repetition_signals(
             for pdf in batches:
                 ids, ngs, tops, dups = [], [], [], []
                 for i, t in zip(pdf[id_col], pdf[text_col]):
-                    toks = ("" if t is None else t).split(" ")
+                    if t is None:
+                        continue  # match hof/explode: NULL text ⇒ no grams
+                    toks = t.split(" ")
                     m = len(toks) - n + 1
                     if m < 1:
                         continue

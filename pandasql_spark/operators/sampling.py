@@ -105,8 +105,12 @@ def resample_to_mixture(
     w = Window.partitionBy(stratum_col).orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
     )
+    # prune unlisted strata BEFORE the window: with a recipe covering
+    # few of many domains, ranking rows the join would discard anyway
+    # is pure wasted shuffle (and the filter pushes to the scan)
     return (
-        df.withColumn("__srank", F.row_number().over(w))
+        df.filter(F.col(stratum_col).isin(list(targets)))
+        .withColumn("__srank", F.row_number().over(w))
         .join(F.broadcast(tgt), on=stratum_col)
         .filter(F.col("__srank") <= F.col("__tgt"))
         .drop("__srank", "__tgt")

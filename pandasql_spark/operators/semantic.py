@@ -215,6 +215,13 @@ def semantic_dedup(
         return assigned.groupBy("cid").applyInPandas(kernel, out_schema)
     if impl != "expr":
         raise ValueError(f"impl must be 'numpy' or 'expr', got {impl!r}")
+    from .cache import attach_cleanup
+
+    # referenced three times below (join left/right + keep-flag join) —
+    # persist so the assignment pass and upstream scan run once
+    assigned = assigned.persist()
+    from ..functions.similarity import l2_norm
+
     left = assigned.select(
         F.col("cid"), F.col(id_col).alias("__xid"), F.col(vec_col).alias("__xv")
     )
@@ -224,11 +231,18 @@ def semantic_dedup(
     dropped = (
         left.join(right, on="cid")
         .filter(F.col("__yid") < F.col("__xid"))
-        .filter(cosine(F.col("__xv"), F.col("__yv")) >= tau)
+        # zero-norm guard: cosine's 0/0 is NaN, which Spark orders ABOVE
+        # every number, so an unguarded `>= tau` would drop rows against
+        # zero vectors — the numpy kernel defines cos = 0 there instead
+        .filter(
+            (l2_norm(F.col("__xv")) != 0)
+            & (l2_norm(F.col("__yv")) != 0)
+            & (cosine(F.col("__xv"), F.col("__yv")) >= tau)
+        )
         .select(F.col("__xid").alias(id_col))
         .distinct()
     )
-    return (
+    out = (
         assigned.join(dropped.withColumn("__drop", F.lit(True)), on=id_col, how="left")
         .select(
             id_col,
@@ -236,3 +250,4 @@ def semantic_dedup(
             F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
         )
     )
+    return attach_cleanup(out, assigned)

@@ -2763,7 +2763,7 @@ REGISTRY: dict[str, QueryDef] = {
 # twice in a row. Resting queries stay fully covered by pytest.
 #
 # Round-5 roster: q43–q47, q49–q52, q54, q57 (rested in r4, last oracle
-# row r3) rotate IN; new-this-round q62–q68 gate immediately (new queries
+# row r3) rotate IN; new-this-round q62–q70 gate immediately (new queries
 # never start resting); these r3+r4-green slots rest:
 _RESTING: tuple[str, ...] = (
     "q04_topk",

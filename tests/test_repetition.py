@@ -56,6 +56,16 @@ def test_short_docs_omitted(spark):
     assert rows[2].n_grams == 1 and rows[2].dup_gram_frac == 0.0
 
 
+def test_null_text_omitted_by_every_impl(spark):
+    df = spark.createDataFrame(
+        [(0, None), (1, "a b")], "doc_id long, text string"
+    )
+    for impl in ("numpy", "hof", "explode"):
+        for n in (1, 2):
+            ids = {r.doc_id for r in repetition_signals(df, n=n, impl=impl).collect()}
+            assert ids == {1}, (impl, n)
+
+
 def test_all_impls_agree_on_corpus(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     a = repetition_signals(docs, n=2, impl="hof").sort("doc_id").collect()

@@ -105,6 +105,21 @@ def test_numpy_pair_stage_matches_expr_fold(spark):
     assert a == b
 
 
+def test_zero_norm_vectors_never_dropped_either_impl(spark):
+    # cosine vs a zero vector is NaN in the fold (Spark orders NaN above
+    # every number) and defined-0 in numpy — both impls must KEEP
+    df = _vecs(
+        spark,
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0])],
+    )
+    for impl in ("numpy", "expr"):
+        out = {
+            r.vec_id: r.kept
+            for r in semantic_dedup(df, k=1, n_iter=0, tau=0.5, impl=impl).collect()
+        }
+        assert out == {0: True, 1: True, 2: True, 3: False}, impl
+
+
 def test_dedup_string_ids(spark):
     df = spark.createDataFrame(
         [("a", [1.0, 0.0]), ("b", [1.0, 0.0]), ("c", [0.0, 1.0])],
