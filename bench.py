@@ -61,6 +61,7 @@ HEADLINE = [
     "q67_repetition_signals",
     "q68_pii_redaction",
     "q69_semantic_dedup",
+    "q71_curation_pipeline",
 ]
 
 

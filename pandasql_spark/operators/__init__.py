@@ -13,6 +13,7 @@ from . import (
     bucketing,
     cluster,
     contamination,
+    curation,
     dedup,
     freq,
     multimodal,
@@ -32,6 +33,7 @@ __all__ = [
     "bucketing",
     "cluster",
     "contamination",
+    "curation",
     "dedup",
     "freq",
     "multimodal",

@@ -1613,6 +1613,91 @@ WHERE r.rk <= tgt.n
 """
 
 
+def q71_curation_pipeline(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """End-to-end corpus curation (operators/curation.py): quality gate
+    (40–65 tokens) → exact dedup (keep lowest id) → decontaminate
+    against the doc_id%50 eval slice (3-grams, raw-string keys) →
+    resample to an en:es:fr = 2:1:1 mixture on a 120-row budget. Each
+    stage is individually oracle-gated (q16/q19/q66/q70); this gate
+    value-checks the COMPOSITION — the oracle chains the same four
+    stages in SQL."""
+    from pandasql_spark.operators.curation import curate_corpus
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    out = curate_corpus(
+        tr,
+        eval_df=ev,
+        min_tokens=40,
+        max_tokens=65,
+        ngram_n=3,
+        hashed=False,
+        mixture={"en": 2, "es": 1, "fr": 1},
+        total_n=120,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+Q71_SQL = """
+WITH q AS (
+  SELECT * FROM documents
+  WHERE doc_id % 50 <> 0
+    AND len(string_split(text, ' ')) BETWEEN 40 AND 65
+),
+keep AS (
+  SELECT min(doc_id) AS doc_id FROM q
+  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+),
+d AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+evg AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(list_transform(
+      range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS g
+    FROM documents
+    WHERE doc_id % 50 = 0 AND len(string_split(text, ' ')) >= 3
+  )
+),
+trg AS (
+  SELECT doc_id, unnest(list_transform(
+    range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS g
+  FROM d
+  WHERE len(string_split(text, ' ')) >= 3
+),
+contaminated AS (SELECT DISTINCT doc_id FROM trg JOIN evg USING (g)),
+c AS (
+  SELECT * FROM d
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+w(lang, wt) AS (VALUES ('en', 2.0), ('es', 1.0), ('fr', 1.0)),
+raw AS (
+  SELECT lang, (wt / (SELECT sum(wt) FROM w)) * 120 AS r FROM w
+),
+base AS (
+  SELECT lang, CAST(floor(r) AS BIGINT) AS fl, r - floor(r) AS rem FROM raw
+),
+tgt AS (
+  SELECT lang,
+         fl + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+                        <= 120 - (SELECT sum(fl) FROM base)
+              THEN 1 ELSE 0 END AS n
+  FROM base
+),
+ranked AS (
+  SELECT c.doc_id, c.lang, c.source,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM c
+)
+SELECT r.doc_id, r.lang, r.source
+FROM ranked r JOIN tgt USING (lang)
+WHERE r.rk <= tgt.n
+"""
+
+
 def q26_sessionize(spark: SparkSession, sf: str) -> SparkDataFrame:
     """Batch sessionization via window functions (gap = 30 min): lag →
     new-session flag → running sum = session id → per-session agg. An
@@ -2705,6 +2790,10 @@ REGISTRY: dict[str, QueryDef] = {
         q70_mixture_resample, Q70_SQL,
         "domain-mixture resampling: largest-remainder apportionment + md5-rank",
     ),
+    "q71_curation_pipeline": QueryDef(
+        q71_curation_pipeline, Q71_SQL,
+        "end-to-end curation: quality -> dedup -> decontaminate -> mixture",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -2769,6 +2858,7 @@ _RESTING: tuple[str, ...] = (
     "q04_topk",
     "q05_join_groupby",
     "q08_composite_join",
+    "q11_derived_columns",
     "q35_shipping_priority",
     "q02_filter_distinct",
     "q03_predicates",
