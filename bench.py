@@ -62,6 +62,7 @@ HEADLINE = [
     "q68_pii_redaction",
     "q69_semantic_dedup",
     "q71_curation_pipeline",
+    "q72_unigram_logprob",
 ]
 
 

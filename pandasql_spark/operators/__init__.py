@@ -16,6 +16,7 @@ from . import (
     curation,
     dedup,
     freq,
+    lm,
     multimodal,
     packing,
     rangejoin,
@@ -36,6 +37,7 @@ __all__ = [
     "curation",
     "dedup",
     "freq",
+    "lm",
     "multimodal",
     "packing",
     "rangejoin",

@@ -1,0 +1,106 @@
+"""Statistical language-model quality scoring (CCNet-style): train a
+unigram model ON the corpus, score every document by its mean token
+log-probability. Low scores flag gibberish / boilerplate / wrong-
+language text; CCNet (Wenzek et al., arXiv:1911.00359) uses exactly
+this signal (with a KenLM 5-gram) to tier CommonCrawl by quality —
+the unigram variant keeps the same two-pass distributed shape with an
+engine-portable oracle (q72).
+
+Plan shape (two passes over the corpus, zero driver-side data):
+
+1. **Count pass**: explode tokens → groupBy(token) count. Map-side
+   partial aggregation does the heavy lifting — the shuffle carries
+   one row per DISTINCT token per map partition, not per occurrence.
+2. **Score pass**: explode again, attach each token's corpus count,
+   per-doc mean of ln(count / N). The count table joins BROADCAST by
+   default (a 1M-type vocab is ~20 MB); at web-scale vocabularies
+   (hash-bucketed token counts > broadcast range) set
+   ``broadcast_vocab=False`` for a shuffle join — token frequency
+   skew is then AQE's problem, which splits the hot 'the'-partitions.
+
+Every token scores > 0 occurrences by construction (the model is
+trained on the scored corpus), so no smoothing is needed for the
+self-scoring use; `score_against` scores one corpus under ANOTHER
+corpus's model with add-one smoothing for unseen tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def unigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(token, cnt) over the whole corpus — single-space tokenization,
+    same convention as every text operator here."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """(id_col, n_tokens, logprob): per-document mean ln(p(token))
+    under the corpus's own unigram distribution, rounded to 6 places
+    (cross-engine comparability). Higher is more typical; tail docs
+    are quality-filter candidates."""
+    counts = unigram_counts(df, text_col)
+    vocab = F.broadcast(counts) if broadcast_vocab else counts
+    n_total = df.select(
+        F.sum(F.size(tokens(text_col))).alias("n")
+    )  # 1-row frame; crossJoin broadcasts it
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    return (
+        toks.join(vocab, on="token")
+        .crossJoin(F.broadcast(n_total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("cnt") / F.col("n"))), 6).alias("logprob"),
+        )
+    )
+
+
+def score_against(
+    df: DataFrame,
+    model_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Score ``df`` under ``model_df``'s unigram model with add-one
+    smoothing: p(t) = (c_t + 1) / (N + V), c_t = 0 for unseen tokens.
+    The cross-corpus variant (e.g. score a crawl under a trusted
+    corpus's model — the CCNet setup)."""
+    counts = unigram_counts(model_df, text_col)
+    stats = counts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("n"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    vocab = F.broadcast(counts) if broadcast_vocab else counts
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    return (
+        toks.join(vocab, on="token", how="left")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+                        / (F.col("n") + F.col("v"))
+                    )
+                ),
+                6,
+            ).alias("logprob"),
+        )
+    )

@@ -1698,6 +1698,32 @@ WHERE r.rk <= tgt.n
 """
 
 
+def q72_unigram_logprob(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """CCNet-style LM quality scoring (operators/lm.py): train a
+    unigram model on the corpus (one count pass, map-side partial agg),
+    then score every document by mean token ln-probability (broadcast
+    vocab join). The oracle recomputes both passes in SQL; ln/avg agree
+    cross-engine after round-to-6."""
+    from pandasql_spark.operators.lm import unigram_logprob_scores
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return unigram_logprob_scores(docs)
+
+
+Q72_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+n AS (SELECT count(*) AS n FROM toks)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln(cnt / CAST(n.n AS DOUBLE))), 6) AS logprob
+FROM toks JOIN counts USING (token), n
+GROUP BY doc_id
+"""
+
+
 def q26_sessionize(spark: SparkSession, sf: str) -> SparkDataFrame:
     """Batch sessionization via window functions (gap = 30 min): lag →
     new-session flag → running sum = session id → per-session agg. An
@@ -2794,6 +2820,10 @@ REGISTRY: dict[str, QueryDef] = {
         q71_curation_pipeline, Q71_SQL,
         "end-to-end curation: quality -> dedup -> decontaminate -> mixture",
     ),
+    "q72_unigram_logprob": QueryDef(
+        q72_unigram_logprob, Q72_SQL,
+        "CCNet-style unigram LM quality score (count pass + broadcast score pass)",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -2859,6 +2889,7 @@ _RESTING: tuple[str, ...] = (
     "q05_join_groupby",
     "q08_composite_join",
     "q11_derived_columns",
+    "q14_agg_global",
     "q35_shipping_priority",
     "q02_filter_distinct",
     "q03_predicates",
