@@ -3,20 +3,26 @@ a composition of this package's operators, in the canonical order —
 
     1. quality gate      (token-count bounds; cheap filters first so
                           every later stage scans less)
-    2. exact dedup       (normalized-text fingerprint, keep lowest id)
-    3. decontamination   (drop docs sharing word n-grams with the
+    2. repetition gate   (optional: Gopher top/dup n-gram thresholds)
+    3. LM quality gate   (optional: unigram logprob floor, CCNet-style)
+    4. exact dedup       (normalized-text fingerprint, keep lowest id)
+    5. decontamination   (drop docs sharing word n-grams with the
                           held-out eval set)
-    4. mixture resample  (optional: apply a domain-weight recipe to a
+    6. PII redaction     (optional: rewrite the text column)
+    7. mixture resample  (optional: apply a domain-weight recipe to a
                           row budget)
 
 Each stage is an operator that already carries its own oracle-gated
-query (q16/q19/q66/q70); the composition is gated end-to-end as q71,
-whose DuckDB oracle chains the same four stages in SQL. Plan shape:
-stage 1 is a pushable scan filter; stage 2 one fingerprint shuffle;
-stage 3 a broadcast anti-join (eval n-grams are tiny by nature);
-stage 4 one stratum-key shuffle — nothing quadratic, nothing
-driver-bound, every stage's 100 TB argument inherited from its
-operator's own SCALING.md entry.
+query (q16/q67/q72/q19/q66/q68/q70); the composition of the four
+always-on/oracle-chained stages is gated end-to-end as q71, whose
+DuckDB oracle chains the same stages in SQL (optional stages default
+off there). Plan shape: stage 1 is a pushable scan filter; 2 a
+zero-shuffle Arrow kernel + anti-join; 3 two corpus passes (count +
+broadcast score); 4 one fingerprint shuffle; 5 a broadcast anti-join
+(eval n-grams are tiny by nature); 6 a codegen projection; 7 one
+stratum-key shuffle — nothing quadratic, nothing driver-bound, every
+stage's 100 TB argument inherited from its operator's own SCALING.md
+entry.
 
 Reference scope note: beyond-reference surface; the reference engine
 has no curation pipeline.
@@ -37,25 +43,62 @@ def curate_corpus(
     eval_df: DataFrame | None = None,
     min_tokens: int = 1,
     max_tokens: int | None = None,
+    max_top_gram_frac: float | None = None,
+    max_dup_gram_frac: float | None = None,
+    repetition_n: int = 2,
+    min_logprob: float | None = None,
     ngram_n: int = 13,
     hashed: bool = True,
+    redact: bool = False,
     mixture: dict[str, float] | None = None,
     total_n: int | None = None,
     stratum_col: str = "lang",
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Quality-gate, dedup, decontaminate, and (optionally) resample a
-    document corpus; returns surviving rows with the input columns.
+    """Quality-gate, dedup, decontaminate, and (optionally) redact and
+    resample a document corpus; returns surviving rows with the input
+    columns (``text_col`` rewritten when ``redact=True``).
 
-    ``eval_df=None`` skips decontamination; ``mixture=None`` (or
-    ``total_n=None``) skips resampling. ``hashed=False`` joins
-    contamination n-grams as raw strings (engine-portable — what the
-    q71 oracle uses) instead of xxhash64 keys."""
+    Optional stages engage only when their parameter is set:
+    repetition thresholds (``max_top_gram_frac``/``max_dup_gram_frac``),
+    the unigram-LM floor (``min_logprob`` — scored on the post-quality
+    corpus, i.e. the model is trained on what survived the cheap
+    gates), PII redaction (``redact=True``), and mixture resampling
+    (``mixture`` + ``total_n``). ``eval_df=None`` skips
+    decontamination; ``hashed=False`` joins contamination n-grams as
+    raw strings (engine-portable — what the q71 oracle uses) instead
+    of xxhash64 keys."""
     tc = token_count(text_col)
     out = df.filter(tc >= min_tokens)
     if max_tokens is not None:
         out = out.filter(tc <= max_tokens)
+
+    if max_top_gram_frac is not None or max_dup_gram_frac is not None:
+        from .repetition import repetition_filter
+
+        out = repetition_filter(
+            out,
+            n=repetition_n,
+            text_col=text_col,
+            id_col=id_col,
+            max_top_gram_frac=(
+                1.0 if max_top_gram_frac is None else max_top_gram_frac
+            ),
+            max_dup_gram_frac=(
+                1.0 if max_dup_gram_frac is None else max_dup_gram_frac
+            ),
+        )
+
+    if min_logprob is not None:
+        from .lm import unigram_logprob_scores
+
+        ok = (
+            unigram_logprob_scores(out, text_col=text_col, id_col=id_col)
+            .filter(F.col("logprob") >= min_logprob)
+            .select(id_col)
+        )
+        out = out.join(ok, on=id_col, how="semi")
 
     # exact dedup, keep-lowest-id: one shuffle on the 16-byte fingerprint
     keep = (
@@ -71,6 +114,11 @@ def curate_corpus(
             hashed=hashed,
         ).select(id_col)
         out = out.join(flagged, on=id_col, how="anti")
+
+    if redact:
+        from ..functions.pii import redact_pii
+
+        out = out.withColumn(text_col, redact_pii(text_col))
 
     if mixture is not None and total_n is not None:
         out = resample_to_mixture(

@@ -71,6 +71,42 @@ def test_mixture_stage_applies_budget(spark):
     assert got == {"en": 10, "de": 10}
 
 
+def test_optional_repetition_stage(spark):
+    varied = " ".join(f"w{i}" for i in range(20))  # 19 distinct bigrams
+    df = spark.createDataFrame(
+        [(0, "x y " * 40, "en"), (1, varied, "en")],
+        "doc_id long, text string, lang string",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in curate_corpus(df, max_top_gram_frac=0.20).collect()
+    )
+    # doc 0's top bigram is half its mass -> dropped; doc 1 all-unique
+    assert kept == [1]
+
+
+def test_optional_lm_floor(spark):
+    texts = ["common common common common"] * 3 + ["weird rare junk tokens"]
+    df = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string",
+    )
+    kept = sorted(r.doc_id for r in curate_corpus(df, min_logprob=-1.0).collect())
+    # 'common' dominates (12/16 tokens): ln(12/16) ≈ -0.29 passes;
+    # the rare-token doc averages ln(1/16) ≈ -2.77 and is dropped.
+    # dedup then keeps one of the three identical common docs.
+    assert kept == [0]
+
+
+def test_optional_redaction_stage(spark):
+    df = spark.createDataFrame(
+        [(0, "mail me at bob@example.com today", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = curate_corpus(df, redact=True).first()
+    assert out.text == "mail me at [EMAIL] today"
+
+
 def test_pipeline_on_real_corpus_monotone(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     ev = docs.filter(F.col("doc_id") % 50 == 0)
