@@ -21,6 +21,7 @@ from . import (
     packing,
     rangejoin,
     ranking,
+    report,
     repetition,
     sampling,
     semantic,
@@ -42,6 +43,7 @@ __all__ = [
     "packing",
     "rangejoin",
     "ranking",
+    "report",
     "repetition",
     "sampling",
     "semantic",

@@ -1724,6 +1724,50 @@ GROUP BY doc_id
 """
 
 
+def q73_corpus_report(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Corpus observability report (operators/report.py): one call →
+    tall (metric, value) frame — volumes, EXACT token-length
+    percentiles (via the range-partitioned ranking recipe, q65's
+    machinery), exact-dup rate (q19's fingerprint), per-lang mix. The
+    oracle recomputes every metric in SQL."""
+    from pandasql_spark.operators.report import corpus_report
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return corpus_report(docs, stratum_col="lang")
+
+
+Q73_SQL = """
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS tc,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+vol AS (
+  SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM t
+  UNION ALL SELECT 'n_tokens', CAST(sum(tc) AS DOUBLE) FROM t
+  UNION ALL SELECT 'avg_tokens', round(avg(tc), 6) FROM t
+  UNION ALL SELECT 'exact_dup_rate',
+         round(1 - count(DISTINCT fp) / CAST(count(*) AS DOUBLE), 6) FROM t
+),
+r AS (
+  SELECT tc, row_number() OVER (ORDER BY tc, doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM t
+),
+pct AS (
+  SELECT 'p' || CAST(CAST(round(q * 100) AS INT) AS VARCHAR) || '_tokens' AS metric,
+         CAST(tc AS DOUBLE) AS value
+  FROM r JOIN (VALUES (0.25), (0.5), (0.75), (0.95)) qs(q)
+    ON rn = CAST(ceil(q * n) AS BIGINT)
+),
+mix AS (
+  SELECT 'docs_lang=' || lang AS metric, CAST(count(*) AS DOUBLE) AS value
+  FROM documents GROUP BY lang
+)
+SELECT * FROM vol UNION ALL SELECT * FROM pct UNION ALL SELECT * FROM mix
+"""
+
+
 def q26_sessionize(spark: SparkSession, sf: str) -> SparkDataFrame:
     """Batch sessionization via window functions (gap = 30 min): lag →
     new-session flag → running sum = session id → per-session agg. An
@@ -2824,6 +2868,10 @@ REGISTRY: dict[str, QueryDef] = {
         q72_unigram_logprob, Q72_SQL,
         "CCNet-style unigram LM quality score (count pass + broadcast score pass)",
     ),
+    "q73_corpus_report": QueryDef(
+        q73_corpus_report, Q73_SQL,
+        "corpus observability report: volumes, exact percentiles, dup rate, mix",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -2890,6 +2938,7 @@ _RESTING: tuple[str, ...] = (
     "q08_composite_join",
     "q11_derived_columns",
     "q14_agg_global",
+    "q32_stats_agg",
     "q35_shipping_priority",
     "q02_filter_distinct",
     "q03_predicates",

@@ -1,0 +1,50 @@
+"""Corpus observability report (operators/report.py): known-value
+metrics on a handcrafted corpus plus real-corpus sanity."""
+
+from __future__ import annotations
+
+from pandasql_spark.operators.report import corpus_report
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a b c", "en"),       # 3 tokens
+            (1, "a b c", "en"),       # exact dup of 0
+            (2, "d e", "fr"),         # 2 tokens
+            (3, "f g h i", "fr"),     # 4 tokens
+        ],
+        "doc_id long, text string, lang string",
+    )
+    m = {r.metric: r.value for r in corpus_report(df, stratum_col="lang").collect()}
+    assert m["n_docs"] == 4.0
+    assert m["n_tokens"] == 12.0
+    assert m["avg_tokens"] == 3.0
+    assert m["exact_dup_rate"] == 0.25
+    assert m["docs_lang=en"] == 2.0 and m["docs_lang=fr"] == 2.0
+    # sorted tcs: [2,3,3,4]; ceil(q*4): p25→pos1=2, p50→pos2=3,
+    # p75→pos3=3, p95→pos4=4
+    assert (m["p25_tokens"], m["p50_tokens"], m["p75_tokens"], m["p95_tokens"]) == (
+        2.0, 3.0, 3.0, 4.0,
+    )
+
+
+def test_no_stratum(spark):
+    df = spark.createDataFrame(
+        [(0, "a b", "en")], "doc_id long, text string, lang string"
+    )
+    metrics = {r.metric for r in corpus_report(df).collect()}
+    assert not any(met.startswith("docs_lang") for met in metrics)
+    assert "n_docs" in metrics and "p50_tokens" in metrics
+
+
+def test_real_corpus_consistency(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    m = {r.metric: r.value for r in corpus_report(docs, stratum_col="lang").collect()}
+    assert m["n_docs"] == docs.count()
+    lang_total = sum(v for k, v in m.items() if k.startswith("docs_lang="))
+    assert lang_total == m["n_docs"]
+    assert m["p25_tokens"] <= m["p50_tokens"] <= m["p75_tokens"] <= m["p95_tokens"]
+    assert 0.0 <= m["exact_dup_rate"] < 1.0

@@ -127,3 +127,41 @@ def test_mixture_resample_deterministic(spark):
     a = sorted(r.doc_id for r in resample_to_mixture(docs, "lang", w, 30, "doc_id").collect())
     b = sorted(r.doc_id for r in resample_to_mixture(docs, "lang", w, 30, "doc_id").collect())
     assert a == b and len(a) == 30
+
+
+def test_mixture_apportionment_properties(spark):
+    """Largest-remainder invariants, on a corpus where no stratum caps:
+    targets sum to total_n exactly and each stratum is within 1 row of
+    its exact fractional share (the defining property of the method)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pandasql_spark.operators.sampling import resample_to_mixture
+
+    strata = ["a", "b", "c", "d"]
+    df = spark.createDataFrame(
+        [(100 * i + j, s) for i, s in enumerate(strata) for j in range(60)],
+        "doc_id long, lang string",
+    )
+
+    @settings(
+        max_examples=15, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        w=st.lists(st.integers(1, 9), min_size=4, max_size=4),
+        total=st.integers(0, 50),
+    )
+    def inner(w, total):
+        weights = dict(zip(strata, w))
+        got = dict(
+            resample_to_mixture(df, "lang", weights, total, "doc_id")
+            .groupBy("lang").count().collect()
+        )
+        s = sum(w)
+        assert sum(got.values()) == total
+        for k, wt in weights.items():
+            exact = wt / s * total
+            assert abs(got.get(k, 0) - exact) < 1.0
+
+    inner()
