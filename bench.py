@@ -63,6 +63,7 @@ HEADLINE = [
     "q69_semantic_dedup",
     "q71_curation_pipeline",
     "q72_unigram_logprob",
+    "q73_corpus_report",
 ]
 
 
