@@ -182,3 +182,25 @@ def test_fuzzy_match_broadcasts_name_pairs(spark):
     assert broadcast_join_count(df) >= 2, operator_names(df)
     ops = operator_names(df)
     assert "CartesianProduct" not in ops, ops
+
+
+def test_mixture_resample_broadcasts_targets_and_prunes(spark):
+    """q70's target-count table must broadcast (k rows), and the
+    unlisted-strata prefilter must reach the scan as a pushed filter —
+    no shuffle ranks rows the join would discard."""
+    df = _q(spark, "q70_mixture_resample")
+    assert broadcast_join_count(df) >= 1, operator_names(df)
+    from pandasql_spark.plans import explain_str
+
+    plan = explain_str(df, "formatted")
+    assert "PushedFilters: [" in plan and "In(lang" in plan.replace("IsNotNull(lang), ", ""), plan
+
+
+def test_corpus_report_percentiles_use_range_partitioning(spark):
+    """q73's exact percentiles must ride the range-partitioned ranking
+    recipe (RangePartitioning exchange + per-partition sort), never a
+    single-reducer global sort of the corpus."""
+    from pandasql_spark.plans import explain_str
+
+    plan = explain_str(_q(spark, "q73_corpus_report"), "formatted")
+    assert "rangepartitioning" in plan.lower(), plan
