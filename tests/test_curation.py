@@ -107,6 +107,37 @@ def test_optional_redaction_stage(spark):
     assert out.text == "mail me at [EMAIL] today"
 
 
+def test_all_stages_together(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    out = curate_corpus(
+        tr,
+        eval_df=ev,
+        min_tokens=30,
+        max_tokens=80,
+        max_top_gram_frac=0.5,
+        max_dup_gram_frac=0.95,
+        min_logprob=-4.5,
+        ngram_n=3,
+        hashed=False,
+        redact=True,
+        mixture={"en": 1, "es": 1},
+        total_n=40,
+    ).cache()
+    try:
+        got = dict(out.groupBy("lang").count().collect())
+        assert set(got) <= {"en", "es"} and sum(got.values()) <= 40
+        assert out.count() > 0
+        # redaction ran (idempotent on this clean corpus: text unchanged
+        # in shape) and every survivor satisfies the quality gate
+        from pandasql_spark.functions.text import token_count
+
+        assert out.filter(token_count("text") < 30).count() == 0
+    finally:
+        out.unpersist()
+
+
 def test_pipeline_on_real_corpus_monotone(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     ev = docs.filter(F.col("doc_id") % 50 == 0)

@@ -136,6 +136,89 @@ def test_dedup_deterministic_across_runs(spark):
     assert a == b
 
 
+def test_property_vs_python_bruteforce(spark):
+    """Full-pipeline differential on random small corpora: Python
+    re-implements init/assign/update/dedup with the same quantization
+    and tie rules; verdicts must match exactly."""
+    import math
+
+    import numpy as np
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tests.conftest import soak_examples
+
+    # quarters in [-2, 2]: exact in float32/double, so fold-vs-BLAS
+    # arithmetic agrees bit-for-bit and ties are REAL ties (and the
+    # no-tie analysis for the 6-dp centroid rounding holds: a mean of
+    # quarters over <=12 members can never land on a .5e-6 boundary)
+    quarter = st.integers(-8, 8).map(lambda i: i / 4)
+
+    @settings(
+        max_examples=soak_examples(15),
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(
+        data=st.lists(
+            st.tuples(quarter, quarter, quarter),
+            min_size=3,
+            max_size=12,
+        ),
+        k=st.integers(1, 3),
+        tau=st.sampled_from([0.3, 0.7, 0.95]),
+    )
+    def inner(data, k, tau):
+        rows = [(i, list(v)) for i, v in enumerate(data)]
+        # Python oracle
+        vecs = {i: [float(np.float32(x)) for x in v] for i, v in rows}
+        cents = [vecs[i] for i in sorted(vecs)[:k]]
+
+        def assign(c):
+            out = {}
+            for i, v in vecs.items():
+                dists = [sum((a - b) * (a - b) for a, b in zip(v, cc)) for cc in c]
+                out[i] = dists.index(min(dists))
+            return out
+
+        for _ in range(2):
+            a = assign(cents)
+            new = []
+            for ci in range(k):
+                members = [vecs[i] for i in a if a[i] == ci]
+                if members:
+                    new.append([
+                        round(sum(m[d] for m in members) / len(members), 6)
+                        for d in range(3)
+                    ])
+                else:
+                    new.append(cents[ci])
+            cents = new
+        a = assign(cents)
+
+        def cos(u, v):
+            nu = math.sqrt(sum(x * x for x in u)) or 1.0
+            nv = math.sqrt(sum(x * x for x in v)) or 1.0
+            return round(sum(x * y for x, y in zip(u, v)) / (nu * nv), 6)
+
+        expected = {}
+        for i in sorted(vecs):
+            dropped = any(
+                a[j] == a[i] and cos(vecs[i], vecs[j]) >= tau
+                for j in vecs if j < i
+            )
+            expected[i] = (a[i], not dropped)
+
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {
+            r.vec_id: (r.cid, r.kept)
+            for r in semantic_dedup(df, k=k, n_iter=2, tau=tau).collect()
+        }
+        assert got == expected
+
+    inner()
+
+
 def test_assignment_is_shuffle_free(spark):
     e = spark.read.parquet(f"{SF}/embeddings.parquet")
     cents = [[0.0] * 64, [1.0] * 64]
