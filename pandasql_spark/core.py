@@ -84,6 +84,35 @@ def _free_driver_memory() -> int | None:
         pass
     return None
 
+def _approx_row_bytes(schema) -> int:
+    """Pessimistic-enough per-row byte estimate from the schema alone
+    (used to convert the fetch-byte cap into a row cap for the guard's
+    count probe; variable-width types get generous flat estimates)."""
+
+    def sz(dt) -> int:
+        if isinstance(dt, (T.BooleanType, T.ByteType)):
+            return 1
+        if isinstance(dt, T.ShortType):
+            return 2
+        if isinstance(dt, (T.IntegerType, T.FloatType)):
+            return 4
+        if isinstance(dt, T.DecimalType):
+            return 16
+        if isinstance(dt, T.StringType):
+            return 24
+        if isinstance(dt, T.BinaryType):
+            return 64
+        if isinstance(dt, T.ArrayType):
+            return 16 * sz(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return 16 * (sz(dt.keyType) + sz(dt.valueType))
+        if isinstance(dt, T.StructType):
+            return sum(sz(f.dataType) for f in dt.fields)
+        return 8  # long/double/timestamp/date and anything else fixed-width
+
+    return max(sum(sz(f.dataType) for f in schema.fields), 1)
+
+
 _FLOAT_TYPES = (T.DoubleType, T.FloatType, T.DecimalType)
 _SUPPORTED_CONSTANT_TYPES = (int, float, str, bool, list)
 
@@ -507,17 +536,29 @@ class BaseFrame:
 
     def _guarded_to_pandas(self) -> pd.DataFrame:
         cap = _MAX_FETCH_BYTES if _MAX_FETCH_BYTES is not None else _free_driver_memory()
-        if cap is not None:
+        if cap is not None and cap != float("inf"):
             est = self.memory_usage()
             if est > cap:
-                raise MemoryError(
-                    f"compute() would fetch an estimated {est:,} bytes to "
-                    f"the driver (cap {cap:,.0f}). Try accessing a smaller "
-                    "subset of the data you need, e.g. df.head(n) or "
-                    "df[:n].compute(), or write it out distributed with "
-                    "to_parquet(); set_max_fetch_bytes(float('inf')) "
-                    "overrides the guard."
-                )
+                # The non-CBO sizeInBytes statistic multiplies child
+                # sizes through joins — a tiny post-join aggregate can
+                # estimate petabytes. Before raising, confirm with a
+                # bounded row-count probe: limit(cap_rows + 1).count()
+                # short-circuits and costs at most one extra pass in
+                # the (rare) over-cap case, and never lets the real
+                # fetch exceed the cap.
+                sdf = self.to_spark()
+                row_bytes = _approx_row_bytes(sdf.schema)
+                cap_rows = min(int(cap // row_bytes), 2**31 - 2)
+                if sdf.limit(cap_rows + 1).count() > cap_rows:
+                    raise MemoryError(
+                        f"compute() would fetch more than {cap_rows:,} rows "
+                        f"(~{row_bytes} bytes/row, cap {cap:,.0f} bytes) to "
+                        "the driver. Try accessing a smaller "
+                        "subset of the data you need, e.g. df.head(n) or "
+                        "df[:n].compute(), or write it out distributed with "
+                        "to_parquet(); set_max_fetch_bytes(float('inf')) "
+                        "overrides the guard."
+                    )
         return self.to_spark().toPandas()
 
     def to_pandas(self) -> Any:

@@ -68,8 +68,20 @@ def sniff_format(b: bytes) -> str | None:
 def decode_image_meta(b: bytes) -> tuple[str, int, int, str]:
     """(format, width, height, mode) from the image header alone.
 
-    Raises ImageDecodeError on non-image bytes. Never inflates pixel
-    data — safe to run over arbitrary crawl payloads."""
+    Raises ImageDecodeError on non-image bytes — including truncated
+    headers whose parse would otherwise surface struct.error (the
+    kernels catch only ImageDecodeError, so every failure mode of
+    arbitrary crawl bytes must normalize to it). Never inflates pixel
+    data."""
+    try:
+        return _decode_image_meta(b)
+    except ImageDecodeError:
+        raise
+    except Exception as exc:  # struct.error, IndexError on truncation
+        raise ImageDecodeError(f"corrupt image header: {exc}") from exc
+
+
+def _decode_image_meta(b: bytes) -> tuple[str, int, int, str]:
     fmt = sniff_format(b)
     if fmt == "png":
         if len(b) < 33 or b[12:16] != b"IHDR":
@@ -98,6 +110,12 @@ def _jpeg_dims(b: bytes) -> tuple[int, int, str]:
         if b[i] != 0xFF:
             i += 1
             continue
+        # a marker may be preceded by any number of 0xFF fill bytes
+        # (spec-legal padding) — the marker code is the first non-FF
+        while i + 1 < n and b[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > n:
+            break
         marker = b[i + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
             i += 2
@@ -122,7 +140,17 @@ def decode_png(b: bytes) -> np.ndarray:
     Supports 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced — the
     shapes ``encode_png`` writes and the overwhelming web majority.
     Palette, 16-bit, and Adam7 raise ImageDecodeError (PIL path handles
-    them when available)."""
+    them when available). Like decode_image_meta, every parse failure
+    on truncated/corrupt bytes normalizes to ImageDecodeError."""
+    try:
+        return _decode_png(b)
+    except ImageDecodeError:
+        raise
+    except Exception as exc:  # struct.error / ValueError on truncation
+        raise ImageDecodeError(f"corrupt PNG: {exc}") from exc
+
+
+def _decode_png(b: bytes) -> np.ndarray:
     if b[:8] != _PNG_SIG:
         raise ImageDecodeError("not a PNG")
     w = h = None
@@ -149,7 +177,10 @@ def decode_png(b: bytes) -> np.ndarray:
             f"interlace={interlace}); install PIL for full coverage"
         )
     ch = _PNG_COLOR[color][0]
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:  # corrupt deflate stream in a crawl payload
+        raise ImageDecodeError(f"corrupt PNG pixel stream: {exc}") from exc
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ImageDecodeError("PNG pixel payload has wrong length")
@@ -251,9 +282,19 @@ def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
 
 
 def decode_image(b: bytes) -> np.ndarray:
-    """Any supported image bytes → uint8 pixel array (h, w, channels).
-    PIL when available (all formats), else the native PNG decoder."""
+    """Any supported image bytes → uint8 pixel array (h, w, channels) —
+    ALWAYS 3-D, grayscale included. PIL when available (all formats),
+    else the native PNG decoder; every failure mode normalizes to
+    ImageDecodeError so one corrupt payload can't kill a kernel."""
     if HAVE_PIL:  # pragma: no cover - PIL absent in this container
-        img = _PILImage.open(_io.BytesIO(b))
-        return np.asarray(img.convert(img.mode if img.mode in _MODE_COLOR else "RGB"))
+        try:
+            img = _PILImage.open(_io.BytesIO(b))
+            arr = np.asarray(
+                img.convert(img.mode if img.mode in _MODE_COLOR else "RGB")
+            )
+        except Exception as exc:  # UnidentifiedImageError, OSError, ...
+            raise ImageDecodeError(f"undecodable image: {exc}") from exc
+        if arr.ndim == 2:  # PIL mode 'L'/'P' → (h, w); contract is 3-D
+            arr = arr[:, :, None]
+        return arr
     return decode_png(b)

@@ -69,6 +69,12 @@ def curate_corpus(
     decontamination; ``hashed=False`` joins contamination n-grams as
     raw strings (engine-portable — what the q71 oracle uses) instead
     of xxhash64 keys."""
+    if (mixture is None) != (total_n is None):
+        raise ValueError(
+            "mixture and total_n must be provided together — a "
+            "half-specified recipe would silently skip resampling and "
+            "return the unresampled corpus"
+        )
     tc = token_count(text_col)
     out = df.filter(tc >= min_tokens)
     if max_tokens is not None:

@@ -54,9 +54,10 @@ def corpus_report(
     )
     tall = volumes.unpivot([], list(volumes.columns), "metric", "value")
 
-    pct = exact_percentiles(
+    pctl = exact_percentiles(
         base, "__tc", list(length_quantiles), tiebreak=F.col(id_col)
-    ).select(
+    )
+    pct = pctl.select(
         # round BEFORE the int cast: 0.95*100 is 94.999… in binary and
         # Spark's double→int cast truncates (DuckDB's rounds)
         F.concat(F.lit("p"), F.round(F.col("q") * 100).cast("int").cast("string"),
@@ -75,4 +76,9 @@ def corpus_report(
             "value",
         )
         out = out.unionByName(mix)
-    return out
+    # pass the ranking recipe's persisted-frame release hook through
+    # (operators/cache.py contract) — without it the range-partitioned
+    # copy of `base` could never be unpersisted by the caller
+    from .cache import attach_cleanup
+
+    return attach_cleanup(out, pctl.cleanup)

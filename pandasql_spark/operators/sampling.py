@@ -99,8 +99,13 @@ def resample_to_mixture(
         targets[k] += 1
 
     spark = df.sparkSession
+    # stratum type follows the input column — an int-typed domain key
+    # must not join against a string target (implicit casts defeat
+    # broadcast-key pruning and vary with ANSI mode)
+    stratum_type = df.schema[stratum_col].dataType.simpleString()
     tgt = spark.createDataFrame(
-        [(k, n) for k, n in targets.items()], f"{stratum_col} string, __tgt long"
+        [(k, n) for k, n in targets.items()],
+        f"{stratum_col} {stratum_type}, __tgt long",
     )
     w = Window.partitionBy(stratum_col).orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)

@@ -115,8 +115,11 @@ def process_batch(
     session would silently leave the clone's writes in static mode and
     each batch would wipe the whole store (observed before this fix)."""
     spark = batch.sparkSession
-    sig_schema = "id long, signature array<long>"
-    band_schema = "id long, band_idx int, band_hash long"
+    # id type follows the input column (same contract as the dedup
+    # kernels) — a string-id stream must round-trip the store too
+    id_type = batch.schema[id_col].dataType.simpleString()
+    sig_schema = f"id {id_type}, signature array<long>"
+    band_schema = f"id {id_type}, band_idx int, band_hash long"
 
     batch = batch.dropDuplicates([id_col]).persist()
     sigs = minhash_signatures(

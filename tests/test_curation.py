@@ -153,3 +153,13 @@ def test_pipeline_on_real_corpus_monotone(spark):
 
     bad = curated.filter((token_count("text") < 40) | (token_count("text") > 65))
     assert bad.count() == 0
+
+
+def test_half_specified_mixture_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([(0, "a b", "en")], "doc_id long, text string, lang string")
+    with pytest.raises(ValueError, match="together"):
+        curate_corpus(df, mixture={"en": 1})
+    with pytest.raises(ValueError, match="together"):
+        curate_corpus(df, total_n=10)

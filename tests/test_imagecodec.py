@@ -139,3 +139,38 @@ def test_extract_image_features_real_content(spark):
     f_dark, f_bright = out.loc[0, "feature"], out.loc[1, "feature"]
     assert list(out.loc[2, "feature"]) == list(f_dark)
     assert f_bright[4] > f_dark[4] + 100  # mean-luma coordinate
+
+
+def test_truncated_headers_raise_decode_error_not_struct_error():
+    import pytest
+
+    # truncated GIF (magic present, screen descriptor cut short)
+    with pytest.raises(ic.ImageDecodeError):
+        ic.decode_image_meta(b"GIF89a\x01")
+    # truncated PNG IHDR payload
+    with pytest.raises(ic.ImageDecodeError):
+        ic.decode_image_meta(b"\x89PNG\r\n\x1a\n" + b"\x00" * 10)
+    # truncated JPEG (SOI then garbage that runs off the end)
+    with pytest.raises(ic.ImageDecodeError):
+        ic.decode_image_meta(b"\xff\xd8\xff\xc0\x00")
+
+
+def test_corrupt_idat_raises_decode_error_not_zlib_error():
+    import numpy as np
+    import pytest
+
+    good = ic.encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    # corrupt one byte inside the IDAT deflate stream
+    idat_at = good.index(b"IDAT") + 8
+    bad = bytearray(good)
+    bad[idat_at] ^= 0xFF
+    with pytest.raises(ic.ImageDecodeError):
+        ic.decode_png(bytes(bad))
+
+
+def test_jpeg_ff_fill_padding_before_sof():
+    # spec-legal FF fill bytes before the SOF marker must not derail
+    # the scanner: SOI, padding, then SOF0 for a 7x5 3-component frame
+    sof = b"\xff\xff\xff\xc0" + b"\x00\x11" + b"\x08" + b"\x00\x05\x00\x07" + b"\x03"
+    w, h, mode = ic._jpeg_dims(b"\xff\xd8" + sof + b"\x00" * 20)
+    assert (w, h, mode) == (7, 5, "RGB")

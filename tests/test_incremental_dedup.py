@@ -139,3 +139,20 @@ def test_bucket_cap_applies_across_history(spark, tmp_path):
         got = spark.read.parquet(surv)
         n_b1 = got.filter(got.batch_id == 1).count()
         assert n_b1 == expect_b1_survivors, (cap, n_b1)
+
+
+def test_string_ids_round_trip_the_store(spark, tmp_path):
+    """The persisted sigs/bands schemas must follow the id column's
+    type — a string-id stream reads back its own store (regression:
+    hardcoded 'id long' broke batch 2's history read)."""
+    store = str(tmp_path / "store_str")
+    surv = str(tmp_path / "surv_str")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id string, text string")
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    process_batch(mk([("a", text), ("b", "totally different words here")]),
+                  0, store, surv)
+    process_batch(mk([("c", text)]), 1, store, surv)  # near-dup of 'a'
+    surv_ids = {
+        r.doc_id for r in spark.read.parquet(surv).select("doc_id").collect()
+    }
+    assert "a" in surv_ids and "b" in surv_ids and "c" not in surv_ids

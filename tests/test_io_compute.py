@@ -164,3 +164,30 @@ def test_compute_fetch_guard(spark):
 
     # auto mode (free driver memory) lets ordinary small frames through
     assert len(df.head(3).compute()) == 3
+
+
+def test_compute_guard_join_overestimate_probe(spark):
+    """The non-CBO sizeInBytes stat multiplies through joins (a 1000x1000
+    merge 'estimates' hundreds of MB for a 24 kB result); the guard must
+    confirm with its bounded count probe instead of raising on the
+    estimate alone."""
+    import pandas as pd
+
+    import pandasql_spark as ps
+    from pandasql_spark.core import set_max_fetch_bytes
+
+    a = ps.DataFrame(pd.DataFrame({"k": range(1000), "x": range(1000)}))
+    b = ps.DataFrame(pd.DataFrame({"k": range(1000), "y": range(1000)}))
+    j = a.merge(b, on="k")
+    try:
+        set_max_fetch_bytes(1_000_000)  # far below the bogus estimate
+        assert j.memory_usage() > 1_000_000  # the over-estimate is real
+        assert len(j.compute()) == 1000      # ...but compute() still works
+        # and a genuinely over-cap join result still raises
+        set_max_fetch_bytes(100)
+        import pytest
+
+        with pytest.raises(MemoryError, match="rows"):
+            j.compute()
+    finally:
+        set_max_fetch_bytes(None)

@@ -48,3 +48,14 @@ def test_real_corpus_consistency(spark):
     assert lang_total == m["n_docs"]
     assert m["p25_tokens"] <= m["p50_tokens"] <= m["p75_tokens"] <= m["p95_tokens"]
     assert 0.0 <= m["exact_dup_rate"] < 1.0
+
+
+def test_cleanup_hook_releases_persisted_ranking(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = corpus_report(docs)
+    out.collect()
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert hasattr(out, "cleanup")
+    out.cleanup(blocking=True)
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after <= before

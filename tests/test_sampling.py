@@ -165,3 +165,16 @@ def test_mixture_apportionment_properties(spark):
             assert abs(got.get(k, 0) - exact) < 1.0
 
     inner()
+
+
+def test_mixture_resample_int_stratum(spark):
+    from pandasql_spark.operators.sampling import resample_to_mixture
+
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(40)], "doc_id long, domain int"
+    )
+    out = resample_to_mixture(
+        df, "domain", {0: 1, 1: 1}, 10, "doc_id", 
+    )
+    got = dict(out.groupBy("domain").count().collect())
+    assert got == {0: 5, 1: 5}
