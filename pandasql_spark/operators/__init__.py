@@ -25,6 +25,7 @@ from . import (
     repetition,
     sampling,
     semantic,
+    sketch,
     skew,
     zorder,
 )
@@ -47,6 +48,7 @@ __all__ = [
     "repetition",
     "sampling",
     "semantic",
+    "sketch",
     "skew",
     "zorder",
 ]

@@ -1,0 +1,111 @@
+"""KMV (k-minimum-values / bottom-k) distinct-count sketch —
+deterministic and engine-portable, unlike HLL.
+
+Spark's `approx_count_distinct` (HyperLogLog++) is the right default
+at scale, but its register layout is engine-internal: no other system
+can recompute it, sketches can't be checked against an oracle, and
+estimates change across Spark versions. The KMV sketch (Bar-Yossef et
+al. 2002; the bottom-k variant of the theta sketch family) trades a
+little accuracy (rel. err ≈ 1/√(k−2)) for properties a data platform
+actually wants:
+
+- **deterministic & portable**: the sketch is the k smallest md5
+  values of the distinct keys — any engine recomputes it bit-for-bit
+  (the q74 oracle does, in SQL, including the estimate arithmetic);
+- **mergeable**: bottom-k of a union = bottom-k of the unioned
+  bottom-k's, so per-partition / per-day sketches combine exactly —
+  the cross-shard distinct-count use case;
+- **scale-shaped**: building it is map-side dedup + a global bottom-k
+  (TakeOrderedAndProject: per-partition heap of k rows + driver merge
+  of k×partitions), never a full sort, never a big shuffle.
+
+Estimator: with M = 16^13 (13 hex chars = 52 bits, exact in a double)
+and h(k) the k-th smallest hash mapped to [0, M), the estimate is
+(k−1)·M / h(k); when fewer than k distinct hashes exist the sketch is
+the exhaustive hash set and the count is EXACT. The hex→numeric
+conversion is integer-valued and < 2^53, hence exact in a double on
+every engine regardless of how it's computed — Spark uses `conv`, the
+oracle a per-character list_reduce fold — so estimates agree
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: 16^13 = 2^52 — the hash-space size used by the estimator; every
+#: integer in range is exact in a double on every engine.
+M = float(16 ** 13)
+
+
+def _hex13_to_double(col: Column) -> Column:
+    """First 13 hex chars → numeric value in [0, 16^13) as a double —
+    exact (52-bit integer), so any engine computes the same number."""
+    return F.conv(F.substring(col, 1, 13), 16, 10).cast("double")
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """The sketch itself: ≤ k rows of (hx) — the k smallest md5 hex
+    digests over the column's DISTINCT values. Fixed-width hex sorts
+    lexicographically = numerically, so the bottom-k needs no numeric
+    conversion. Union two sketches and re-apply ``kmv_sketch``'s tail
+    (bottom-k over hx) to merge exactly."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return (
+        df.select(F.md5(F.col(col).cast("string")).alias("hx"))
+        .dropDuplicates(["hx"])
+        .orderBy("hx")
+        .limit(k)
+    )
+
+
+def merge_sketches(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Exact sketch union: bottom-k over the combined hash sets."""
+    return a.unionByName(b).dropDuplicates(["hx"]).orderBy("hx").limit(k)
+
+
+def kmv_distinct_estimate(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """One row: (n_hashes, kth_hash, estimate). ``estimate`` is the
+    KMV distinct-count estimate rounded to 6 places; exact (= n_hashes)
+    when the column has fewer than k distinct values."""
+    sk = kmv_sketch(df, col, k)
+    agg = sk.agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.max("hx").alias("kth_hash"),  # sketch holds the k smallest
+    )
+    return agg.select(
+        "n_hashes",
+        "kth_hash",
+        F.when(F.col("n_hashes") < k, F.col("n_hashes").cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(float(k - 1))
+                * F.lit(M)
+                / _hex13_to_double(F.col("kth_hash")),
+                6,
+            )
+        )
+        .alias("estimate"),
+    )
+
+
+def estimate_from_sketch(sketch: DataFrame, k: int) -> DataFrame:
+    """(n_hashes, kth_hash, estimate) from an existing (possibly
+    merged) sketch frame — the distributed-merge read path."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n_hashes"), F.max("hx").alias("kth_hash")
+    )
+    return agg.select(
+        "n_hashes",
+        "kth_hash",
+        F.when(F.col("n_hashes") < k, F.col("n_hashes").cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(float(k - 1)) * F.lit(M) / _hex13_to_double(F.col("kth_hash")),
+                6,
+            )
+        )
+        .alias("estimate"),
+    )

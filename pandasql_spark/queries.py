@@ -1768,6 +1768,43 @@ SELECT * FROM vol UNION ALL SELECT * FROM pct UNION ALL SELECT * FROM mix
 """
 
 
+def q74_kmv_distinct(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """KMV bottom-k distinct sketch (operators/sketch.py): estimate the
+    distinct o_custkey count of orders with a k=256 minimum-values
+    sketch over portable md5 hashes. Unlike HLL the whole sketch AND
+    the estimate are engine-reproducible: the oracle recomputes the
+    bottom-k and the (k−1)·M/h(k) arithmetic in SQL and hash-matches
+    the estimate itself."""
+    from pandasql_spark.operators.sketch import kmv_distinct_estimate
+
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    return kmv_distinct_estimate(orders, "o_custkey", k=256)
+
+
+Q74_SQL = """
+WITH h AS (
+  SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR)) AS hx FROM orders
+),
+bottom AS (SELECT hx FROM h ORDER BY hx LIMIT 256),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hashes, max(hx) AS kth_hash
+  FROM bottom
+)
+SELECT n_hashes, kth_hash,
+       CASE WHEN n_hashes < 256 THEN CAST(n_hashes AS DOUBLE)
+       ELSE round(
+         CAST(255 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) /
+         list_reduce(
+           list_transform(range(1, 14),
+             i -> CAST(strpos('0123456789abcdef', substr(kth_hash, i, 1)) - 1
+                       AS DOUBLE)),
+           (acc, x) -> acc * 16 + x),
+         6)
+       END AS estimate
+FROM agg
+"""
+
+
 def q26_sessionize(spark: SparkSession, sf: str) -> SparkDataFrame:
     """Batch sessionization via window functions (gap = 30 min): lag →
     new-session flag → running sum = session id → per-session agg. An
@@ -2872,6 +2909,10 @@ REGISTRY: dict[str, QueryDef] = {
         q73_corpus_report, Q73_SQL,
         "corpus observability report: volumes, exact percentiles, dup rate, mix",
     ),
+    "q74_kmv_distinct": QueryDef(
+        q74_kmv_distinct, Q74_SQL,
+        "KMV bottom-k distinct sketch: portable, mergeable, oracle-exact estimate",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -2938,6 +2979,7 @@ _RESTING: tuple[str, ...] = (
     "q08_composite_join",
     "q11_derived_columns",
     "q14_agg_global",
+    "q28_outer_join",
     "q32_stats_agg",
     "q35_shipping_priority",
     "q02_filter_distinct",

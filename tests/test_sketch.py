@@ -1,0 +1,59 @@
+"""KMV bottom-k distinct sketch (operators/sketch.py): accuracy vs
+exact counts, the exact-below-k regime, merge associativity, and the
+bottom-k plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pandasql_spark.operators.sketch import (
+    estimate_from_sketch,
+    kmv_distinct_estimate,
+    kmv_sketch,
+    merge_sketches,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exact_when_under_k(spark):
+    df = spark.range(100).select((F.col("id") % 37).alias("v"))
+    r = kmv_distinct_estimate(df, "v", k=256).first()
+    assert (r.n_hashes, r.estimate) == (37, 37.0)
+
+
+def test_estimate_within_expected_error(spark):
+    # 10_000 distinct values, k=256 -> rel. err ~ 1/sqrt(254) ≈ 6.3%;
+    # allow 4 sigma
+    df = spark.range(30_000).select((F.col("id") % 10_000).alias("v"))
+    r = kmv_distinct_estimate(df, "v", k=256).first()
+    assert r.n_hashes == 256
+    assert abs(r.estimate - 10_000) / 10_000 < 0.25
+
+
+def test_merge_equals_sketch_of_union(spark):
+    a = spark.range(0, 4_000).select(F.col("id").alias("v"))
+    b = spark.range(2_000, 7_000).select(F.col("id").alias("v"))
+    merged = merge_sketches(kmv_sketch(a, "v", 128), kmv_sketch(b, "v", 128), k=128)
+    direct = kmv_sketch(a.unionByName(b), "v", 128)
+    assert [r.hx for r in merged.collect()] == [r.hx for r in direct.collect()]
+    # and the estimate off the merged sketch equals the direct one
+    em = estimate_from_sketch(merged, 128).first().estimate
+    ed = kmv_distinct_estimate(a.unionByName(b), "v", 128).first().estimate
+    assert em == ed
+
+
+def test_deterministic_across_runs(spark):
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    a = kmv_distinct_estimate(df, "o_custkey", 64).first()
+    b = kmv_distinct_estimate(df, "o_custkey", 64).first()
+    assert a == b
+
+
+def test_bottom_k_plan_is_take_ordered(spark):
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    plan = (
+        kmv_sketch(df, "o_custkey", 256)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
