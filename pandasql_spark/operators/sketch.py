@@ -91,6 +91,63 @@ def kmv_distinct_estimate(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     )
 
 
+def kmv_set_relations(
+    df_a: DataFrame,
+    col_a: str,
+    df_b: DataFrame,
+    col_b: str,
+    k: int = 256,
+) -> DataFrame:
+    """Theta-sketch-style set relations between two key sets from their
+    KMV sketches: one row (n_union_sample, n_inter_sample, est_union,
+    est_intersection, jaccard).
+
+    θ is the smaller of the two sketches' maxima: below θ each sketch
+    is a COMPLETE record of its set's hashes, so the below-θ union and
+    intersection are exact samples of the real union/intersection at
+    sampling rate θ/M. Estimates scale by M/θ; jaccard is the sample
+    ratio. Estimating corpus overlap (yesterday's crawl vs today's)
+    this way costs two bottom-k scans and a k-row join instead of a
+    full-table join. Accuracy degrades when the true distinct counts
+    are ≲ k (the sketches stop being saturated and θ drifts up); in
+    that regime just count exactly."""
+    a = kmv_sketch(df_a, col_a, k).withColumnRenamed("hx", "ha")
+    b = kmv_sketch(df_b, col_b, k).withColumnRenamed("hx", "hb")
+    theta = (
+        a.agg(F.max("ha").alias("ma"))
+        .crossJoin(b.agg(F.max("hb").alias("mb")))
+        .select(F.least("ma", "mb").alias("theta"))
+    )
+    # fixed-width hex compares lexicographically = numerically
+    a_below = a.crossJoin(F.broadcast(theta)).filter(F.col("ha") < F.col("theta"))
+    b_below = b.crossJoin(F.broadcast(theta)).filter(F.col("hb") < F.col("theta"))
+    union_n = (
+        a_below.select(F.col("ha").alias("hx"))
+        .unionByName(b_below.select(F.col("hb").alias("hx")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_union_sample"))
+    )
+    inter_n = (
+        a_below.select(F.col("ha").alias("hx"))
+        .join(b_below.select(F.col("hb").alias("hx")), on="hx")
+        .agg(F.count(F.lit(1)).alias("n_inter_sample"))
+    )
+    scale = F.lit(M) / _hex13_to_double(F.col("theta"))
+    return (
+        union_n.crossJoin(inter_n)
+        .crossJoin(theta)
+        .select(
+            "n_union_sample",
+            "n_inter_sample",
+            F.round(F.col("n_union_sample") * scale, 6).alias("est_union"),
+            F.round(F.col("n_inter_sample") * scale, 6).alias("est_intersection"),
+            F.round(
+                F.col("n_inter_sample") / F.col("n_union_sample"), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
 def estimate_from_sketch(sketch: DataFrame, k: int) -> DataFrame:
     """(n_hashes, kth_hash, estimate) from an existing (possibly
     merged) sketch frame — the distributed-merge read path."""

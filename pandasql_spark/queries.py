@@ -1805,6 +1805,61 @@ FROM agg
 """
 
 
+def q75_kmv_set_overlap(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Theta-style set-overlap estimation from two KMV sketches
+    (operators/sketch.py kmv_set_relations): estimated union size,
+    intersection size, and Jaccard between the customer keys appearing
+    in orders and the full customer key set — two bottom-k scans and a
+    k-row join instead of a full-table join. Deterministic md5 hashes
+    make the whole computation (θ pick included) reproducible in the
+    SQL oracle."""
+    from pandasql_spark.operators.sketch import kmv_set_relations
+
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    return kmv_set_relations(orders, "o_custkey", cust, "c_custkey", k=256)
+
+
+Q75_SQL = """
+WITH ha AS (
+  SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR)) AS hx FROM orders
+  ORDER BY hx LIMIT 256
+),
+hb AS (
+  SELECT DISTINCT md5(CAST(c_custkey AS VARCHAR)) AS hx FROM customer
+  ORDER BY hx LIMIT 256
+),
+theta AS (
+  SELECT least((SELECT max(hx) FROM ha), (SELECT max(hx) FROM hb)) AS th
+),
+ab AS (SELECT hx FROM ha, theta WHERE hx < th),
+bb AS (SELECT hx FROM hb, theta WHERE hx < th),
+u AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_union_sample
+  FROM (SELECT hx FROM ab UNION SELECT hx FROM bb)
+),
+i AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_inter_sample
+  FROM ab JOIN bb USING (hx)
+),
+tv AS (
+  SELECT list_reduce(
+           list_transform(range(1, 14),
+             x -> CAST(strpos('0123456789abcdef', substr(th, x, 1)) - 1
+                       AS DOUBLE)),
+           (acc, v) -> acc * 16 + v) AS theta_val
+  FROM theta
+)
+SELECT n_union_sample, n_inter_sample,
+       round(n_union_sample * CAST(4503599627370496 AS DOUBLE) / theta_val, 6)
+         AS est_union,
+       round(n_inter_sample * CAST(4503599627370496 AS DOUBLE) / theta_val, 6)
+         AS est_intersection,
+       round(CAST(n_inter_sample AS DOUBLE) / n_union_sample, 6) AS jaccard
+FROM u, i, tv
+"""
+
+
 def q26_sessionize(spark: SparkSession, sf: str) -> SparkDataFrame:
     """Batch sessionization via window functions (gap = 30 min): lag →
     new-session flag → running sum = session id → per-session agg. An
@@ -2913,6 +2968,10 @@ REGISTRY: dict[str, QueryDef] = {
         q74_kmv_distinct, Q74_SQL,
         "KMV bottom-k distinct sketch: portable, mergeable, oracle-exact estimate",
     ),
+    "q75_kmv_set_overlap": QueryDef(
+        q75_kmv_set_overlap, Q75_SQL,
+        "theta-style union/intersection/jaccard estimates from KMV sketches",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -2981,6 +3040,7 @@ _RESTING: tuple[str, ...] = (
     "q14_agg_global",
     "q28_outer_join",
     "q32_stats_agg",
+    "q33_count_distinct",
     "q35_shipping_priority",
     "q02_filter_distinct",
     "q03_predicates",

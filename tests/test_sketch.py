@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pandasql_spark.operators.sketch import (
+    kmv_set_relations,
     estimate_from_sketch,
     kmv_distinct_estimate,
     kmv_sketch,
@@ -57,3 +58,28 @@ def test_bottom_k_plan_is_take_ordered(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_set_relations_identical_sets(spark):
+    df = spark.range(5_000).select(F.col("id").alias("v"))
+    r = kmv_set_relations(df, "v", df, "v", k=128).first()
+    assert r.jaccard == 1.0
+    assert r.n_union_sample == r.n_inter_sample > 0
+    assert abs(r.est_union - 5_000) / 5_000 < 0.4
+
+
+def test_set_relations_disjoint(spark):
+    a = spark.range(0, 3_000).select(F.col("id").alias("v"))
+    b = spark.range(3_000, 6_000).select(F.col("id").alias("v"))
+    r = kmv_set_relations(a, "v", b, "v", k=128).first()
+    assert r.jaccard == 0.0 and r.n_inter_sample == 0
+
+
+def test_set_relations_known_overlap(spark):
+    # |A|=6k, |B|=6k, |A∩B|=2k, |A∪B|=10k -> J = 0.2
+    a = spark.range(0, 6_000).select(F.col("id").alias("v"))
+    b = spark.range(4_000, 10_000).select(F.col("id").alias("v"))
+    r = kmv_set_relations(a, "v", b, "v", k=256).first()
+    assert abs(r.jaccard - 0.2) < 0.08
+    assert abs(r.est_union - 10_000) / 10_000 < 0.25
+    assert abs(r.est_intersection - 2_000) / 2_000 < 0.5
