@@ -1860,6 +1860,49 @@ FROM u, i, tv
 """
 
 
+def q76_windowed_kmv_stream(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Streaming windowed KMV distinct sketch through the REAL engine
+    (streaming/sketch.py, applyInPandasWithState): per-hour distinct-
+    user estimates from a bounded k=16-hash state per window. k chosen
+    below the busiest hour's distinct count so BOTH branches gate —
+    quiet hours take the exact-below-k path, busy ones the (k−1)·M/h(k)
+    estimator, and the oracle recomputes per-window bottom-k + both
+    branches in SQL. Ninth gate-checked streaming surface; the only
+    one with sketch-valued state."""
+    from pandasql_spark.streaming.sketch import replay_windowed_kmv
+
+    return replay_windowed_kmv(spark, f"{sf}/events.parquet", k=16)
+
+
+Q76_SQL = """
+WITH h AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS hour,
+         md5(CAST(user_id AS VARCHAR)) AS hx
+  FROM events
+),
+r AS (
+  SELECT hour, hx, row_number() OVER (PARTITION BY hour ORDER BY hx) AS rn
+  FROM h
+),
+agg AS (
+  SELECT hour, CAST(count(*) AS BIGINT) AS n_hashes, max(hx) AS kth_hash
+  FROM r WHERE rn <= 16 GROUP BY hour
+)
+SELECT hour, n_hashes, kth_hash,
+       CASE WHEN n_hashes < 16 THEN CAST(n_hashes AS DOUBLE)
+       ELSE round(
+         CAST(15 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) /
+         list_reduce(
+           list_transform(range(1, 14),
+             x -> CAST(strpos('0123456789abcdef', substr(kth_hash, x, 1)) - 1
+                       AS DOUBLE)),
+           (acc, v) -> acc * 16 + v),
+         6)
+       END AS estimate
+FROM agg
+"""
+
+
 def q26_sessionize(spark: SparkSession, sf: str) -> SparkDataFrame:
     """Batch sessionization via window functions (gap = 30 min): lag →
     new-session flag → running sum = session id → per-session agg. An
@@ -2972,6 +3015,10 @@ REGISTRY: dict[str, QueryDef] = {
         q75_kmv_set_overlap, Q75_SQL,
         "theta-style union/intersection/jaccard estimates from KMV sketches",
     ),
+    "q76_windowed_kmv_stream": QueryDef(
+        q76_windowed_kmv_stream, Q76_SQL,
+        "streaming per-window KMV distinct sketch (bounded stateful op, real engine)",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -3041,6 +3088,7 @@ _RESTING: tuple[str, ...] = (
     "q28_outer_join",
     "q32_stats_agg",
     "q33_count_distinct",
+    "q42_salted_agg",
     "q35_shipping_priority",
     "q02_filter_distinct",
     "q03_predicates",
