@@ -16,6 +16,10 @@ from .incremental import (
     incremental_neardup_dedup,
     replay_incremental_dedup,
 )
+from .sketch import (
+    replay_windowed_kmv,
+    windowed_kmv_distinct,
+)
 
 __all__ = [
     "read_event_stream",
@@ -28,4 +32,6 @@ __all__ = [
     "write_stream_parquet",
     "incremental_neardup_dedup",
     "replay_incremental_dedup",
+    "windowed_kmv_distinct",
+    "replay_windowed_kmv",
 ]
