@@ -64,6 +64,9 @@ HEADLINE = [
     "q71_curation_pipeline",
     "q72_unigram_logprob",
     "q73_corpus_report",
+    "q74_kmv_distinct",
+    "q75_kmv_set_overlap",
+    "q76_windowed_kmv_stream",
 ]
 
 
