@@ -47,14 +47,19 @@ def _hex13_to_double(col: Column) -> Column:
 
 def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     """The sketch itself: ≤ k rows of (hx) — the k smallest md5 hex
-    digests over the column's DISTINCT values. Fixed-width hex sorts
-    lexicographically = numerically, so the bottom-k needs no numeric
-    conversion. Union two sketches and re-apply ``kmv_sketch``'s tail
-    (bottom-k over hx) to merge exactly."""
+    digests over the column's DISTINCT non-NULL values (NULL is
+    excluded, matching COUNT(DISTINCT) semantics — and md5(NULL)'s
+    NULL would otherwise grab a bottom-k slot under Spark's
+    NULLS-FIRST ascending sort while DuckDB sorts NULLS LAST).
+    Fixed-width hex sorts lexicographically = numerically, so the
+    bottom-k needs no numeric conversion. Union two sketches and
+    re-apply ``kmv_sketch``'s tail (bottom-k over hx) to merge
+    exactly."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     return (
-        df.select(F.md5(F.col(col).cast("string")).alias("hx"))
+        df.filter(F.col(col).isNotNull())
+        .select(F.md5(F.col(col).cast("string")).alias("hx"))
         .dropDuplicates(["hx"])
         .orderBy("hx")
         .limit(k)
@@ -66,29 +71,28 @@ def merge_sketches(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
     return a.unionByName(b).dropDuplicates(["hx"]).orderBy("hx").limit(k)
 
 
+def estimate_expr(k: int) -> Column:
+    """The KMV estimator as a column over (n_hashes, kth_hash) — the
+    ONE definition every surface shares (global estimate, merged-sketch
+    estimate, per-window batch twin, and the q74/q76 oracles' SQL
+    mirror): exact below k, else (k−1)·M / h(k), rounded to 6."""
+    return (
+        F.when(F.col("n_hashes") < k, F.col("n_hashes").cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(float(k - 1)) * F.lit(M) / _hex13_to_double(F.col("kth_hash")),
+                6,
+            )
+        )
+        .alias("estimate")
+    )
+
+
 def kmv_distinct_estimate(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     """One row: (n_hashes, kth_hash, estimate). ``estimate`` is the
     KMV distinct-count estimate rounded to 6 places; exact (= n_hashes)
     when the column has fewer than k distinct values."""
-    sk = kmv_sketch(df, col, k)
-    agg = sk.agg(
-        F.count(F.lit(1)).alias("n_hashes"),
-        F.max("hx").alias("kth_hash"),  # sketch holds the k smallest
-    )
-    return agg.select(
-        "n_hashes",
-        "kth_hash",
-        F.when(F.col("n_hashes") < k, F.col("n_hashes").cast("double"))
-        .otherwise(
-            F.round(
-                F.lit(float(k - 1))
-                * F.lit(M)
-                / _hex13_to_double(F.col("kth_hash")),
-                6,
-            )
-        )
-        .alias("estimate"),
-    )
+    return estimate_from_sketch(kmv_sketch(df, col, k), k)
 
 
 def kmv_set_relations(
@@ -102,25 +106,33 @@ def kmv_set_relations(
     KMV sketches: one row (n_union_sample, n_inter_sample, est_union,
     est_intersection, jaccard).
 
-    θ is the smaller of the two sketches' maxima: below θ each sketch
-    is a COMPLETE record of its set's hashes, so the below-θ union and
+    θ is the smaller of the two sketches' maxima: at hashes ≤ θ each
+    sketch is a COMPLETE record of its set's hashes (a bottom-k sketch
+    contains every hash up to its own maximum), so the ≤θ union and
     intersection are exact samples of the real union/intersection at
-    sampling rate θ/M. Estimates scale by M/θ; jaccard is the sample
-    ratio. Estimating corpus overlap (yesterday's crawl vs today's)
-    this way costs two bottom-k scans and a k-row join instead of a
-    full-table join. Accuracy degrades when the true distinct counts
-    are ≲ k (the sketches stop being saturated and θ drifts up); in
-    that regime just count exactly."""
-    a = kmv_sketch(df_a, col_a, k).withColumnRenamed("hx", "ha")
-    b = kmv_sketch(df_b, col_b, k).withColumnRenamed("hx", "hb")
+    sampling rate ~θ/M. Estimates scale by M/θ; jaccard is the sample
+    ratio (inclusive θ keeps the θ element itself in the sample, so
+    identical singleton sets correctly give jaccard 1.0). Estimating
+    corpus overlap (yesterday's crawl vs today's) this way costs two
+    bottom-k scans and a k-row join instead of a full-table join — the
+    two k-row sketches are persisted so theta/union/intersection reuse
+    them instead of re-scanning the base tables (release via the
+    result's ``cleanup()``). Accuracy degrades when the true distinct
+    counts are ≲ k (the sketches stop being saturated and θ drifts
+    up); in that regime just count exactly. Empty inputs yield zero
+    samples and jaccard 0.0."""
+    from .cache import attach_cleanup
+
+    a = kmv_sketch(df_a, col_a, k).withColumnRenamed("hx", "ha").persist()
+    b = kmv_sketch(df_b, col_b, k).withColumnRenamed("hx", "hb").persist()
     theta = (
         a.agg(F.max("ha").alias("ma"))
         .crossJoin(b.agg(F.max("hb").alias("mb")))
         .select(F.least("ma", "mb").alias("theta"))
     )
     # fixed-width hex compares lexicographically = numerically
-    a_below = a.crossJoin(F.broadcast(theta)).filter(F.col("ha") < F.col("theta"))
-    b_below = b.crossJoin(F.broadcast(theta)).filter(F.col("hb") < F.col("theta"))
+    a_below = a.crossJoin(F.broadcast(theta)).filter(F.col("ha") <= F.col("theta"))
+    b_below = b.crossJoin(F.broadcast(theta)).filter(F.col("hb") <= F.col("theta"))
     union_n = (
         a_below.select(F.col("ha").alias("hx"))
         .unionByName(b_below.select(F.col("hb").alias("hx")))
@@ -133,7 +145,7 @@ def kmv_set_relations(
         .agg(F.count(F.lit(1)).alias("n_inter_sample"))
     )
     scale = F.lit(M) / _hex13_to_double(F.col("theta"))
-    return (
+    out = (
         union_n.crossJoin(inter_n)
         .crossJoin(theta)
         .select(
@@ -141,11 +153,14 @@ def kmv_set_relations(
             "n_inter_sample",
             F.round(F.col("n_union_sample") * scale, 6).alias("est_union"),
             F.round(F.col("n_inter_sample") * scale, 6).alias("est_intersection"),
-            F.round(
-                F.col("n_inter_sample") / F.col("n_union_sample"), 6
-            ).alias("jaccard"),
+            F.when(F.col("n_union_sample") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(F.col("n_inter_sample") / F.col("n_union_sample"), 6)
+            )
+            .alias("jaccard"),
         )
     )
+    return attach_cleanup(out, a, b)
 
 
 def estimate_from_sketch(sketch: DataFrame, k: int) -> DataFrame:
@@ -154,15 +169,4 @@ def estimate_from_sketch(sketch: DataFrame, k: int) -> DataFrame:
     agg = sketch.agg(
         F.count(F.lit(1)).alias("n_hashes"), F.max("hx").alias("kth_hash")
     )
-    return agg.select(
-        "n_hashes",
-        "kth_hash",
-        F.when(F.col("n_hashes") < k, F.col("n_hashes").cast("double"))
-        .otherwise(
-            F.round(
-                F.lit(float(k - 1)) * F.lit(M) / _hex13_to_double(F.col("kth_hash")),
-                6,
-            )
-        )
-        .alias("estimate"),
-    )
+    return agg.select("n_hashes", "kth_hash", estimate_expr(k))

@@ -1832,8 +1832,8 @@ hb AS (
 theta AS (
   SELECT least((SELECT max(hx) FROM ha), (SELECT max(hx) FROM hb)) AS th
 ),
-ab AS (SELECT hx FROM ha, theta WHERE hx < th),
-bb AS (SELECT hx FROM hb, theta WHERE hx < th),
+ab AS (SELECT hx FROM ha, theta WHERE hx <= th),
+bb AS (SELECT hx FROM hb, theta WHERE hx <= th),
 u AS (
   SELECT CAST(count(*) AS BIGINT) AS n_union_sample
   FROM (SELECT hx FROM ab UNION SELECT hx FROM bb)
@@ -1855,7 +1855,9 @@ SELECT n_union_sample, n_inter_sample,
          AS est_union,
        round(n_inter_sample * CAST(4503599627370496 AS DOUBLE) / theta_val, 6)
          AS est_intersection,
-       round(CAST(n_inter_sample AS DOUBLE) / n_union_sample, 6) AS jaccard
+       CASE WHEN n_union_sample = 0 THEN 0.0
+       ELSE round(CAST(n_inter_sample AS DOUBLE) / n_union_sample, 6)
+       END AS jaccard
 FROM u, i, tv
 """
 

@@ -68,7 +68,10 @@ def windowed_kmv_distinct(events: DataFrame, k: int = 256) -> DataFrame:
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
 
-    hashed = events.select(
+    # NULL users are excluded (COUNT DISTINCT semantics) BEFORE hashing:
+    # md5(NULL) is None, which would poison the stateful sorted() merge
+    # and grab a bottom-k slot in the batch twin's NULLS-FIRST sort
+    hashed = events.filter(F.col("user_id").isNotNull()).select(
         F.date_trunc("hour", F.col("ts")).alias("hour"),
         F.md5(F.col("user_id").cast("string")).alias("hx"),
     )
@@ -90,22 +93,9 @@ def windowed_kmv_distinct(events: DataFrame, k: int = 256) -> DataFrame:
                 F.max("hx").alias("kth_hash"),
             )
         )
-        from ..operators.sketch import _hex13_to_double
+        from ..operators.sketch import estimate_expr
 
-        return agg.select(
-            "hour",
-            "n_hashes",
-            "kth_hash",
-            F.when(F.col("n_hashes") < k, F.col("n_hashes").cast("double"))
-            .otherwise(
-                F.round(
-                    F.lit(float(k - 1)) * F.lit(M)
-                    / _hex13_to_double(F.col("kth_hash")),
-                    6,
-                )
-            )
-            .alias("estimate"),
-        )
+        return agg.select("hour", "n_hashes", "kth_hash", estimate_expr(k))
 
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState

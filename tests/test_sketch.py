@@ -83,3 +83,26 @@ def test_set_relations_known_overlap(spark):
     assert abs(r.jaccard - 0.2) < 0.08
     assert abs(r.est_union - 10_000) / 10_000 < 0.25
     assert abs(r.est_intersection - 2_000) / 2_000 < 0.5
+
+
+def test_null_keys_excluded(spark):
+    df = spark.createDataFrame(
+        [(i,) for i in range(40)] + [(None,)] * 3, "v int"
+    )
+    sk = kmv_sketch(df, "v", k=8)
+    assert all(r.hx is not None for r in sk.collect())
+    r = kmv_distinct_estimate(df, "v", k=256).first()
+    assert (r.n_hashes, r.estimate) == (40, 40.0)  # NULL not counted
+
+
+def test_set_relations_identical_singletons(spark):
+    # theta == the only hash; inclusive theta keeps it in the sample
+    a = spark.createDataFrame([(7,)], "v int")
+    r = kmv_set_relations(a, "v", a, "v", k=8).first()
+    assert r.jaccard == 1.0 and r.n_union_sample == r.n_inter_sample == 1
+
+
+def test_set_relations_empty_inputs(spark):
+    a = spark.createDataFrame([], "v int")
+    r = kmv_set_relations(a, "v", a, "v", k=8).first()
+    assert (r.n_union_sample, r.n_inter_sample, r.jaccard) == (0, 0, 0.0)

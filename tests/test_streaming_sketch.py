@@ -132,3 +132,35 @@ def test_batch_mode_estimate_accuracy(spark):
             assert est[h] == float(true[h])  # exact branch
         else:
             assert abs(est[h] - true[h]) / true[h] < 0.5
+
+
+def test_null_user_does_not_crash_stream(spark, tmp_path):
+    import pandas as pd
+
+    from pandasql_spark.streaming.events import EVENT_SCHEMA
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(["2024-01-01 10:00"] * 3),
+            "user_id": [1, None, 2],
+            "event_type": ["click"] * 3,
+            "value": [1.0] * 3,
+            "props": ["{}"] * 3,
+        }
+    )
+    d = str(tmp_path / "nulls")
+    spark.createDataFrame(pdf, EVENT_SCHEMA).write.parquet(d)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(d)
+    name = "t" + uuid.uuid4().hex[:8]
+    q = (
+        windowed_kmv_distinct(stream, k=8)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    assert len(rows) == 1 and rows[0].n_hashes == 2  # NULL user excluded
