@@ -3078,36 +3078,39 @@ REGISTRY: dict[str, QueryDef] = {
 # flipped to the cohort that was gated twice running, so nothing rests
 # twice in a row. Resting queries stay fully covered by pytest.
 #
-# Round-5 roster: q43–q47, q49–q52, q54, q57 (rested in r4, last oracle
-# row r3) rotate IN; new-this-round q62–q70 gate immediately (new queries
-# never start resting); these r3+r4-green slots rest:
+# Round-6 roster: the 26 r5-resting queries (q02–q05, q07–q09, q11–q15,
+# q20, q28–q33, q35–q38, q42, q55, q61 — all green r4) rotate IN, as do
+# q25 and q41 (code changed this round: routed pair-similarity default,
+# JPEG corpus branch — changed queries never rest). Resting: 22 of the 24
+# r4+r5 twice-green queries plus four r3+r5-green slots (q45–q47, q49);
+# nothing here rested in r5, and every entry holds a green r5 oracle row.
 _RESTING: tuple[str, ...] = (
-    "q04_topk",
-    "q05_join_groupby",
-    "q08_composite_join",
-    "q11_derived_columns",
-    "q14_agg_global",
-    "q28_outer_join",
-    "q32_stats_agg",
-    "q33_count_distinct",
-    "q42_salted_agg",
-    "q35_shipping_priority",
-    "q02_filter_distinct",
-    "q03_predicates",
-    "q07_join_diffkeys",
-    "q12_having",
-    "q09_union",
-    "q13_rename_sort_limit",
-    "q15_window_topn",
-    "q20_cosine_topk",
-    "q29_anti_join",
-    "q30_set_ops",
-    "q31_rollup",
-    "q36_array_dims",
-    "q37_string_funcs",
-    "q38_pivot",
-    "q55_csv_roundtrip",
-    "q61_stratified_sample",
+    "q01_pricing_summary",
+    "q06_multijoin_region",
+    "q10_embedding_neardup",
+    "q16_doc_profile",
+    "q17_session_windows_stream",
+    "q18_sliding_windows_stream",
+    "q19_dedup_exact",
+    "q21_events_hourly",
+    "q22_ngram_jaccard",
+    "q23_minhash_neardup",
+    "q24_simhash_neardup",
+    "q26_sessionize",
+    "q27_asof_join",
+    "q34_range_join",
+    "q39_winnowing",
+    "q40_ann_ivf",
+    "q45_cross_join",
+    "q46_json_props",
+    "q47_funnel",
+    "q48_write_roundtrip",
+    "q49_dedup_clusters",
+    "q53_stateful_running_totals",
+    "q56_interval_join_stream",
+    "q58_stream_dedup",
+    "q59_stream_sink_roundtrip",
+    "q60_zorder_pruned_scan",
 )
 assert set(_RESTING) <= set(REGISTRY), "roster names must exist"
 assert len(REGISTRY) - len(_RESTING) <= 50, "active roster must fit the gate"
