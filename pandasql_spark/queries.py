@@ -1881,6 +1881,7 @@ WITH h AS (
   SELECT DISTINCT date_trunc('hour', ts) AS hour,
          md5(CAST(user_id AS VARCHAR)) AS hx
   FROM events
+  WHERE user_id IS NOT NULL
 ),
 r AS (
   SELECT hour, hx, row_number() OVER (PARTITION BY hour ORDER BY hx) AS rn

@@ -18,11 +18,14 @@ process function whose state is the window's k smallest md5 values:
   branch.
 
 Production topology: Kafka source → this operator (update mode,
-event-time timeout evicting windows older than the watermark) →
-upsert sink. The gate replay uses NoTimeout + AvailableNow, where the
-final row per window equals the batch bottom-k, which is what the
-oracle checks; timeout-based eviction follows user_running_totals'
-pattern (streaming/events.py:187-211).
+``ttl_seconds`` event-time timeout evicting closed windows past the
+watermark) → upsert sink. State is then bounded in BOTH dimensions:
+≤ k hashes per window AND only in-flight windows in the store. The
+gate replay (q76) runs the eviction path: an AvailableNow replay's
+final no-data batch fires the timeouts, which remove state without
+emitting, so the sink's last row per window still equals the batch
+bottom-k the oracle computes. Eviction mechanics follow
+user_running_totals (streaming/events.py:187-211).
 """
 
 from __future__ import annotations
@@ -60,13 +63,31 @@ def _estimate(merged: list[str], k: int) -> tuple[int, str | None, float | None]
     return n, kth, round((k - 1) * M / float(int(kth[:13], 16)), 6)
 
 
-def windowed_kmv_distinct(events: DataFrame, k: int = 256) -> DataFrame:
+def windowed_kmv_distinct(
+    events: DataFrame, k: int = 256, ttl_seconds: int | None = 7200
+) -> DataFrame:
     """(hour, n_hashes, kth_hash, estimate): per-hour distinct-user
     estimate from a bounded k-hash sketch per window. Works on a
     streaming OR batch frame with (ts, user_id); streaming state is one
-    ≤k-element sorted hash array per hour."""
+    ≤k-element sorted hash array per hour.
+
+    State eviction (streaming only) — the caller picks the trade-off:
+    - ``ttl_seconds=N`` (default 7200 = window length + 1 h slack):
+      N doubles as the watermark lateness allowance (events more than
+      N behind the newest hour are dropped, the standard watermark
+      contract) and as the idle timeout: a window untouched for N
+      seconds past the watermark is closed — state removed WITHOUT
+      emitting (update-mode sinks already hold its final row). Bounds
+      the store by in-flight windows (~2×ttl of event time).
+    - ``ttl_seconds=None``: NoTimeout, no watermark — every window
+      ever seen stays in state and arbitrarily late events still
+      merge. Right for bounded, possibly unordered backfills/replays;
+      wrong for an unbounded production stream.
+    """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
+    if ttl_seconds is not None and ttl_seconds <= 0:
+        raise ValueError(f"ttl_seconds must be positive, got {ttl_seconds}")
 
     # NULL users are excluded (COUNT DISTINCT semantics) BEFORE hashing:
     # md5(NULL) is None, which would poison the stateful sorted() merge
@@ -101,22 +122,45 @@ def windowed_kmv_distinct(events: DataFrame, k: int = 256) -> DataFrame:
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
         (hour,) = key
+        if state.hasTimedOut:
+            # Window closed: watermark passed its ttl with no new data.
+            # The update-mode sink already holds this window's final
+            # row, so evict silently.
+            state.remove()
+            return
         hashes = set(state.get[0]) if state.exists else set()
         for pdf in pdfs:
             hashes.update(pdf["hx"])
         merged = sorted(hashes)[:k]  # exact KMV merge: union + bottom-k
         state.update((merged,))
+        if ttl_seconds is not None:
+            # Re-armed on every batch that touches this window; fires
+            # once the event-time watermark is ttl past the last touch.
+            state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + ttl_seconds * 1000
+            )
         n, kth, est = _estimate(merged, k)
         yield pd.DataFrame(
             {"hour": [hour], "n_hashes": [n], "kth_hash": [kth], "estimate": [est]}
         )
+
+    if ttl_seconds is not None:
+        # `hour` is itself the event-time column (date_trunc of ts), so
+        # watermark it directly: watermark = max(hour) − ttl, i.e. the
+        # ttl doubles as the lateness allowance. A window is evicted
+        # once the watermark advances ttl past its last touch — total
+        # event-time retention ≈ 2×ttl after the stream moves on.
+        hashed = hashed.withWatermark("hour", f"{ttl_seconds} seconds")
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = GroupStateTimeout.NoTimeout
 
     return hashed.groupBy("hour").applyInPandasWithState(
         fn,
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 
@@ -124,20 +168,23 @@ def replay_windowed_kmv(
     spark: SparkSession,
     events_path: str,
     k: int = 256,
+    ttl_seconds: int | None = 7200,
     query_name: str = "q76_kmv_replay",
 ) -> DataFrame:
     """Run `windowed_kmv_distinct` through the REAL streaming engine
     over a bounded replay (update mode; the single-file testdata is one
     micro-batch, so the sink's final row per hour equals the batch
-    bottom-k the oracle computes). Multi-batch merge equivalence is
-    covered in tests/test_streaming_sketch.py with maxFilesPerTrigger
-    pacing."""
+    bottom-k the oracle computes). The default ttl runs the eviction
+    path end-to-end: the replay's final no-data batch fires timeouts,
+    which remove state without changing sink rows. Multi-batch merge
+    equivalence and state-count eviction assertions live in
+    tests/test_streaming_sketch.py with maxFilesPerTrigger pacing."""
     from .events import _replay
 
     return _replay(
         spark,
         events_path,
-        lambda ev: windowed_kmv_distinct(ev, k=k),
+        lambda ev: windowed_kmv_distinct(ev, k=k, ttl_seconds=ttl_seconds),
         query_name,
         output_mode="update",
     )

@@ -69,7 +69,10 @@ def test_replay_equals_batch_bottom_k(spark):
 def test_multi_batch_merge_equals_single_batch(spark, event_dir):
     """4 micro-batches (maxFilesPerTrigger=1): the per-window state
     merges union+bottom-k across batches; the FINAL row per hour must
-    equal the single-batch (= batch) sketch."""
+    equal the single-batch (= batch) sketch. The files are random
+    (not time-ordered) splits — an unordered backfill — so this runs
+    ttl_seconds=None: with a watermark, cross-batch stragglers would
+    correctly be dropped as late."""
     from pandasql_spark.streaming.events import EVENT_SCHEMA
 
     k = 16
@@ -80,7 +83,7 @@ def test_multi_batch_merge_equals_single_batch(spark, event_dir):
     )
     name = "t" + uuid.uuid4().hex[:8]
     q = (
-        windowed_kmv_distinct(stream, k=k)
+        windowed_kmv_distinct(stream, k=k, ttl_seconds=None)
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("update")
@@ -132,6 +135,73 @@ def test_batch_mode_estimate_accuracy(spark):
             assert est[h] == float(true[h])  # exact branch
         else:
             assert abs(est[h] - true[h]) / true[h] < 0.5
+
+
+def test_ttl_evicts_closed_windows_from_state(spark, tmp_path):
+    """Eviction gate (VERDICT r5 task 2): with ttl_seconds set, windows
+    the watermark has passed leave the state store — numRowsTotal at
+    the end of a chronological multi-batch replay is far below the
+    total window count — while the sink's final row per window still
+    equals the batch bottom-k (chunks split on day boundaries, so no
+    window straddles a batch and nothing is dropped as late)."""
+    import glob
+    import os
+    import shutil as sh
+
+    ev = load_events(spark, SF).withColumn("d", F.dayofmonth("ts"))
+    stream_dir = str(tmp_path / "ordered")
+    os.makedirs(stream_dir)
+    # three chronological chunks (days 1-10, 11-20, 21-31), one file
+    # each, ascending mtimes so the file source replays them in order
+    for i, (lo, hi) in enumerate([(1, 10), (11, 20), (21, 31)]):
+        stage = str(tmp_path / f"stage{i}")
+        ev.filter((F.col("d") >= lo) & (F.col("d") <= hi)).drop(
+            "d"
+        ).coalesce(1).write.parquet(stage)
+        (part,) = glob.glob(f"{stage}/part-*.parquet")
+        dst = f"{stream_dir}/chunk{i}.parquet"
+        sh.move(part, dst)
+        os.utime(dst, (1700000000 + i * 100, 1700000000 + i * 100))
+
+    from pandasql_spark.streaming.events import EVENT_SCHEMA
+
+    k = 8
+    ttl = 7200  # 2 h: windows idle 2 h past the watermark are evicted
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    name = "t" + uuid.uuid4().hex[:8]
+    q = (
+        windowed_kmv_distinct(stream, k=k, ttl_seconds=ttl)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    finally:
+        q.stop()
+
+    n_windows = _batch_expected(spark, k).count()
+    # closed windows left the store: only the tail of the stream's
+    # event time (~last chunk + 2x ttl) may remain
+    assert state_rows < n_windows / 2, (state_rows, n_windows)
+    # and the sink's final row per window is still the batch bottom-k
+    pdf = spark.table(name).toPandas()
+    final = pdf.groupby("hour").last()
+    exp = {
+        r.hour: (r.n_hashes, r.kth_hash)
+        for r in _batch_expected(spark, k).collect()
+    }
+    got = {
+        h: (int(row["n_hashes"]), row["kth_hash"])
+        for h, row in final.iterrows()
+    }
+    assert got == exp
 
 
 def test_null_user_does_not_crash_stream(spark, tmp_path):
