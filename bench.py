@@ -92,6 +92,16 @@ def main() -> None:
     spark.range(1000).mapInPandas(
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
+    # full-pipeline warmup: one UNTIMED run of the first billed query.
+    # q02 warms scans/filters but not the wide-agg codegen q01 uses, so
+    # q01's min-of-2 was still billing first-touch JIT (r4/r5 drift:
+    # 0.495 -> 1.53 s with an unchanged plan). Running the first slot's
+    # own pipeline once makes slot position irrelevant to the billed
+    # number; every other query already benefits from its predecessors.
+    REGISTRY[HEADLINE[0]].fn(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.catalog.clearCache()
 
     # min of 2 runs per query: the first run pays one-time costs (JIT,
     # shuffle-service setup, broadcast build) that a steady-state cluster
