@@ -20,6 +20,12 @@ dedup operators):
    semi-join + groupBy. Map-side partial aggregation reduces the
    shuffle to ≤ P·(P·m) tiny rows.
 
+The whole operator reads the corpus exactly TWICE: the candidate kernel
+also emits per-partition row counts (one extra row per partition), so
+the global n that sets the count floor comes out of the same scan —
+no dedicated count() job (round-6 fix; the two-scan contract is
+asserted by an accumulator test in tests/test_freq.py).
+
 With ``capacity ≥ ceil(1/threshold)``, recall is exact and the verified
 counts are exact, so the result is IDENTICAL to the naive groupBy plan
 (the q62 gate checks this against DuckDB) — at a shuffle cost that
@@ -96,15 +102,49 @@ def heavy_hitters(
             f"capacity={capacity} voids the recall guarantee for "
             f"threshold={threshold}; need >= {floor_cap}"
         )
-    n = df.filter(F.col(item_col).isNotNull()).count()
-    if n == 0:
+    # Single fused candidate pass (two corpus scans total, down from
+    # three): the MG kernel also emits one (item=NULL, __pn=n_p) row per
+    # partition, so the global non-NULL row count comes from the same
+    # scan that builds the summaries instead of a dedicated count() job.
+    field = df.schema[item_col]
+    out_schema = f"`{field.name}` {field.dataType.simpleString()}, `__pn` long"
+
+    def _mg_with_count(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters = None
+        n_p = 0
+        for pdf in batches:
+            n_p += int(pdf[item_col].notna().sum())
+            vc = pdf[item_col].value_counts()  # dropna=True
+            counters = vc if counters is None else counters.add(vc, fill_value=0)
+            if len(counters) > capacity:
+                cut = counters.nlargest(capacity + 1).iloc[-1]
+                counters = counters[counters > cut] - cut
+        items = list(counters.index) if counters is not None else []
+        yield pd.DataFrame(
+            {item_col: items + [None], "__pn": [None] * len(items) + [n_p]}
+        )
+
+    summary = df.select(item_col).mapInPandas(_mg_with_count, schema=out_schema)
+    # The summary is tiny by construction (≤ P·(capacity+1) rows), so
+    # one bounded collect fetches BOTH the row count and the candidate
+    # set — the same ≤P-rows-to-driver discipline as ranking.py. No
+    # persist is needed: nothing downstream re-reads the kernel.
+    rows = summary.collect()
+    n = sum(r["__pn"] for r in rows if r["__pn"] is not None)
+    cand_values = sorted(
+        {r[item_col] for r in rows if r[item_col] is not None}
+    )
+    if n == 0 or not cand_values:
         return (
             df.select(item_col)
             .limit(0)
             .withColumn("cnt", F.lit(0).cast("long"))
         )
     min_count = math.ceil(threshold * n)
-    cand = mg_candidates(df, item_col, capacity)
+    spark = df.sparkSession
+    cand = spark.createDataFrame(
+        [(v,) for v in cand_values], schema=df.select(item_col).schema
+    )
     return (
         df.join(F.broadcast(cand), item_col, "leftsemi")
         .groupBy(item_col)

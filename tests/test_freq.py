@@ -138,3 +138,26 @@ def test_all_null_items(spark):
     )
     out = freq.heavy_hitters(df, "item", 0.5).toPandas()
     assert len(out) == 0
+
+
+def test_corpus_scanned_exactly_twice(spark):
+    """The 100 TB contract: one fused candidate+count pass plus one
+    verify pass — a row-count accumulator tapped onto the input must
+    read exactly 2n rows end-to-end (was 3n when heavy_hitters ran a
+    dedicated count() job)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({"item": [str(x) for x in rng.zipf(1.6, 4000)]})
+    src = spark.createDataFrame(pdf).repartition(4)
+    acc = spark.sparkContext.accumulator(0)
+
+    def tap(batches):
+        for b in batches:
+            acc.add(len(b))
+            yield b
+
+    tapped = src.mapInPandas(tap, schema="item string")
+    out = freq.heavy_hitters(tapped, "item", 0.01).toPandas()
+    assert len(out) > 0  # force full evaluation happened above
+    assert acc.value == 2 * len(pdf), acc.value
