@@ -71,16 +71,16 @@ def cosine_topk(
     )
 
 
-def cosine_topk_pairs(
+def cosine_topk_pairs_exact(
     df: DataFrame,
     k: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Top-k most-similar PAIRS by brute-force all-pairs cosine:
-    (id_a, id_b, cos_sim). O(n²) — the exactness baseline; use the LSH
-    path (operators/dedup.embedding_neardup_pairs) beyond ~10⁵ vectors.
-    Deterministic: ties broken by (id_a, id_b)."""
+    (id_a, id_b, cos_sim). O(n²) — the exactness baseline and the
+    oracle shape; the routed :func:`cosine_topk_pairs` is the default
+    entry point. Deterministic: ties broken by (id_a, id_b)."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
@@ -89,6 +89,57 @@ def cosine_topk_pairs(
         .orderBy(F.col("cos_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc())
         .limit(k)
     )
+
+
+def cosine_topk_pairs(
+    df: DataFrame,
+    k: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact_below: int = 20_000,
+    num_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Top-k most-similar pairs, routed by corpus size (round-6: this is
+    the registered default; the O(n²) join no longer runs above
+    ``exact_below`` rows).
+
+    - n ≤ ``exact_below``: exact all-pairs (:func:`cosine_topk_pairs_exact`).
+      At 20k rows that is ≤ 2·10⁸ cosine folds — cheap, and exactness is
+      free.
+    - n > ``exact_below``: multi-table sign-bit LSH candidates + exact
+      cosine verify (operators/dedup.embedding_neardup_pairs with no
+      cosine floor), then top-k. Near-linear in n. APPROXIMATE recall:
+      a pair that collides in none of the ``num_tables`` tables is
+      missed — ≥99% likely per pair at cosine ≥0.95, lower for
+      mid-similarity pairs; raise ``num_tables`` when hunting a top-k
+      that lives below ~0.9 cosine. The one count() for routing doubles
+      as the LSH auto-sizing count.
+
+    The result of the LSH branch carries the candidate frames'
+    ``cleanup()`` hook (operators/cache.py)."""
+    n = df.count()
+    if n <= exact_below:
+        return cosine_topk_pairs_exact(df, k, id_col, vec_col)
+
+    from ..operators.dedup import embedding_neardup_pairs
+
+    dim = len(df.select(vec_col).first()[0])
+    pairs = embedding_neardup_pairs(
+        df,
+        vec_col=vec_col,
+        id_col=id_col,
+        dim=dim,
+        threshold=-1.0,  # no cosine floor: rank ALL verified candidates
+        num_tables=num_tables,
+        seed=seed,
+    )
+    out = pairs.orderBy(
+        F.col("cos_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    ).limit(k)
+    from ..operators.cache import attach_cleanup
+
+    return attach_cleanup(out, getattr(pairs, "cleanup", lambda **_: None))
 
 
 def random_projection_buckets(

@@ -704,13 +704,16 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 
 
 def q25_embedding_topk_pairs(spark: SparkSession, sf: str) -> SparkDataFrame:
-    """Top-50 most-similar embedding PAIRS by brute-force cosine
-    (functions/similarity.py:cosine_topk_pairs). The corpus has no true
-    near-dups (max pairwise cosine ≈0.51), so a thresholded near-dup
-    query would be vacuous; top-k pairs exercises the same all-pairs
-    machinery with a non-empty, oracle-checkable answer. The LSH-bucketed
-    scale path (operators/dedup.embedding_neardup_pairs) is covered by
-    tests/test_dedup.py on planted duplicates."""
+    """Top-50 most-similar embedding PAIRS through the ROUTED default
+    (functions/similarity.py:cosine_topk_pairs, round-6): exact
+    all-pairs at/below 20k rows, multi-table sign-bit LSH + exact
+    verify + top-k above. The gate corpus (≤2k vectors) takes the exact
+    branch, which is what the O(n²) DuckDB oracle recomputes; the LSH
+    branch's top-k agreement is pinned by
+    tests/test_similarity.py::test_routed_lsh_branch_matches_exact on a
+    planted-duplicate corpus. The corpus has no true near-dups (max
+    pairwise cosine ≈0.51), so a thresholded near-dup query would be
+    vacuous; top-k pairs gives a non-empty, oracle-checkable answer."""
     from pandasql_spark.functions.similarity import cosine_topk_pairs
 
     e = spark.read.parquet(f"{sf}/embeddings.parquet")
@@ -3033,7 +3036,9 @@ REGISTRY: dict[str, QueryDef] = {
         q24_simhash_neardup, Q24_SQL, "SimHash near-dup pairs (value-checked oracle)"
     ),
     "q25_embedding_topk_pairs": QueryDef(
-        q25_embedding_topk_pairs, Q25_SQL, "top-k embedding pairs by cosine"
+        q25_embedding_topk_pairs,
+        Q25_SQL,
+        "top-k embedding pairs, size-routed (exact <=20k rows, LSH above)",
     ),
     "q26_sessionize": QueryDef(q26_sessionize, Q26_SQL, "window-function sessionization"),
     "q27_asof_join": QueryDef(q27_asof_join, Q27_SQL, "distributed as-of join"),
