@@ -113,6 +113,28 @@ def _approx_row_bytes(schema) -> int:
     return max(sum(sz(f.dataType) for f in schema.fields), 1)
 
 
+_GUARD_SAMPLE_ROWS = 256
+
+
+def _has_varwidth(schema) -> bool:
+    """True if any column's width is data-dependent (string / binary /
+    array / map, possibly nested) — i.e. the schema-only estimate can be
+    arbitrarily wrong and the fetch guard should measure a sample."""
+
+    def chk(dt) -> bool:
+        if isinstance(dt, (T.StringType, T.BinaryType)):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return True
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.StructType):
+            return any(chk(f.dataType) for f in dt.fields)
+        return False
+
+    return any(chk(f.dataType) for f in schema.fields)
+
+
 _FLOAT_TYPES = (T.DoubleType, T.FloatType, T.DecimalType)
 _SUPPORTED_CONSTANT_TYPES = (int, float, str, bool, list)
 
@@ -538,16 +560,44 @@ class BaseFrame:
         cap = _MAX_FETCH_BYTES if _MAX_FETCH_BYTES is not None else _free_driver_memory()
         if cap is not None and cap != float("inf"):
             est = self.memory_usage()
-            if est > cap:
+            # The plan-stat gate ALSO flat-rates variable-width data
+            # (~20 B/string in non-CBO sizeInBytes), so a genuinely
+            # over-cap document fetch can come in WAY under the cap on
+            # paper. For varwidth schemas, fall through to the probe
+            # whenever the stat is within 2^16 of the cap — document
+            # rows run 10^2–10^4 x the flat rate, and the probe itself
+            # is two bounded jobs, skipped entirely for comfortably
+            # small frames.
+            suspicious = (
+                est > cap
+                or (
+                    est > 0
+                    and (est << 16) > cap
+                    and _has_varwidth(self.to_spark().schema)
+                )
+            )
+            if suspicious:
                 # The non-CBO sizeInBytes statistic multiplies child
                 # sizes through joins — a tiny post-join aggregate can
                 # estimate petabytes. Before raising, confirm with a
                 # bounded row-count probe: limit(cap_rows + 1).count()
                 # short-circuits and costs at most one extra pass in
-                # the (rare) over-cap case, and never lets the real
-                # fetch exceed the cap.
+                # the (rare) over-cap case. For variable-width schemas
+                # the schema-only flat rate (24 B/string) can inflate
+                # the row cap by orders of magnitude on document
+                # corpora, so floor it with MEASURED bytes/row from a
+                # bounded sample fetch first; a tail wider than the
+                # sample mean can still slip through, which is why the
+                # cap is a guard, not a hard quota.
                 sdf = self.to_spark()
                 row_bytes = _approx_row_bytes(sdf.schema)
+                if _has_varwidth(sdf.schema):
+                    sample = sdf.limit(_GUARD_SAMPLE_ROWS).toPandas()
+                    if len(sample):
+                        measured = int(
+                            sample.memory_usage(deep=True).sum() // len(sample)
+                        )
+                        row_bytes = max(row_bytes, measured)
                 cap_rows = min(int(cap // row_bytes), 2**31 - 2)
                 if sdf.limit(cap_rows + 1).count() > cap_rows:
                     raise MemoryError(

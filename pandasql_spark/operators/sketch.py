@@ -119,8 +119,13 @@ def kmv_set_relations(
     them instead of re-scanning the base tables (release via the
     result's ``cleanup()``). Accuracy degrades when the true distinct
     counts are ≲ k (the sketches stop being saturated and θ drifts
-    up); in that regime just count exactly. Empty inputs yield zero
-    samples and jaccard 0.0."""
+    up); in that regime just count exactly.
+
+    Empty-input behavior: if ONE input is empty, ``least`` skips its
+    NULL max so θ falls back to the other sketch's max — the correct
+    degenerate answer (est_union ≈ the non-empty set's estimate,
+    est_intersection 0, jaccard 0). If BOTH are empty, every output is
+    zero (the NULL-θ scale is coalesced away)."""
     from .cache import attach_cleanup
 
     a = kmv_sketch(df_a, col_a, k).withColumnRenamed("hx", "ha").persist()
@@ -151,8 +156,14 @@ def kmv_set_relations(
         .select(
             "n_union_sample",
             "n_inter_sample",
-            F.round(F.col("n_union_sample") * scale, 6).alias("est_union"),
-            F.round(F.col("n_inter_sample") * scale, 6).alias("est_intersection"),
+            # coalesce: theta is NULL iff BOTH inputs are empty, where
+            # the samples are 0 and the estimates must be 0.0, not NULL
+            F.coalesce(
+                F.round(F.col("n_union_sample") * scale, 6), F.lit(0.0)
+            ).alias("est_union"),
+            F.coalesce(
+                F.round(F.col("n_inter_sample") * scale, 6), F.lit(0.0)
+            ).alias("est_intersection"),
             F.when(F.col("n_union_sample") == 0, F.lit(0.0))
             .otherwise(
                 F.round(F.col("n_inter_sample") / F.col("n_union_sample"), 6)

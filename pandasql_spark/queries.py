@@ -1548,9 +1548,14 @@ a3 AS (
   ) WHERE rn = 1
 ),
 dropped AS (
+  -- zero-norm guards mirror both Spark paths (numpy cos:=0 / expr
+  -- l2_norm != 0): a zero vector can never be "dropped", and DuckDB's
+  -- 0/0 = NaN would otherwise sort it above every number here
   SELECT x.vec_id
   FROM a3 x JOIN a3 y ON x.cid = y.cid AND y.vec_id < x.vec_id
-  WHERE round(
+  WHERE list_reduce(list_transform(x.v, q -> q * q), (acc, e) -> acc + e) > 0
+    AND list_reduce(list_transform(y.v, q -> q * q), (acc, e) -> acc + e) > 0
+    AND round(
     list_reduce(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2]),
                 (acc, e) -> acc + e)
     / (sqrt(list_reduce(list_transform(x.v, q -> q * q), (acc, e) -> acc + e))
@@ -2987,7 +2992,7 @@ REGISTRY: dict[str, QueryDef] = {
     ),
     "q67_repetition_signals": QueryDef(
         q67_repetition_signals, Q67_SQL,
-        "Gopher-style repetition signals, zero-shuffle HOF run-length path",
+        "Gopher-style repetition signals, zero-shuffle numpy mapInPandas kernel",
     ),
     "q68_pii_redaction": QueryDef(
         q68_pii_redaction, Q68_SQL,

@@ -191,3 +191,29 @@ def test_compute_guard_join_overestimate_probe(spark):
             j.compute()
     finally:
         set_max_fetch_bytes(None)
+
+
+def test_compute_guard_measures_wide_strings(spark):
+    """ADVICE r5: the schema-only flat rate (24 B/string) inflated the
+    row cap ~200x for document-shaped rows, letting a genuinely
+    over-cap fetch through the probe. The guard now floors bytes/row
+    with a measured sample: 2,000 rows x ~5 kB strings (~10 MB real)
+    under a 1 MB cap must raise even though the flat estimate
+    (32 B/row -> 31k-row cap) would have passed the count probe."""
+    import pandas as pd
+    import pytest
+
+    import pandasql_spark as ps
+    from pandasql_spark.core import set_max_fetch_bytes
+
+    df = ps.DataFrame(
+        pd.DataFrame({"doc_id": range(2_000), "text": ["x" * 5_000] * 2_000})
+    )
+    try:
+        set_max_fetch_bytes(1_000_000)
+        with pytest.raises(MemoryError, match="smaller subset"):
+            df.compute()
+        # bounded fetches still fine under the same cap
+        assert len(df.head(10).compute()) == 10
+    finally:
+        set_max_fetch_bytes(None)

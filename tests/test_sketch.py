@@ -103,6 +103,25 @@ def test_set_relations_identical_singletons(spark):
 
 
 def test_set_relations_empty_inputs(spark):
+    """BOTH empty: everything zero (NULL theta coalesced away, not
+    propagated into NULL estimates — ADVICE r5)."""
     a = spark.createDataFrame([], "v int")
     r = kmv_set_relations(a, "v", a, "v", k=8).first()
     assert (r.n_union_sample, r.n_inter_sample, r.jaccard) == (0, 0, 0.0)
+    assert (r.est_union, r.est_intersection) == (0.0, 0.0)
+
+
+def test_set_relations_one_empty_input(spark):
+    """ONE empty: theta falls back to the non-empty sketch's max, so
+    est_union tracks the non-empty set (exact below saturation),
+    intersection and jaccard are zero — the degenerate answer, not
+    NULLs (ADVICE r5)."""
+    a = spark.createDataFrame([], "v int")
+    b = spark.createDataFrame([(i,) for i in range(5)], "v int")
+    r = kmv_set_relations(a, "v", b, "v", k=8).first()
+    assert r.n_inter_sample == 0 and r.jaccard == 0.0
+    assert r.n_union_sample == 5
+    # theta-scaled, not exact-below-k (documented estimator design):
+    # est = n * M / theta, so > 0 and near n — never NULL
+    assert r.est_union is not None and r.est_union > 0
+    assert r.est_intersection == 0.0
