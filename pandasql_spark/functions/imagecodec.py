@@ -22,6 +22,7 @@ training-data-pipeline surface.
 
 from __future__ import annotations
 
+import io as _io
 import struct
 import zlib
 
@@ -29,12 +30,10 @@ import numpy as np
 
 try:  # optional fast path + JPEG/GIF pixel support
     from PIL import Image as _PILImage  # type: ignore
-    import io as _io
 
     HAVE_PIL = True
 except Exception:  # pragma: no cover - PIL absent in this container
     _PILImage = None
-    _io = None
     HAVE_PIL = False
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -278,6 +277,30 @@ def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", idat)
         + chunk(b"IEND", b"")
+    )
+
+
+def jfif_header_bytes(width: int, height: int, ncomp: int = 3) -> bytes:
+    """A minimal, spec-valid JFIF marker stream (SOI + APP0 + SOF0 +
+    EOI) with NO entropy-coded scan: every header parser — this
+    module's ``_jpeg_dims`` and PIL's lazy ``open()`` alike — reads the
+    true dimensions and component count, while any pixel decode fails
+    deterministically (there is no image data), with or without PIL.
+    That makes it the gate corpus for the header-only fallback branch
+    of ``image_meta``/``decode_image`` (q41): no baseline-JPEG encoder
+    exists in this container, but the metadata path is fully real."""
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError(f"dims out of JFIF range: {width}x{height}")
+    app0 = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    sof_comps = b"".join(
+        struct.pack("BBB", cid + 1, 0x11, 0) for cid in range(ncomp)
+    )
+    sof = struct.pack(">BHHB", 8, height, width, ncomp) + sof_comps
+    return (
+        b"\xff\xd8"  # SOI
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+        + b"\xff\xd9"  # EOI
     )
 
 

@@ -2425,7 +2425,15 @@ def q41_multimodal(spark: SparkSession, sf: str) -> SparkDataFrame:
     SQL: the only way the Spark side gets those numbers is by truly
     parsing and decoding the PNG payload (the decode stage never sees
     the text). Varying the filter type exercises all five PNG unfilter
-    paths under the gate."""
+    paths under the gate.
+
+    Round 6: documents with len(text) % 7 == 0 render a JPEG header
+    stream instead (imagecodec.jfif_header_bytes — real SOF0 dims, no
+    scan data), so the gate also exercises the OTHER decode branch:
+    format sniff + JPEG header parse succeed, pixel decode fails
+    deterministically (with or without PIL), and the row survives as
+    decode_ok=false with header dims and NULL pixel stats — the
+    corrupt-payload contract a 100 TB media job depends on."""
     from pandasql_spark.operators.multimodal import image_meta
 
     d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
@@ -2434,14 +2442,24 @@ def q41_multimodal(spark: SparkSession, sf: str) -> SparkDataFrame:
         import numpy as np
         import pandas as pd
 
-        from pandasql_spark.functions.imagecodec import encode_png
+        from pandasql_spark.functions.imagecodec import (
+            encode_png,
+            jfif_header_bytes,
+        )
 
         for pdf in it:
             payloads = []
             for t in pdf["text"]:
                 n = len(t)
-                img = np.full((1 + n % 13, 1 + n % 16, 3), n % 251, dtype=np.uint8)
-                payloads.append(encode_png(img, filter_type=n % 5))
+                if n % 7 == 0:
+                    payloads.append(
+                        jfif_header_bytes(1 + n % 16, 1 + n % 13, ncomp=3)
+                    )
+                else:
+                    img = np.full(
+                        (1 + n % 13, 1 + n % 16, 3), n % 251, dtype=np.uint8
+                    )
+                    payloads.append(encode_png(img, filter_type=n % 5))
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"].astype("int64"), "payload": payloads}
             )
@@ -2454,6 +2472,7 @@ def q41_multimodal(spark: SparkSession, sf: str) -> SparkDataFrame:
         "width",
         "height",
         "mode",
+        "decode_ok",
         "n_pixels",
         F.round("mean_px", 6).alias("mean_px"),
     )
@@ -2461,12 +2480,17 @@ def q41_multimodal(spark: SparkSession, sf: str) -> SparkDataFrame:
 
 Q41_SQL = """
 SELECT doc_id AS media_id,
-       'png' AS fmt,
+       CASE WHEN length(text) % 7 = 0 THEN 'jpeg' ELSE 'png' END AS fmt,
        CAST(1 + length(text) % 16 AS INT) AS width,
        CAST(1 + length(text) % 13 AS INT) AS height,
        'RGB' AS mode,
-       CAST((1 + length(text) % 16) * (1 + length(text) % 13) AS BIGINT) AS n_pixels,
-       round(CAST(length(text) % 251 AS DOUBLE), 6) AS mean_px
+       length(text) % 7 <> 0 AS decode_ok,
+       CASE WHEN length(text) % 7 = 0 THEN NULL
+            ELSE CAST((1 + length(text) % 16) * (1 + length(text) % 13) AS BIGINT)
+       END AS n_pixels,
+       CASE WHEN length(text) % 7 = 0 THEN NULL
+            ELSE round(CAST(length(text) % 251 AS DOUBLE), 6)
+       END AS mean_px
 FROM documents
 """
 

@@ -174,3 +174,66 @@ def test_jpeg_ff_fill_padding_before_sof():
     sof = b"\xff\xff\xff\xc0" + b"\x00\x11" + b"\x08" + b"\x00\x05\x00\x07" + b"\x03"
     w, h, mode = ic._jpeg_dims(b"\xff\xd8" + sof + b"\x00" * 20)
     assert (w, h, mode) == (7, 5, "RGB")
+
+
+def test_jfif_header_bytes_parses_but_never_pixel_decodes():
+    """The q41 JPEG-branch corpus: jfif_header_bytes carries REAL SOF0
+    dims for every header parser, and pixel decode fails
+    deterministically (no scan data) — the decode_ok=false contract."""
+    import pytest
+
+    b = ic.jfif_header_bytes(9, 4, ncomp=3)
+    assert ic.sniff_format(b) == "jpeg"
+    assert ic.decode_image_meta(b) == ("jpeg", 9, 4, "RGB")
+    with pytest.raises(ic.ImageDecodeError):
+        ic.decode_image(b)
+    # 1-component variant parses as grayscale
+    assert ic.decode_image_meta(ic.jfif_header_bytes(3, 2, ncomp=1))[3] == "L"
+    with pytest.raises(ValueError):
+        ic.jfif_header_bytes(0, 5)
+
+
+def test_decode_image_pil_branch(monkeypatch):
+    """Exercise the PIL branch of decode_image without PIL in the
+    container: a stub module pins the branch's contracts — 3-D output,
+    grayscale channel-axis normalization, and exception normalization
+    to ImageDecodeError."""
+    import io
+
+    import numpy as np
+    import pytest
+
+    class FakeImg:
+        def __init__(self, arr, mode):
+            self._arr, self.mode = arr, mode
+
+        def convert(self, mode):
+            assert mode in ("RGB", "L", "LA", "RGBA")
+            return self._arr
+
+    class FakePIL:
+        payload_to_img = {}
+
+        @staticmethod
+        def open(fh):
+            data = fh.read() if isinstance(fh, io.BytesIO) else fh
+            img = FakePIL.payload_to_img.get(bytes(data))
+            if img is None:
+                raise OSError("cannot identify image file")
+            return img
+
+    monkeypatch.setattr(ic, "HAVE_PIL", True)
+    monkeypatch.setattr(ic, "_PILImage", FakePIL)
+
+    rgb = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    FakePIL.payload_to_img[b"rgb-bytes"] = FakeImg(rgb, "RGB")
+    out = ic.decode_image(b"rgb-bytes")
+    assert out.shape == (2, 4, 3) and (out == rgb).all()
+
+    gray = np.arange(8, dtype=np.uint8).reshape(2, 4)  # PIL 'L' is 2-D
+    FakePIL.payload_to_img[b"gray-bytes"] = FakeImg(gray, "L")
+    out = ic.decode_image(b"gray-bytes")
+    assert out.shape == (2, 4, 1)  # contract: ALWAYS 3-D
+
+    with pytest.raises(ic.ImageDecodeError):
+        ic.decode_image(b"not-an-image")
