@@ -11,10 +11,12 @@ from . import (
     ann,
     asof,
     bucketing,
+    caps,
     cluster,
     contamination,
     curation,
     dedup,
+    delta,
     freq,
     lm,
     multimodal,
@@ -34,10 +36,12 @@ __all__ = [
     "ann",
     "asof",
     "bucketing",
+    "caps",
     "cluster",
     "contamination",
     "curation",
     "dedup",
+    "delta",
     "freq",
     "lm",
     "multimodal",

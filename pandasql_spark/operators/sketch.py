@@ -181,3 +181,45 @@ def estimate_from_sketch(sketch: DataFrame, k: int) -> DataFrame:
         F.count(F.lit(1)).alias("n_hashes"), F.max("hx").alias("kth_hash")
     )
     return agg.select("n_hashes", "kth_hash", estimate_expr(k))
+
+
+def hash_sampled_quantiles(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    quantiles: list[float],
+    rate: float = 1.0 / 16,
+) -> DataFrame:
+    """Deterministic sampled quantiles — the sketch-path complement of
+    ranking.exact_percentiles (q65's exact distributed recipe).
+
+    The sample is a HASH-Bernoulli subset: keep rows whose
+    md5(key_col) maps below ``rate`` of the hash space — the same
+    deterministic, engine-portable device as the KMV sketch, so any
+    engine (the q78 DuckDB oracle included) reproduces the sample
+    bit-for-bit; no RNG, no seed drift, stable under retries and
+    re-partitioning. The quantiles of the sample are then computed
+    EXACTLY with the distributed ranking recipe on ~rate·n rows.
+
+    Why not Spark's percentile_approx: its KLL-ish buffer is bounded
+    but engine-internal — no other system can recompute or audit it.
+    Here the estimator is two auditable pieces: a reproducible sample
+    predicate and an exact quantile definition (inverse-CDF at
+    ceil(q·m)). Sampling error ~ O(1/sqrt(rate·n)) in rank space;
+    at 100 TB the shuffle shrinks by 1/rate and the sample predicate
+    evaluates scan-side (JVM codegen, no Python crossing).
+
+    Returns (q double, value) — the same shape as exact_percentiles.
+    ``key_col`` must be a stable row identity (hashing the value
+    itself would correlate the sample with the estimand)."""
+    if not 0 < rate <= 1:
+        raise ValueError(f"rate must be in (0, 1], got {rate}")
+    cut = F.lit(float(rate) * M)
+    sampled = df.filter(
+        _hex13_to_double(F.md5(F.col(key_col).cast("string"))) < cut
+    )
+    from .ranking import exact_percentiles
+
+    return exact_percentiles(
+        sampled, value_col, quantiles, tiebreak=F.col(key_col)
+    )

@@ -2926,6 +2926,151 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
 # single-reducer global window with operators/ranking.py:exact_ntile.)
 
 
+def q77_source_caps(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Per-source document caps (operators/caps.py:cap_per_group): keep
+    the top 10 documents of each source by (n_chars desc, doc_id asc)
+    — the cap binds at every SF (sources hold 25 docs at sf0.01).
+    The implementation is the hot-key-safe two-phase selection — a
+    no-shuffle partial top-n per partition, then the rank window over
+    ≤ n×P survivors — and the oracle is the NAIVE window in SQL, so a
+    green row proves the two-phase plan is row-for-row exact."""
+    from pandasql_spark.operators.caps import cap_per_group
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    capped = cap_per_group(
+        docs,
+        keys=["source"],
+        order_by=[("n_chars", False), ("doc_id", True)],
+        n=10,
+    )
+    return capped.select("doc_id", "source", "n_chars")
+
+
+Q77_SQL = """
+SELECT doc_id, source, n_chars
+FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= 10
+"""
+
+
+def q78_sampled_quantiles(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Hash-sampled quantiles (operators/sketch.py:
+    hash_sampled_quantiles) — the deterministic sketch path next to
+    q65's exact percentiles: md5-Bernoulli sample at rate 1/8 keyed by
+    o_orderkey (engine-portable, no RNG), then the EXACT inverse-CDF
+    quantiles of the sample via the distributed ranking recipe. The
+    oracle reproduces the sample predicate and the quantile definition
+    in SQL, so the gate checks both pieces bit-for-bit."""
+    from pandasql_spark.operators.sketch import hash_sampled_quantiles
+
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    return hash_sampled_quantiles(
+        o,
+        value_col="o_totalprice",
+        key_col="o_orderkey",
+        quantiles=[0.25, 0.5, 0.75, 0.95],
+        rate=1.0 / 8,
+    )
+
+
+Q78_SQL = """
+WITH s AS (
+  SELECT o_totalprice, o_orderkey
+  FROM orders
+  WHERE list_reduce(
+          list_transform(range(1, 14),
+            x -> CAST(strpos('0123456789abcdef',
+                             substr(md5(CAST(o_orderkey AS VARCHAR)), x, 1)) - 1
+                      AS DOUBLE)),
+          (acc, v) -> acc * 16 + v) < 4503599627370496.0 / 8
+),
+r AS (
+  SELECT o_totalprice AS value,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM s
+)
+SELECT q, value
+FROM r
+JOIN (VALUES (0.25), (0.5), (0.75), (0.95)) qs(q)
+  ON rn = CAST(ceil(q * n) AS BIGINT)
+"""
+
+
+def q79_snapshot_diff(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Incremental-crawl snapshot diff (operators/delta.py): documents
+    vs a deterministically mutated next snapshot — doc_id % 17 == 3
+    dropped, doc_id % 13 == 1 edited (text suffix), fresh ids appended
+    — labeled added/removed/changed/unchanged. Content never crosses
+    the wire: both sides reduce to (key, md5 fingerprint) map-side and
+    full-outer-join on the key. The oracle recomputes the same
+    fingerprint join in SQL."""
+    from pandasql_spark.operators.delta import snapshot_diff
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    new = (
+        docs.filter(F.col("doc_id") % 17 != 3)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 13 == 1, F.concat(F.col("text"), F.lit(" [v2]"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            # orderBy before limit: an unordered limit(25) is
+            # nondeterministic across runs/partitionings
+            docs.orderBy("doc_id")
+            .limit(25)
+            .select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                "text",
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    )
+    return snapshot_diff(docs, new, key_col="doc_id", content_cols=["text", "lang"])
+
+
+Q79_SQL = """
+WITH old AS (
+  SELECT doc_id AS key,
+         md5(concat_ws(chr(31), coalesce(text, chr(0)), coalesce(lang, chr(0))))
+           AS fp_old
+  FROM documents
+),
+new AS (
+  SELECT doc_id AS key,
+         md5(concat_ws(chr(31),
+               coalesce(CASE WHEN doc_id % 13 = 1 THEN text || ' [v2]'
+                             ELSE text END, chr(0)),
+               coalesce(lang, chr(0)))) AS fp_new
+  FROM documents WHERE doc_id % 17 <> 3
+  UNION ALL
+  SELECT doc_id + 1000000,
+         md5(concat_ws(chr(31), coalesce(text, chr(0)), coalesce(lang, chr(0))))
+  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 25)
+),
+j AS (
+  SELECT coalesce(old.key, new.key) AS key, fp_old, fp_new
+  FROM old FULL OUTER JOIN new ON old.key = new.key
+)
+SELECT key,
+       CASE WHEN fp_old IS NULL THEN 'added'
+            WHEN fp_new IS NULL THEN 'removed'
+            WHEN fp_old = fp_new THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM j
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_distinct": QueryDef(
@@ -3054,6 +3199,18 @@ REGISTRY: dict[str, QueryDef] = {
         q76_windowed_kmv_stream, Q76_SQL,
         "streaming per-window KMV distinct sketch (bounded stateful op, real engine)",
     ),
+    "q77_source_caps": QueryDef(
+        q77_source_caps, Q77_SQL,
+        "per-source document caps: hot-key-safe two-phase exact top-n per group",
+    ),
+    "q78_sampled_quantiles": QueryDef(
+        q78_sampled_quantiles, Q78_SQL,
+        "hash-Bernoulli sampled quantiles (deterministic sketch path for q65)",
+    ),
+    "q79_snapshot_diff": QueryDef(
+        q79_snapshot_diff, Q79_SQL,
+        "incremental-crawl snapshot diff via map-side fingerprints + outer join",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -3116,10 +3273,15 @@ REGISTRY: dict[str, QueryDef] = {
 # Round-6 roster: the 26 r5-resting queries (q02–q05, q07–q09, q11–q15,
 # q20, q28–q33, q35–q38, q42, q55, q61 — all green r4) rotate IN, as do
 # q25 and q41 (code changed this round: routed pair-similarity default,
-# JPEG corpus branch — changed queries never rest). Resting: 22 of the 24
-# r4+r5 twice-green queries plus four r3+r5-green slots (q45–q47, q49);
+# JPEG corpus branch — changed queries never rest); new-this-round
+# q77–q79 gate immediately (new queries never start resting). Resting:
+# 22 of the 24 r4+r5 twice-green queries plus seven r3+r5-green slots
+# (q43–q47, q49, q54 — one extra per new query, per the policy);
 # nothing here rested in r5, and every entry holds a green r5 oracle row.
 _RESTING: tuple[str, ...] = (
+    "q43_decorrelated_scalar",
+    "q44_in_subquery",
+    "q54_fuzzy_match",
     "q01_pricing_summary",
     "q06_multijoin_region",
     "q10_embedding_neardup",

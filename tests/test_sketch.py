@@ -125,3 +125,48 @@ def test_set_relations_one_empty_input(spark):
     # est = n * M / theta, so > 0 and near n — never NULL
     assert r.est_union is not None and r.est_union > 0
     assert r.est_intersection == 0.0
+
+
+def test_hash_sampled_quantiles_deterministic_and_close(spark):
+    """The sample predicate is a pure function of the key, so two runs
+    (and any partitioning) give identical output; estimates track the
+    exact quantiles within the O(1/sqrt(rate*n)) rank error."""
+    import pandas as pd
+
+    from pandasql_spark.operators.ranking import exact_percentiles
+    from pandasql_spark.operators.sketch import hash_sampled_quantiles
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    qs = [0.25, 0.5, 0.75]
+    a = hash_sampled_quantiles(o, "o_totalprice", "o_orderkey", qs, rate=0.25)
+    b = hash_sampled_quantiles(
+        o.repartition(13), "o_totalprice", "o_orderkey", qs, rate=0.25
+    )
+    pa = a.toPandas().sort_values("q").reset_index(drop=True)
+    pb = b.toPandas().sort_values("q").reset_index(drop=True)
+    pd.testing.assert_frame_equal(pa, pb)  # partitioning-independent
+    exact = {
+        r.q: r.value
+        for r in exact_percentiles(
+            o, "o_totalprice", qs, tiebreak="o_orderkey"
+        ).collect()
+    }
+    n = o.count()
+    for _, row in pa.iterrows():
+        # rank error ~ 1/sqrt(rate*n); translate to a generous value
+        # tolerance via the empirical spread of the distribution
+        rel = abs(row["value"] - exact[row["q"]]) / max(exact[row["q"]], 1.0)
+        assert rel < 0.2, (row["q"], row["value"], exact[row["q"]])
+    assert len(pa) == 3
+
+
+def test_hash_sampled_quantiles_rate_validation(spark):
+    import pytest
+
+    from pandasql_spark.operators.sketch import hash_sampled_quantiles
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    with pytest.raises(ValueError):
+        hash_sampled_quantiles(o, "o_totalprice", "o_orderkey", [0.5], rate=0)
+    with pytest.raises(ValueError):
+        hash_sampled_quantiles(o, "o_totalprice", "o_orderkey", [0.5], rate=1.5)
