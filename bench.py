@@ -67,6 +67,9 @@ HEADLINE = [
     "q74_kmv_distinct",
     "q75_kmv_set_overlap",
     "q76_windowed_kmv_stream",
+    "q77_source_caps",
+    "q78_sampled_quantiles",
+    "q79_snapshot_diff",
 ]
 
 

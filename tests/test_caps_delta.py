@@ -6,7 +6,6 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pandasql_spark.operators.caps import cap_per_group
@@ -19,33 +18,32 @@ from pandasql_spark.operators.delta import (
 SF = "/root/testdata/sf0.001"
 
 
-def _naive_cap(df, keys, order_by, n):
-    order_cols = [F.col(c).asc() if a else F.col(c).desc() for c, a in order_by]
-    w = Window.partitionBy(*keys).orderBy(*order_cols)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n)
-        .drop("__rn")
-    )
-
-
 def _sorted(pdf):
     return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
 
 
-def test_cap_matches_naive_window(spark):
+def test_cap_matches_pandas_oracle(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    spec = dict(keys=["source"], order_by=[("n_chars", False), ("doc_id", True)], n=7)
-    got = _sorted(cap_per_group(docs, **spec).toPandas())
-    exp = _sorted(_naive_cap(docs, **spec).toPandas())
+    got = _sorted(
+        cap_per_group(
+            docs, ["source"], [("n_chars", False), ("doc_id", True)], n=7
+        ).toPandas()
+    )
+    exp = _sorted(
+        docs.toPandas()
+        .sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        .groupby("source", sort=False)
+        .head(7)
+    )
     pd.testing.assert_frame_equal(got, exp)
 
 
-def test_cap_hot_key_partial_trim(spark):
-    """A single group holding 96% of rows across many partitions: the
-    partial phase must trim each partition to n rows for that group
-    BEFORE the shuffle (asserted by counting the rows the window stage
-    receives via an accumulator), and the result stays exact."""
+def test_cap_hot_key_partial_group_limit_in_plan(spark):
+    """The hot-key safety claim is Catalyst's WindowGroupLimit rule
+    (SPARK-37099): a PARTIAL group-limit must sit BELOW the exchange —
+    each input partition forwards at most n rows per group, so a group
+    holding 96% of rows ships n×P rows, not all of them — and the
+    result stays exact."""
     pdf = pd.DataFrame(
         {
             "g": ["hot"] * 4800 + [f"cold{i}" for i in range(200)],
@@ -55,19 +53,17 @@ def test_cap_hot_key_partial_trim(spark):
     )
     df = spark.createDataFrame(pdf).repartition(8)
     out = cap_per_group(df, ["g"], [("v", False), ("id", True)], n=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    partial = plan.find("WindowGroupLimit")
+    assert partial != -1, plan
+    assert "Partial" in plan and "Final" in plan, plan
+    # rendering is top-down: the Partial phase must print AFTER (below)
+    # the Exchange, i.e. on the map side of the shuffle
+    assert plan.find("Partial") > plan.find("Exchange"), plan
     got = out.toPandas()
-    # exact: hot group's true top-5 by v desc
     hot = got[got["g"] == "hot"].sort_values("v", ascending=False)
     assert list(hot["v"]) == [4799, 4798, 4797, 4796, 4795]
     assert len(got) == 5 + 200  # 5 hot + every singleton cold group
-    # the survivor set entering the rank window carries <= 8 x 5 = 40
-    # hot rows (n per partition) instead of the 4,800 the naive window
-    # would shuffle to one reducer — the hot-key claim, measured
-    from pandasql_spark.operators.caps import partial_top_n
-
-    surv = partial_top_n(df, ["g"], [("v", False), ("id", True)], n=5)
-    hot_surv = surv.filter(F.col("g") == "hot").count()
-    assert hot_surv <= 40, hot_surv
 
 
 def test_cap_validates_args(spark):
