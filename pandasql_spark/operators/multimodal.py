@@ -301,3 +301,117 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, payload_col).mapInPandas(_batch, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Audio (REAL decode — native WAV/PCM codec, functions/audiocodec.py)
+# ---------------------------------------------------------------------------
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("size_bytes", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def audio_meta(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Real per-payload audio stats: full PCM decode (native WAV codec)
+    → sample rate, channels, duration, RMS, peak. Same contract as
+    image_meta: undecodable payloads survive as decode_ok=false rows
+    (header fields NULL), so one corrupt file can't kill a 100 TB job.
+    RMS/duration are rounded to 6 places — the exact arithmetic the q80
+    oracle recomputes."""
+    from ..functions.audiocodec import AudioDecodeError, decode_wav
+
+    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {f.name: [] for f in AUDIO_META_SCHEMA.fields}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                rows["media_id"].append(int(mid))
+                rows["size_bytes"].append(len(b))
+                try:
+                    rate, arr = decode_wav(b)
+                    f = arr.astype(np.float64)
+                    rows["sample_rate"].append(rate)
+                    rows["n_channels"].append(arr.shape[1])
+                    rows["n_samples"].append(arr.shape[0])
+                    rows["duration_s"].append(round(arr.shape[0] / rate, 6))
+                    rows["rms"].append(round(float(np.sqrt((f**2).mean())), 6))
+                    rows["peak"].append(int(np.abs(arr).max()))
+                    rows["decode_ok"].append(True)
+                except AudioDecodeError:
+                    for k in (
+                        "sample_rate",
+                        "n_channels",
+                        "n_samples",
+                        "duration_s",
+                        "rms",
+                        "peak",
+                    ):
+                        rows[k].append(None)
+                    rows["decode_ok"].append(False)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(_batch, AUDIO_META_SCHEMA)
+
+
+AUDIO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_samples", T.IntegerType()),
+        T.StructField("frame_rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_frame_rms(
+    df: DataFrame,
+    frame_len: int = 256,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Frame-level feature extraction over decoded PCM: one row per
+    ``frame_len``-sample window (channel-averaged RMS; the final
+    partial frame is kept with its true sample count). The media → many
+    frames row explosion is the same shape as video frame sampling —
+    but unlike that stub, this decode is real. Undecodable payloads
+    contribute zero rows (filter them via audio_meta.decode_ok)."""
+    if frame_len < 1:
+        raise ValueError(f"frame_len must be >= 1, got {frame_len}")
+    from ..functions.audiocodec import AudioDecodeError, decode_wav
+
+    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {f.name: [] for f in AUDIO_FRAMES_SCHEMA.fields}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    _, arr = decode_wav(bytes(payload))
+                except AudioDecodeError:
+                    continue
+                f = arr.astype(np.float64)
+                n = arr.shape[0]
+                for i in range(0, n, frame_len):
+                    chunk = f[i : i + frame_len]
+                    rows["media_id"].append(int(mid))
+                    rows["frame_idx"].append(i // frame_len)
+                    rows["frame_samples"].append(chunk.shape[0])
+                    rows["frame_rms"].append(
+                        round(float(np.sqrt((chunk**2).mean())), 6)
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(_batch, AUDIO_FRAMES_SCHEMA)
