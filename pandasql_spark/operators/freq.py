@@ -120,8 +120,15 @@ def heavy_hitters(
                 cut = counters.nlargest(capacity + 1).iloc[-1]
                 counters = counters[counters > cut] - cut
         items = list(counters.index) if counters is not None else []
+        # Build both columns with object dtype: appending the None
+        # count-sentinel to a typed int column would coerce it to float64
+        # and silently corrupt items above 2**53 (e.g. xxhash64 ids).
+        # Arrow converts object-dtype Python/numpy ints to int64 exactly.
         yield pd.DataFrame(
-            {item_col: items + [None], "__pn": [None] * len(items) + [n_p]}
+            {
+                item_col: pd.Series(items + [None], dtype=object),
+                "__pn": pd.Series([None] * len(items) + [n_p], dtype=object),
+            }
         )
 
     summary = df.select(item_col).mapInPandas(_mg_with_count, schema=out_schema)

@@ -104,6 +104,20 @@ def test_long_item_type(spark):
     assert list(got["cnt"]) == [20] * 5
 
 
+def test_bigint_items_above_2_53_survive_exactly(spark):
+    """Items above 2**53 (e.g. xxhash64 ids) must round-trip the MG
+    kernel exactly: a float64 coercion anywhere in the candidate path
+    would collapse adjacent ids (2**53 + 1 == 2**53 in float64) and drop
+    true heavy hitters."""
+    a, b = 2**53 + 1, 2**53 + 3  # distinct ints, equal as float64
+    rows = [(a,)] * 40 + [(b,)] * 35 + [(2**62 + 7,)] * 25
+    df = spark.createDataFrame(rows, "item long").repartition(4)
+    got = _sorted(freq.heavy_hitters(df, "item", 0.2, capacity=8).toPandas())
+    assert got["item"].dtype == np.int64
+    assert list(got["item"]) == sorted([a, b, 2**62 + 7])
+    assert list(got["cnt"]) == [40, 35, 25]
+
+
 @settings(
     max_examples=soak_examples(30),
     deadline=None,

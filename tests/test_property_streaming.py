@@ -90,12 +90,16 @@ def _replay_vs_batch(spark, pdf, build, mode):
         shutil.rmtree(d, ignore_errors=True)
 
 
-def _assert_same(got, expected, key):
-    pd.testing.assert_frame_equal(
-        got.sort_values(key, ignore_index=True).sort_index(axis=1),
-        expected.sort_values(key, ignore_index=True).sort_index(axis=1),
-        check_dtype=False,
-    )
+def _assert_same(got, expected, key=None):
+    # Sort on ALL columns, not just a caller-chosen key: a partial key is
+    # not a total order, so ties (e.g. two clicks with identical
+    # (user_id, ts) but different values) would flip row order between the
+    # streamed and batch frames even though they are the same multiset.
+    def _norm(frame):
+        frame = frame.sort_index(axis=1)
+        return frame.sort_values(list(frame.columns), ignore_index=True)
+
+    pd.testing.assert_frame_equal(_norm(got), _norm(expected), check_dtype=False)
 
 
 @settings(
