@@ -86,6 +86,13 @@ def cosine_topk_pairs_exact(
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cosine("va", "vb").alias("cos_sim"))
+        # zero-norm vectors have undefined cosine (NULL under the
+        # engine's non-ANSI divide); drop those pairs so this branch
+        # ranks the SAME pair set as the LSH branch, whose cos_sim >=
+        # threshold filter drops NULLs implicitly — without this the
+        # two branches of cosine_topk_pairs would disagree on corpora
+        # containing zero vectors.
+        .where(F.col("cos_sim").isNotNull())
         .orderBy(F.col("cos_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc())
         .limit(k)
     )
@@ -99,10 +106,19 @@ def cosine_topk_pairs(
     exact_below: int = 20_000,
     num_tables: int = 8,
     seed: int = 42,
+    exact: bool | None = None,
 ) -> DataFrame:
     """Top-k most-similar pairs, routed by corpus size (round-6: this is
     the registered default; the O(n²) join no longer runs above
     ``exact_below`` rows).
+
+    ``exact`` is the explicit escape hatch over the size routing:
+    ``exact=True`` forces the all-pairs branch regardless of corpus
+    size (callers who need guaranteed recall and accept O(n²) cost);
+    ``exact=False`` forces the LSH branch (e.g. to test it small);
+    ``None`` (default) routes by ``exact_below``. Both branches rank
+    the same pair set: pairs with undefined cosine (a zero-norm side)
+    are excluded everywhere.
 
     - n ≤ ``exact_below``: exact all-pairs (:func:`cosine_topk_pairs_exact`).
       At 20k rows that is ≤ 2·10⁸ cosine folds — cheap, and exactness is
@@ -118,8 +134,9 @@ def cosine_topk_pairs(
 
     The result of the LSH branch carries the candidate frames'
     ``cleanup()`` hook (operators/cache.py)."""
-    n = df.count()
-    if n <= exact_below:
+    if exact is None:
+        exact = df.count() <= exact_below
+    if exact:
         return cosine_topk_pairs_exact(df, k, id_col, vec_col)
 
     from ..operators.dedup import embedding_neardup_pairs

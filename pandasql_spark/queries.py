@@ -1881,7 +1881,14 @@ def q76_windowed_kmv_stream(spark: SparkSession, sf: str) -> SparkDataFrame:
     one with sketch-valued state."""
     from pandasql_spark.streaming.sketch import replay_windowed_kmv
 
-    return replay_windowed_kmv(spark, f"{sf}/events.parquet", k=16)
+    # ttl explicit: the single-file gate replay is trivially
+    # time-ordered, so the watermark is safe and the eviction path gets
+    # end-to-end exercise (the final no-data batch fires the timeouts).
+    # The replay helper itself defaults to ttl=None because general
+    # backfills are NOT file-ordered (see replay_windowed_kmv).
+    return replay_windowed_kmv(
+        spark, f"{sf}/events.parquet", k=16, ttl_seconds=7200
+    )
 
 
 Q76_SQL = """
@@ -3024,11 +3031,16 @@ def q79_snapshot_diff(spark: SparkSession, sf: str) -> SparkDataFrame:
         )
         .unionByName(
             # orderBy before limit: an unordered limit(25) is
-            # nondeterministic across runs/partitionings
+            # nondeterministic across runs/partitionings. Fresh ids live
+            # in the NEGATIVE keyspace (-(doc_id+1)): doc_id >= 0 at
+            # every SF, so the synthetic ids can never collide with real
+            # ones — a fixed positive offset would collide once doc_id
+            # outgrew it (~sf20 for +1e6) and silently violate
+            # snapshot_diff's unique-key contract.
             docs.orderBy("doc_id")
             .limit(25)
             .select(
-                (F.col("doc_id") + 1000000).alias("doc_id"),
+                (-(F.col("doc_id") + 1)).alias("doc_id"),
                 "text",
                 "lang",
                 "source",
@@ -3054,7 +3066,7 @@ new AS (
                coalesce(lang, chr(0)))) AS fp_new
   FROM documents WHERE doc_id % 17 <> 3
   UNION ALL
-  SELECT doc_id + 1000000,
+  SELECT -(doc_id + 1),
          md5(concat_ws(chr(31), coalesce(text, chr(0)), coalesce(lang, chr(0))))
   FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 25)
 ),
@@ -3068,6 +3080,113 @@ SELECT key,
             WHEN fp_old = fp_new THEN 'unchanged'
             ELSE 'changed' END AS status
 FROM j
+"""
+
+
+def q80_audio(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Audio pipeline with REAL WAV/PCM decode, end-to-end (the audio
+    analog of q41): each document renders an actual RIFF/WAVE payload
+    (functions/audiocodec.encode_wav) whose sample count, channel
+    count, and rate are deterministic functions of len(text), carrying
+    an int16 ramp 0..n_samples-1 on every channel; a second,
+    independent mapInPandas stage (operators/multimodal.audio_meta /
+    audio_frame_rms) decodes the bytes — RIFF chunk walk, PCM16
+    reshape, per-payload and per-frame stats. The oracle recomputes
+    duration / RMS / peak / frame counts from len(text) in closed form
+    (sum of squares 0..m = m(m+1)(2m+1)/6): the only way the Spark side
+    gets those numbers is by truly parsing and decoding the WAV (the
+    decode stages never see the text). docs with len(text) % 11 == 0
+    get a 32-byte garbage payload instead — the corrupt-media contract:
+    decode_ok=false with NULL stats from audio_meta, zero frame rows
+    from audio_frame_rms (NULL n_frames after the left join).
+
+    Exact-float cross-engine recipe: every RMS is sqrt of a ratio of
+    exact-in-float64 integers, so numpy's mean-then-sqrt and DuckDB's
+    closed-form division are the SAME correctly-rounded float64;
+    rates are 1000·2^k so durations are exact 6-decimal values."""
+    from pandasql_spark.operators.multimodal import audio_frame_rms, audio_meta
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+
+    def render(it):
+        import numpy as np
+        import pandas as pd
+
+        from pandasql_spark.functions.audiocodec import encode_wav
+
+        for pdf in it:
+            payloads = []
+            for t in pdf["text"]:
+                n = len(t)
+                if n % 11 == 0:
+                    payloads.append(b"\x00" * 32)
+                else:
+                    ns = 64 + n % 50
+                    ch = 1 + n % 3
+                    rate = 1000 * (1 << (n % 4))
+                    ramp = np.arange(ns, dtype=np.int16)
+                    payloads.append(
+                        encode_wav(np.repeat(ramp[:, None], ch, axis=1), rate)
+                    )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    media = d.mapInPandas(render, "media_id long, payload binary")
+    meta = audio_meta(media)
+    frames = audio_frame_rms(media, frame_len=32)
+    fagg = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_frames"),
+        F.max("frame_rms").alias("max_frame_rms"),
+    )
+    return meta.join(fagg, "media_id", "left").select(
+        "media_id",
+        "size_bytes",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        "duration_s",
+        "rms",
+        "peak",
+        "decode_ok",
+        "n_frames",
+        "max_frame_rms",
+    )
+
+
+# Closed forms the oracle uses (m := n_samples, f0 := last frame start):
+#   whole-payload RMS  = sqrt(sum_{i<m} i² / m) = sqrt((m-1)(2m-1)/6)
+#   last-frame RMS     = sqrt((S(m-1) - S(f0-1)) / (m - f0)),
+#                        S(k) = k(k+1)(2k+1)/6  (exact integers)
+#   the ramp is increasing, so the last frame is the max-RMS frame.
+Q80_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         64 + length(text) % 50  AS ns,
+         1 + length(text) % 3    AS ch,
+         1000 * (1 << (length(text) % 4)) AS rate,
+         (length(text) % 11 = 0) AS bad
+  FROM documents
+), calc AS (
+  SELECT *, 32 * ((ns - 1) // 32) AS f0 FROM base
+)
+SELECT doc_id AS media_id,
+  CAST(CASE WHEN bad THEN 32 ELSE 44 + ns * ch * 2 END AS BIGINT) AS size_bytes,
+  CAST(CASE WHEN bad THEN NULL ELSE rate END AS INT)  AS sample_rate,
+  CAST(CASE WHEN bad THEN NULL ELSE ch END AS INT)    AS n_channels,
+  CAST(CASE WHEN bad THEN NULL ELSE ns END AS BIGINT) AS n_samples,
+  CASE WHEN bad THEN NULL
+       ELSE round(ns / CAST(rate AS DOUBLE), 6) END   AS duration_s,
+  CASE WHEN bad THEN NULL
+       ELSE round(sqrt(CAST((ns-1)*(2*ns-1) AS DOUBLE) / 6), 6) END AS rms,
+  CAST(CASE WHEN bad THEN NULL ELSE ns - 1 END AS INT) AS peak,
+  NOT bad AS decode_ok,
+  CAST(CASE WHEN bad THEN NULL ELSE (ns - 1) // 32 + 1 END AS INT) AS n_frames,
+  CASE WHEN bad THEN NULL
+       ELSE round(sqrt(
+         CAST((ns-1)*ns*(2*ns-1)//6 - (f0-1)*f0*(2*f0-1)//6 AS DOUBLE)
+         / (ns - f0)), 6) END AS max_frame_rms
+FROM calc
 """
 
 
@@ -3211,6 +3330,10 @@ REGISTRY: dict[str, QueryDef] = {
         q79_snapshot_diff, Q79_SQL,
         "incremental-crawl snapshot diff via map-side fingerprints + outer join",
     ),
+    "q80_audio": QueryDef(
+        q80_audio, Q80_SQL,
+        "multimodal real-audio gate (render WAV -> PCM decode -> RMS/frame stats)",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -3270,44 +3393,46 @@ REGISTRY: dict[str, QueryDef] = {
 # flipped to the cohort that was gated twice running, so nothing rests
 # twice in a row. Resting queries stay fully covered by pytest.
 #
-# Round-6 roster: the 26 r5-resting queries (q02–q05, q07–q09, q11–q15,
-# q20, q28–q33, q35–q38, q42, q55, q61 — all green r4) rotate IN, as do
-# q25 and q41 (code changed this round: routed pair-similarity default,
-# JPEG corpus branch — changed queries never rest); new-this-round
-# q77–q79 gate immediately (new queries never start resting). Resting:
-# 22 of the 24 r4+r5 twice-green queries plus seven r3+r5-green slots
-# (q43–q47, q49, q54 — one extra per new query, per the policy);
-# nothing here rested in r5, and every entry holds a green r5 oracle row.
+# Round-7 roster: the 29 r6-resting queries all rotate IN (green r5,
+# last rested r6 — nothing rests twice running). New-this-round q80
+# gates immediately. Changed-this-round queries never rest: q62 (fused
+# MG kernel bigint fix), q79 (fresh-id keyspace fix), q76 (explicit
+# ttl_seconds after the replay-helper default change), q25 (similarity
+# router grew an exact= escape hatch). Registry now holds 80 → 30 rest,
+# all green r6: the four r4-resting slots (q50–q52, q57), thirteen of
+# the r5-born operator cohort (q63–q75), and thirteen r5-resting
+# relational slots (q02, q03, q05, q07–q09, q11, q13, q14, q28–q31).
 _RESTING: tuple[str, ...] = (
-    "q43_decorrelated_scalar",
-    "q44_in_subquery",
-    "q54_fuzzy_match",
-    "q01_pricing_summary",
-    "q06_multijoin_region",
-    "q10_embedding_neardup",
-    "q16_doc_profile",
-    "q17_session_windows_stream",
-    "q18_sliding_windows_stream",
-    "q19_dedup_exact",
-    "q21_events_hourly",
-    "q22_ngram_jaccard",
-    "q23_minhash_neardup",
-    "q24_simhash_neardup",
-    "q26_sessionize",
-    "q27_asof_join",
-    "q34_range_join",
-    "q39_winnowing",
-    "q40_ann_ivf",
-    "q45_cross_join",
-    "q46_json_props",
-    "q47_funnel",
-    "q48_write_roundtrip",
-    "q49_dedup_clusters",
-    "q53_stateful_running_totals",
-    "q56_interval_join_stream",
-    "q58_stream_dedup",
-    "q59_stream_sink_roundtrip",
-    "q60_zorder_pruned_scan",
+    "q02_filter_distinct",
+    "q03_predicates",
+    "q05_join_groupby",
+    "q07_join_diffkeys",
+    "q08_composite_join",
+    "q09_union",
+    "q11_derived_columns",
+    "q13_rename_sort_limit",
+    "q14_agg_global",
+    "q28_outer_join",
+    "q29_anti_join",
+    "q30_set_ops",
+    "q31_rollup",
+    "q50_jaccard_verified",
+    "q51_tfidf",
+    "q52_distribution",
+    "q57_moving_avg",
+    "q63_incremental_dedup",
+    "q64_sequence_packing",
+    "q65_exact_percentiles",
+    "q66_contamination",
+    "q67_repetition_signals",
+    "q68_pii_redaction",
+    "q69_semantic_dedup",
+    "q70_mixture_resample",
+    "q71_curation_pipeline",
+    "q72_unigram_logprob",
+    "q73_corpus_report",
+    "q74_kmv_distinct",
+    "q75_kmv_set_overlap",
 )
 assert set(_RESTING) <= set(REGISTRY), "roster names must exist"
 assert len(REGISTRY) - len(_RESTING) <= 50, "active roster must fit the gate"

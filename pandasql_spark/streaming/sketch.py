@@ -168,17 +168,25 @@ def replay_windowed_kmv(
     spark: SparkSession,
     events_path: str,
     k: int = 256,
-    ttl_seconds: int | None = 7200,
+    ttl_seconds: int | None = None,
     query_name: str = "q76_kmv_replay",
 ) -> DataFrame:
     """Run `windowed_kmv_distinct` through the REAL streaming engine
     over a bounded replay (update mode; the single-file testdata is one
     micro-batch, so the sink's final row per hour equals the batch
-    bottom-k the oracle computes). The default ttl runs the eviction
-    path end-to-end: the replay's final no-data batch fires timeouts,
-    which remove state without changing sink rows. Multi-batch merge
-    equivalence and state-count eviction assertions live in
-    tests/test_streaming_sketch.py with maxFilesPerTrigger pacing."""
+    bottom-k the oracle computes).
+
+    Default ``ttl_seconds=None`` (NoTimeout, no watermark): a bounded
+    replay is a BACKFILL, and backfill inputs are not guaranteed
+    time-ordered across files — a ttl installs a watermark that would
+    silently drop stragglers more than ttl behind the max hour seen.
+    The production entry point `windowed_kmv_distinct` keeps its 7200 s
+    eviction default (bounded state is non-negotiable on an unbounded
+    stream); pass ``ttl_seconds`` explicitly here only for time-ordered
+    replays (the q76 gate does, to exercise the eviction path).
+    Multi-batch merge equivalence and state-count eviction assertions
+    live in tests/test_streaming_sketch.py with maxFilesPerTrigger
+    pacing."""
     from .events import _replay
 
     return _replay(

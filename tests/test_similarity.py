@@ -69,3 +69,37 @@ def test_lsh_branch_no_cosine_floor(spark, planted):
     out = cosine_topk_pairs(planted, k=10_000, exact_below=1).toPandas()
     assert len(out) > 20  # more than just the twins survive ranking
     assert out["cos_sim"].min() < 0.95  # sub-threshold pairs included
+
+
+def test_exact_escape_hatch_overrides_routing(spark, planted):
+    """exact=True forces the all-pairs branch on a corpus the size
+    routing would send to LSH (exact_below=1), and exact=False forces
+    LSH on a corpus that would route exact — both without touching the
+    routing threshold."""
+    forced_exact = _pdf(cosine_topk_pairs(planted, k=20, exact_below=1, exact=True))
+    exp = _pdf(cosine_topk_pairs_exact(planted, k=20))
+    pd.testing.assert_frame_equal(forced_exact, exp)
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    forced_lsh = cosine_topk_pairs(e, k=5, exact=False)
+    # LSH branch marker: result carries the candidate-frame cleanup hook
+    assert hasattr(forced_lsh, "cleanup")
+    assert len(forced_lsh.toPandas()) == 5
+
+
+def test_zero_norm_pairs_excluded_from_both_branches(spark):
+    """A zero vector has undefined cosine; both branches must rank the
+    same pair set, so zero-norm pairs are dropped everywhere instead of
+    the exact branch sorting them NULLS-LAST."""
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 0.0]),  # zero-norm: every pair through it is undefined
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got_exact = cosine_topk_pairs(df, k=10, exact=True).toPandas()
+    got_lsh = cosine_topk_pairs(df, k=10, exact=False).toPandas()
+    assert set(zip(got_exact["id_a"], got_exact["id_b"])) == {(1, 2)}
+    assert set(zip(got_lsh["id_a"], got_lsh["id_b"])) <= {(1, 2)}
+    assert got_exact["cos_sim"].notna().all()
+    assert got_lsh["cos_sim"].notna().all()
