@@ -113,7 +113,36 @@ def _approx_row_bytes(schema) -> int:
     return max(sum(sz(f.dataType) for f in schema.fields), 1)
 
 
-_GUARD_SAMPLE_ROWS = 256
+def _row_bytes_expr(sdf) -> SparkColumn:
+    """Per-row RESULT payload bytes as a Catalyst expression — the
+    fetch guard's measurement runs ENGINE-side (one distributed agg, no
+    Arrow transfer), so deciding whether a fetch is safe never itself
+    pulls data to the driver (the old 256-row ``toPandas`` probe could
+    pull GBs when single rows were multi-MB media payloads, and its
+    sample MEAN under-counted heavy-tailed widths — one 10 MB doc among
+    1 KB docs slipped through). Strings/binaries count their exact
+    octet length; nested types are measured via their JSON rendering
+    (conservative for numerics, exact-ish for text); fixed-width
+    primitives use the schema width."""
+    fixed = 0
+    var_terms = []
+    for f in sdf.schema.fields:
+        dt = f.dataType
+        col = sdf[f.name]
+        if isinstance(dt, (T.StringType, T.BinaryType)):
+            var_terms.append(F.coalesce(F.octet_length(col), F.lit(0)))
+            fixed += 16  # per-object header overhead
+        elif isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+            var_terms.append(
+                F.coalesce(F.octet_length(F.to_json(col)), F.lit(0))
+            )
+            fixed += 16
+        else:
+            fixed += _approx_row_bytes(T.StructType([f]))
+    expr = F.lit(fixed).cast("long")
+    for t in var_terms:
+        expr = expr + t.cast("long")
+    return expr
 
 
 def _has_varwidth(schema) -> bool:
@@ -579,25 +608,20 @@ class BaseFrame:
             if suspicious:
                 # The non-CBO sizeInBytes statistic multiplies child
                 # sizes through joins — a tiny post-join aggregate can
-                # estimate petabytes. Before raising, confirm with a
-                # bounded row-count probe: limit(cap_rows + 1).count()
-                # short-circuits and costs at most one extra pass in
-                # the (rare) over-cap case. For variable-width schemas
-                # the schema-only flat rate (24 B/string) can inflate
-                # the row cap by orders of magnitude on document
-                # corpora, so floor it with MEASURED bytes/row from a
-                # bounded sample fetch first; a tail wider than the
-                # sample mean can still slip through, which is why the
-                # cap is a guard, not a hard quota.
+                # estimate petabytes. Two bounded engine-side probes
+                # confirm before raising, neither fetching data:
+                # 1. Row count: limit(cap_rows + 1).count() short-
+                #    circuits, catching absurd row counts in one cheap
+                #    pass even on petabyte results.
+                # 2. Exact bytes (varwidth schemas only): stage 1 just
+                #    bounded the result to <= cap_rows rows, so ONE
+                #    distributed agg of _row_bytes_expr measures the
+                #    EXACT payload size — immune to heavy-tailed widths
+                #    that a sample mean misses (one 10 MB doc among
+                #    1 KB docs), and it never Arrow-fetches the way the
+                #    old 256-row sample probe did.
                 sdf = self.to_spark()
                 row_bytes = _approx_row_bytes(sdf.schema)
-                if _has_varwidth(sdf.schema):
-                    sample = sdf.limit(_GUARD_SAMPLE_ROWS).toPandas()
-                    if len(sample):
-                        measured = int(
-                            sample.memory_usage(deep=True).sum() // len(sample)
-                        )
-                        row_bytes = max(row_bytes, measured)
                 cap_rows = min(int(cap // row_bytes), 2**31 - 2)
                 if sdf.limit(cap_rows + 1).count() > cap_rows:
                     raise MemoryError(
@@ -609,6 +633,24 @@ class BaseFrame:
                         "to_parquet(); set_max_fetch_bytes(float('inf')) "
                         "overrides the guard."
                     )
+                if _has_varwidth(sdf.schema):
+                    measured = (
+                        sdf.select(_row_bytes_expr(sdf).alias("__b"))
+                        .agg(F.sum("__b"))
+                        .first()[0]
+                        or 0
+                    )
+                    if measured > cap:
+                        raise MemoryError(
+                            f"compute() would fetch ~{measured:,} bytes "
+                            f"(measured engine-side; cap {cap:,.0f}) to the "
+                            "driver. Try accessing a smaller subset of the "
+                            "data you need, e.g. df.head(n) or "
+                            "df[:n].compute(), or write it out distributed "
+                            "with to_parquet(); "
+                            "set_max_fetch_bytes(float('inf')) overrides "
+                            "the guard."
+                        )
         return self.to_spark().toPandas()
 
     def to_pandas(self) -> Any:

@@ -217,3 +217,30 @@ def test_compute_guard_measures_wide_strings(spark):
         assert len(df.head(10).compute()) == 10
     finally:
         set_max_fetch_bytes(None)
+
+
+def test_compute_guard_heavy_tailed_widths(spark):
+    """VERDICT r6 task 5: the old sample-MEAN probe missed heavy tails —
+    one 8 MB doc hiding among 5,000 1 KB docs pushed the true fetch to
+    ~13 MB while the sampled mean said ~1 KB/row. The guard now measures
+    EXACT payload bytes engine-side (one distributed agg, no Arrow
+    fetch), so the skewed corpus must refuse under a 6 MB cap and the
+    same corpus without the whale must pass."""
+    import pandas as pd
+    import pytest
+
+    import pandasql_spark as ps
+    from pandasql_spark.core import set_max_fetch_bytes
+
+    texts = ["x" * 1_000] * 5_000
+    whale = texts + ["y" * 8_000_000]
+    df = ps.DataFrame(pd.DataFrame({"doc_id": range(5_001), "text": whale}))
+    slim = ps.DataFrame(pd.DataFrame({"doc_id": range(5_000), "text": texts}))
+    try:
+        set_max_fetch_bytes(6_000_000)
+        with pytest.raises(MemoryError, match="smaller subset"):
+            df.compute()
+        assert len(slim.compute()) == 5_000  # ~5 MB true payload passes
+        assert len(df.head(10).compute()) == 10  # bounded fetch still fine
+    finally:
+        set_max_fetch_bytes(None)
