@@ -31,6 +31,7 @@ def corpus_report(
     id_col: str = "doc_id",
     stratum_col: str | None = None,
     length_quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    audio_col: str | None = None,
 ) -> DataFrame:
     """Tall (metric string, value double) corpus summary:
 
@@ -39,8 +40,20 @@ def corpus_report(
     - ``exact_dup_rate`` — 1 − distinct fingerprints / docs (rounded)
     - ``docs_{stratum}={v}`` — per-stratum doc counts (optional)
 
-    Tie-break for the percentiles is (token_count, id) so the picked
-    row is deterministic and engine-portable."""
+    With ``audio_col`` (a binary WAV payload column), the multimodal
+    surface composes with the observability surface (q81 gate): the
+    payloads run through the REAL decoder (multimodal.audio_meta) and
+    the report gains
+
+    - ``n_audio_ok``, ``audio_decode_fail_rate``
+    - ``audio_seconds_total``, ``avg_audio_rms`` (rounded to 6)
+    - ``p{q}_audio_seconds`` — EXACT duration percentiles over the
+      decodable payloads (same ranking recipe as the token lengths)
+    - ``audio_seconds_{stratum}={v}`` — per-stratum decoded seconds
+      (optional; the per-source duration mix a curation run caps on)
+
+    Tie-break for the percentiles is (value, id) so the picked row is
+    deterministic and engine-portable."""
     tc = token_count(text_col).alias("__tc")
     base = df.select(F.col(id_col), tc, fingerprint(text_col).alias("__fp"))
 
@@ -76,9 +89,68 @@ def corpus_report(
             "value",
         )
         out = out.unionByName(mix)
-    # pass the ranking recipe's persisted-frame release hook through
-    # (operators/cache.py contract) — without it the range-partitioned
-    # copy of `base` could never be unpersisted by the caller
+
+    cleanups = [pctl.cleanup]
+    if audio_col is not None:
+        from .multimodal import audio_meta
+
+        am = audio_meta(df, payload_col=audio_col, id_col=id_col)
+        avol = am.agg(
+            F.sum(F.col("decode_ok").cast("double")).alias("n_audio_ok"),
+            F.round(1 - F.avg(F.col("decode_ok").cast("double")), 6).alias(
+                "audio_decode_fail_rate"
+            ),
+            F.round(F.sum("duration_s"), 6).alias("audio_seconds_total"),
+            F.round(F.avg("rms"), 6).alias("avg_audio_rms"),
+        )
+        out = out.unionByName(
+            avol.unpivot([], list(avol.columns), "metric", "value")
+        )
+
+        apctl = exact_percentiles(
+            am.filter(F.col("decode_ok")).select("media_id", "duration_s"),
+            "duration_s",
+            list(length_quantiles),
+            tiebreak=F.col("media_id"),
+        )
+        out = out.unionByName(
+            apctl.select(
+                F.concat(
+                    F.lit("p"),
+                    F.round(F.col("q") * 100).cast("int").cast("string"),
+                    F.lit("_audio_seconds"),
+                ).alias("metric"),
+                F.col("value").cast("double").alias("value"),
+            )
+        )
+        cleanups.append(apctl.cleanup)
+
+        if stratum_col is not None:
+            amix = (
+                am.join(
+                    df.select(
+                        F.col(id_col).alias("media_id"), F.col(stratum_col)
+                    ),
+                    "media_id",
+                )
+                .groupBy(stratum_col)
+                .agg(F.round(F.sum("duration_s"), 6).alias("value"))
+                .select(
+                    F.concat(
+                        F.lit(f"audio_seconds_{stratum_col}="),
+                        F.col(stratum_col).cast("string"),
+                    ).alias("metric"),
+                    F.col("value").cast("double"),
+                )
+            )
+            out = out.unionByName(amix)
+    # pass the ranking recipe's persisted-frame release hooks through
+    # (operators/cache.py contract) — without them the range-partitioned
+    # copies could never be unpersisted by the caller
     from .cache import attach_cleanup
 
-    return attach_cleanup(out, pctl.cleanup)
+    def _cleanup(**kw):
+        for c in cleanups:
+            c(**kw)
+
+    return attach_cleanup(out, _cleanup)

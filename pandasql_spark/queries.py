@@ -3190,6 +3190,121 @@ FROM calc
 """
 
 
+def q81_audio_report(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Multimodal × observability composition (VERDICT r6 task 7):
+    corpus_report over a corpus carrying BOTH text and a real audio
+    column — the q80 render (deterministic WAV payloads from len(text),
+    1-in-11 corrupt) feeds corpus_report(audio_col=...), which decodes
+    every payload (multimodal.audio_meta) and folds duration/RMS
+    metrics, EXACT duration percentiles, and per-source decoded seconds
+    into the same tall metric frame as the text statistics. The oracle
+    recomputes the text metrics q73-style and every audio metric in
+    closed form from len(text) — the Spark side can only match by truly
+    decoding the payloads (the report never sees the text-derived
+    parameters)."""
+    from pandasql_spark.operators.report import corpus_report
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+
+    def render(it):
+        import numpy as np
+        import pandas as pd
+
+        from pandasql_spark.functions.audiocodec import encode_wav
+
+        for pdf in it:
+            payloads = []
+            for t in pdf["text"]:
+                n = len(t)
+                if n % 11 == 0:
+                    payloads.append(b"\x00" * 32)
+                else:
+                    ns = 64 + n % 50
+                    ch = 1 + n % 3
+                    rate = 1000 * (1 << (n % 4))
+                    ramp = np.arange(ns, dtype=np.int16)
+                    payloads.append(
+                        encode_wav(np.repeat(ramp[:, None], ch, axis=1), rate)
+                    )
+            out = pdf[["doc_id", "text", "source"]].copy()
+            out["payload"] = payloads
+            yield out
+
+    corpus = d.mapInPandas(
+        render, "doc_id long, text string, source string, payload binary"
+    )
+    return corpus_report(
+        corpus, stratum_col="source", audio_col="payload"
+    )
+
+
+Q81_SQL = """
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS tc,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         64 + length(text) % 50 AS ns,
+         1000 * (1 << (length(text) % 4)) AS rate,
+         (length(text) % 11 = 0) AS bad
+  FROM documents
+),
+a AS (
+  SELECT doc_id, source, bad,
+         CASE WHEN bad THEN NULL
+              ELSE round(ns / CAST(rate AS DOUBLE), 6) END AS dur,
+         CASE WHEN bad THEN NULL
+              ELSE round(sqrt(CAST((ns-1)*(2*ns-1) AS DOUBLE) / 6), 6)
+         END AS rms
+  FROM t
+),
+vol AS (
+  SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM t
+  UNION ALL SELECT 'n_tokens', CAST(sum(tc) AS DOUBLE) FROM t
+  UNION ALL SELECT 'avg_tokens', round(avg(tc), 6) FROM t
+  UNION ALL SELECT 'exact_dup_rate',
+         round(1 - count(DISTINCT fp) / CAST(count(*) AS DOUBLE), 6) FROM t
+  UNION ALL SELECT 'n_audio_ok', CAST(sum(CASE WHEN bad THEN 0 ELSE 1 END) AS DOUBLE) FROM a
+  UNION ALL SELECT 'audio_decode_fail_rate',
+         round(avg(CASE WHEN bad THEN 1.0 ELSE 0.0 END), 6) FROM a
+  UNION ALL SELECT 'audio_seconds_total', round(sum(dur), 6) FROM a
+  UNION ALL SELECT 'avg_audio_rms', round(avg(rms), 6) FROM a
+),
+r AS (
+  SELECT tc, row_number() OVER (ORDER BY tc, doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM t
+),
+pct AS (
+  SELECT 'p' || CAST(CAST(round(q * 100) AS INT) AS VARCHAR) || '_tokens' AS metric,
+         CAST(tc AS DOUBLE) AS value
+  FROM r JOIN (VALUES (0.25), (0.5), (0.75), (0.95)) qs(q)
+    ON rn = CAST(ceil(q * n) AS BIGINT)
+),
+ar AS (
+  SELECT dur, row_number() OVER (ORDER BY dur, doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM a WHERE NOT bad
+),
+apct AS (
+  SELECT 'p' || CAST(CAST(round(q * 100) AS INT) AS VARCHAR) || '_audio_seconds' AS metric,
+         dur AS value
+  FROM ar JOIN (VALUES (0.25), (0.5), (0.75), (0.95)) qs(q)
+    ON rn = CAST(ceil(q * n) AS BIGINT)
+),
+mix AS (
+  SELECT 'docs_source=' || source AS metric, CAST(count(*) AS DOUBLE) AS value
+  FROM t GROUP BY source
+),
+amix AS (
+  SELECT 'audio_seconds_source=' || source AS metric, round(sum(dur), 6) AS value
+  FROM a GROUP BY source
+)
+SELECT * FROM vol UNION ALL SELECT * FROM pct UNION ALL SELECT * FROM apct
+UNION ALL SELECT * FROM mix UNION ALL SELECT * FROM amix
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_distinct": QueryDef(
@@ -3334,6 +3449,10 @@ REGISTRY: dict[str, QueryDef] = {
         q80_audio, Q80_SQL,
         "multimodal real-audio gate (render WAV -> PCM decode -> RMS/frame stats)",
     ),
+    "q81_audio_report": QueryDef(
+        q81_audio_report, Q81_SQL,
+        "corpus report with audio metrics (decode -> duration/RMS/percentiles per source)",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -3394,15 +3513,18 @@ REGISTRY: dict[str, QueryDef] = {
 # twice in a row. Resting queries stay fully covered by pytest.
 #
 # Round-7 roster: the 29 r6-resting queries all rotate IN (green r5,
-# last rested r6 — nothing rests twice running). New-this-round q80
-# gates immediately. Changed-this-round queries never rest: q62 (fused
+# last rested r6 — nothing rests twice running). New-this-round q80/q81
+# gate immediately. Changed-this-round queries never rest: q62 (fused
 # MG kernel bigint fix), q79 (fresh-id keyspace fix), q76 (explicit
 # ttl_seconds after the replay-helper default change), q25 (similarity
-# router grew an exact= escape hatch). Registry now holds 80 → 30 rest,
-# all green r6: the four r4-resting slots (q50–q52, q57), thirteen of
-# the r5-born operator cohort (q63–q75), and thirteen r5-resting
-# relational slots (q02, q03, q05, q07–q09, q11, q13, q14, q28–q31).
+# router grew an exact= escape hatch), q73 (corpus_report grew the
+# audio surface — its no-audio path stays gated). Registry now holds
+# 81 → 31 rest, all green r6: the four r4-resting slots (q50–q52,
+# q57), thirteen of the r5-born operator cohort (q63–q72, q74, q75),
+# and fourteen r5-resting relational slots (q02, q03, q05, q07–q09,
+# q11, q13, q14, q28–q33).
 _RESTING: tuple[str, ...] = (
+    "q32_stats_agg",
     "q02_filter_distinct",
     "q03_predicates",
     "q05_join_groupby",
@@ -3430,7 +3552,7 @@ _RESTING: tuple[str, ...] = (
     "q70_mixture_resample",
     "q71_curation_pipeline",
     "q72_unigram_logprob",
-    "q73_corpus_report",
+    "q33_count_distinct",
     "q74_kmv_distinct",
     "q75_kmv_set_overlap",
 )

@@ -59,3 +59,46 @@ def test_cleanup_hook_releases_persisted_ranking(spark):
     out.cleanup(blocking=True)
     after = len(spark.sparkContext._jsc.getPersistentRDDs())
     assert after <= before
+
+
+def test_audio_metrics_known_values(spark):
+    """audio_col folds decoded duration/RMS metrics into the report:
+    3 decodable payloads (1 s, 2 s, 4 s of a known ramp) + 1 corrupt,
+    across two sources — every audio metric has a closed-form value."""
+    import numpy as np
+
+    from pandasql_spark.functions.audiocodec import encode_wav
+
+    def wav(seconds, rate=1000):
+        ramp = (np.arange(seconds * rate) % 100).astype(np.int16)
+        return bytearray(encode_wav(ramp, rate))
+
+    rows = [
+        (0, "a b", "web", wav(1)),
+        (1, "c d", "web", wav(2)),
+        (2, "e f", "book", wav(4)),
+        (3, "g h", "book", bytearray(b"junk" * 4)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, payload binary"
+    )
+    out = corpus_report(
+        df, stratum_col="source", audio_col="payload",
+        length_quantiles=(0.5, 1.0),
+    )
+    m = {r.metric: r.value for r in out.collect()}
+    assert m["n_audio_ok"] == 3.0
+    assert m["audio_decode_fail_rate"] == 0.25
+    assert m["audio_seconds_total"] == 7.0
+    assert m["audio_seconds_source=web"] == 3.0
+    assert m["audio_seconds_source=book"] == 4.0
+    # duration percentiles over DECODABLE payloads only: [1, 2, 4]
+    assert m["p50_audio_seconds"] == 2.0
+    assert m["p100_audio_seconds"] == 4.0
+    # RMS of (i % 100) ramp is the same for every payload length that is
+    # a multiple of 100 samples: sqrt(sum(i^2, i<100)/100)
+    expected_rms = round(float(np.sqrt(np.mean(np.arange(100.0) ** 2))), 6)
+    assert m["avg_audio_rms"] == expected_rms
+    # text metrics still present alongside
+    assert m["n_docs"] == 4.0 and m["docs_source=web"] == 2.0
+    out.cleanup(blocking=True)
