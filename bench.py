@@ -72,6 +72,7 @@ HEADLINE = [
     "q79_snapshot_diff",
     "q80_audio",
     "q81_audio_report",
+    "q82_bm25_topk",
 ]
 
 

@@ -3305,6 +3305,59 @@ UNION ALL SELECT * FROM mix UNION ALL SELECT * FROM amix
 """
 
 
+def q82_bm25_topk(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """BM25 sparse retrieval (operators/retrieval.py): top-20 documents
+    for a 3-term query. One corpus scan explodes tokens, prunes to the
+    query terms BEFORE the (doc, term) shuffle, carries dl through the
+    explode (no dl join), scores with Lucene's always-positive idf, and
+    takes top-k via TakeOrderedAndProject. avgdl = Σdl/N over exact
+    int64 sums, so it is the same correctly-rounded double on both
+    engines; the summed score is rounded to 6 (partition-order ulp).
+
+    The reference has no retrieval surface (SURVEY.md §2) — this is the
+    beyond-reference sparse-search path next to the dense one (q20/q40)."""
+    from pandasql_spark.operators.retrieval import bm25_topk
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    out = bm25_topk(d, ["vector", "hash", "join"], k=20)
+    return out.select("doc_id", "hit_terms", "bm25")
+
+
+Q82_SQL = """
+WITH stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+           / count(*) AS avgdl
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN ('vector', 'hash', 'join')
+  GROUP BY doc_id, dl, term
+),
+dfq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df_ct FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n - dfq.df_ct + 0.5) / (dfq.df_ct + 0.5))
+           * (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0))
+           / (tf.tf + CAST(1.2 AS DOUBLE)
+              * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS s
+  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN stats
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS hit_terms,
+       round(sum(s), 6) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_distinct": QueryDef(
@@ -3453,6 +3506,10 @@ REGISTRY: dict[str, QueryDef] = {
         q81_audio_report, Q81_SQL,
         "corpus report with audio metrics (decode -> duration/RMS/percentiles per source)",
     ),
+    "q82_bm25_topk": QueryDef(
+        q82_bm25_topk, Q82_SQL,
+        "BM25 sparse retrieval top-k (prune-before-shuffle, TakeOrderedAndProject)",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -3522,8 +3579,11 @@ REGISTRY: dict[str, QueryDef] = {
 # 81 → 31 rest, all green r6: the four r4-resting slots (q50–q52,
 # q57), thirteen of the r5-born operator cohort (q63–q72, q74, q75),
 # and fourteen r5-resting relational slots (q02, q03, q05, q07–q09,
-# q11, q13, q14, q28–q33).
+# q11, q13, q14, q28–q33). New-this-session q82+ gate immediately;
+# per policy one extra twice-green slot rests per addition (q15 is
+# green r6, rested r5 — not two rounds running).
 _RESTING: tuple[str, ...] = (
+    "q15_window_topn",
     "q32_stats_agg",
     "q02_filter_distinct",
     "q03_predicates",
