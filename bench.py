@@ -73,6 +73,7 @@ HEADLINE = [
     "q80_audio",
     "q81_audio_report",
     "q82_bm25_topk",
+    "q83_scd2_merge",
 ]
 
 

@@ -66,6 +66,127 @@ def snapshot_diff(
     return joined.select("key", status.alias("status"))
 
 
+def apply_changes(
+    current: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    op_col: str = "op",
+    upsert_op: str = "upsert",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """CDC apply: fold a change feed into a snapshot, producing the next
+    snapshot. ``changes`` carries the snapshot's columns plus ``op_col``
+    (``upsert`` inserts-or-replaces by key; ``delete`` drops the key).
+    An unknown op value fails the job at evaluation time (raise_error in
+    the plan — no extra validation pass).
+
+    Scale shape: untouched rows are selected by ONE left-anti join of
+    the snapshot against the change keys (broadcast when the delta is
+    small — the common incremental case; AQE decides), then the upserts
+    union in. Current-side content is never shuffled against content,
+    only against keys. At most one change row per key is the caller's
+    contract (a multi-row feed should be pre-collapsed to the last op
+    per key; enforcing it here would cost a window over the feed)."""
+    checked_op = F.when(
+        F.col(op_col).isin(upsert_op, delete_op), F.col(op_col)
+    ).otherwise(
+        F.raise_error(F.concat(F.lit("apply_changes: unknown op "), F.col(op_col)))
+    )
+    changes = changes.withColumn(op_col, checked_op)
+    survivors = current.join(
+        changes.select(F.col(key_col)), on=key_col, how="left_anti"
+    )
+    upserts = changes.filter(F.col(op_col) == upsert_op).drop(op_col)
+    return survivors.unionByName(upserts)
+
+
+def scd2_merge(
+    history: DataFrame,
+    snapshot: DataFrame,
+    key_col: str,
+    content_cols: list[str],
+    as_of: int,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge: fold a full new snapshot
+    into a versioned history table.
+
+    ``history`` rows carry ``valid_from`` and nullable ``valid_to``
+    (NULL = currently open). Against the ``snapshot`` taken at
+    ``as_of`` (any monotone integer clock — epoch seconds, batch id):
+
+    - open rows whose key vanished or whose content changed close
+      (``valid_to = as_of``);
+    - added/changed keys insert a fresh open row
+      (``valid_from = as_of``);
+    - unchanged open rows and already-closed rows pass through.
+
+    Scale shape: change detection compares md5 fingerprints, never
+    content against content. Two equi-joins, each [full content side] ×
+    [16-byte (key, fp) side]: open×new-fps decides closes, new×open-fps
+    decides inserts. The fp side is delta-sized in steady state and
+    broadcast/AQE-handled. Open keys and snapshot keys must be unique
+    per side (same contract as :func:`snapshot_diff`).
+
+    Determinism: pure column arithmetic — the result is a function of
+    the inputs, so retries/re-runs are idempotent given the same
+    ``as_of``."""
+    if not content_cols:
+        raise ValueError("content_cols must be non-empty")
+    if valid_from_col not in history.columns or valid_to_col not in history.columns:
+        raise ValueError(
+            f"history must carry {valid_from_col!r} and {valid_to_col!r}"
+        )
+
+    def _fp(df: DataFrame) -> F.Column:
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in content_cols
+        ]
+        return F.md5(F.concat_ws("\x1f", *parts))
+
+    closed = history.filter(F.col(valid_to_col).isNotNull())
+    open_ = history.filter(F.col(valid_to_col).isNull())
+
+    open_fp = open_.select(F.col(key_col), _fp(open_).alias("__fp_old"))
+    new_fp = snapshot.select(F.col(key_col), _fp(snapshot).alias("__fp_new"))
+
+    # closes: open content × new fingerprints
+    o = open_.withColumn("__fp_old", _fp(open_)).join(
+        new_fp, on=key_col, how="left"
+    )
+    gone_or_changed = F.col("__fp_new").isNull() | (
+        F.col("__fp_old") != F.col("__fp_new")
+    )
+    closed_now = (
+        o.filter(gone_or_changed)
+        .withColumn(valid_to_col, F.lit(as_of).cast("long"))
+        .drop("__fp_old", "__fp_new")
+    )
+    still_open = o.filter(~gone_or_changed).drop("__fp_old", "__fp_new")
+
+    # inserts: new content × open fingerprints
+    n = snapshot.withColumn("__fp_new", _fp(snapshot)).join(
+        open_fp, on=key_col, how="left"
+    )
+    inserts = (
+        n.filter(
+            F.col("__fp_old").isNull()
+            | (F.col("__fp_old") != F.col("__fp_new"))
+        )
+        .drop("__fp_old", "__fp_new")
+        .withColumn(valid_from_col, F.lit(as_of).cast("long"))
+        .withColumn(valid_to_col, F.lit(None).cast("long"))
+    )
+
+    return (
+        closed.unionByName(closed_now)
+        .unionByName(still_open)
+        .unionByName(inserts.select(*closed.columns))
+    )
+
+
 def diff_summary(
     old: DataFrame,
     new: DataFrame,

@@ -3358,6 +3358,93 @@ ORDER BY bm25 DESC, doc_id ASC LIMIT 20
 """
 
 
+def q83_scd2_merge(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """SCD2 versioned-history merge (operators/delta.py:scd2_merge):
+    documents as the open history at t=0, merged with the q79-style
+    mutated snapshot at t=100 — unchanged keys stay open, edited keys
+    close at 100 and re-insert open, dropped keys close, fresh
+    (negative-id) keys insert. Change detection is fingerprint-only
+    (content never joins content); the oracle replays every transition
+    in SQL. Output rows are (key, valid_from, valid_to, content md5) —
+    the version chain, content-addressed."""
+    from pandasql_spark.operators.delta import scd2_merge
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    hist = docs.select("doc_id", "text", "lang").select(
+        "*",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    snap = (
+        docs.filter(F.col("doc_id") % 17 != 3)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 13 == 1, F.concat(F.col("text"), F.lit(" [v2]"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.orderBy("doc_id")
+            .limit(25)
+            .select(
+                (-(F.col("doc_id") + 1)).alias("doc_id"),
+                "text",
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+        .select("doc_id", "text", "lang")
+    )
+    merged = scd2_merge(hist, snap, "doc_id", ["text", "lang"], as_of=100)
+    fp = F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.coalesce(F.col("text"), F.lit("\x00")),
+            F.coalesce(F.col("lang"), F.lit("\x00")),
+        )
+    )
+    return merged.select("doc_id", "valid_from", "valid_to", fp.alias("fp"))
+
+
+Q83_SQL = """
+WITH o AS (
+  SELECT doc_id,
+         md5(concat_ws(chr(31), coalesce(text, chr(0)), coalesce(lang, chr(0))))
+           AS fp
+  FROM documents
+),
+snap AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 1 THEN text || ' [v2]' ELSE text END AS text,
+         lang
+  FROM documents WHERE doc_id % 17 <> 3
+  UNION ALL
+  SELECT -(doc_id + 1), text, lang
+  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 25)
+),
+n AS (
+  SELECT doc_id,
+         md5(concat_ws(chr(31), coalesce(text, chr(0)), coalesce(lang, chr(0))))
+           AS fp
+  FROM snap
+),
+j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.fp AS fp_old, n.fp AS fp_new
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+)
+SELECT doc_id, CAST(0 AS BIGINT) AS valid_from,
+       CAST(100 AS BIGINT) AS valid_to, fp_old AS fp
+FROM j WHERE fp_old IS NOT NULL AND (fp_new IS NULL OR fp_old <> fp_new)
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT), CAST(NULL AS BIGINT), fp_old
+FROM j WHERE fp_old IS NOT NULL AND fp_new IS NOT NULL AND fp_old = fp_new
+UNION ALL
+SELECT doc_id, CAST(100 AS BIGINT), CAST(NULL AS BIGINT), fp_new
+FROM j WHERE fp_new IS NOT NULL AND (fp_old IS NULL OR fp_old <> fp_new)
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_distinct": QueryDef(
@@ -3510,6 +3597,10 @@ REGISTRY: dict[str, QueryDef] = {
         q82_bm25_topk, Q82_SQL,
         "BM25 sparse retrieval top-k (prune-before-shuffle, TakeOrderedAndProject)",
     ),
+    "q83_scd2_merge": QueryDef(
+        q83_scd2_merge, Q83_SQL,
+        "SCD2 versioned-history merge (fingerprint-only change detection)",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -3584,6 +3675,7 @@ REGISTRY: dict[str, QueryDef] = {
 # green r6, rested r5 — not two rounds running).
 _RESTING: tuple[str, ...] = (
     "q15_window_topn",
+    "q36_array_dims",
     "q32_stats_agg",
     "q02_filter_distinct",
     "q03_predicates",

@@ -131,3 +131,115 @@ def test_diff_content_cols_required(spark):
     df = spark.createDataFrame(pd.DataFrame({"k": [1], "a": ["x"]}))
     with pytest.raises(ValueError):
         snapshot_diff(df, df, "k", [])
+
+
+# ---------------------------------------------------------------------------
+# CDC apply + SCD2 merge (operators/delta.py)
+
+
+def test_apply_changes_upsert_insert_delete(spark):
+    cur = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+    )
+    chg = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [2, 3, 4],
+                "v": ["B", None, "d"],
+                "op": ["upsert", "delete", "upsert"],
+            }
+        )
+    )
+    from pandasql_spark.operators.delta import apply_changes
+
+    got = _sorted(apply_changes(cur, chg, "k").toPandas())
+    exp = _sorted(pd.DataFrame({"k": [1, 2, 4], "v": ["a", "B", "d"]}))
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_apply_changes_unknown_op_raises(spark):
+    from py4j.protocol import Py4JJavaError
+
+    from pandasql_spark.operators.delta import apply_changes
+
+    cur = spark.createDataFrame(pd.DataFrame({"k": [1], "v": ["a"]}))
+    chg = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "v": ["x"], "op": ["replace"]})
+    )
+    with pytest.raises(Exception) as ei:
+        apply_changes(cur, chg, "k").collect()
+    assert "unknown op" in str(ei.value)
+
+
+def _hist(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "text", "valid_from", "valid_to"]).astype(
+            {"valid_from": "int64", "valid_to": "Int64"}
+        )
+    )
+
+
+def test_scd2_merge_all_transitions(spark):
+    from pandasql_spark.operators.delta import scd2_merge
+
+    # key 1: unchanged; key 2: changed; key 3: removed; key 4: added;
+    # key 5: was closed long ago (passes through), re-appears -> added.
+    hist = _hist(
+        spark,
+        [
+            (1, "one", 0, None),
+            (2, "two", 0, None),
+            (3, "three", 0, None),
+            (5, "five-old", 0, 7),
+        ],
+    )
+    snap = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [1, 2, 4, 5], "text": ["one", "two v2", "four", "five-new"]}
+        )
+    )
+    got = _sorted(
+        scd2_merge(hist, snap, "k", ["text"], as_of=10).toPandas()
+    )
+    exp = _sorted(
+        pd.DataFrame(
+            {
+                "k": [1, 2, 2, 3, 4, 5, 5],
+                "text": [
+                    "one", "two", "two v2", "three", "four",
+                    "five-old", "five-new",
+                ],
+                "valid_from": [0, 0, 10, 0, 10, 0, 10],
+                "valid_to": [None, 10, None, 10, None, 7, None],
+            }
+        ).astype({"valid_from": "int64", "valid_to": "float64"})
+    )
+    got["valid_to"] = got["valid_to"].astype("float64")
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_scd2_merge_idempotent_rerun(spark):
+    from pandasql_spark.operators.delta import scd2_merge
+
+    hist = _hist(spark, [(1, "one", 0, None), (2, "two", 0, None)])
+    snap = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2], "text": ["one", "two v2"]})
+    )
+    once = scd2_merge(hist, snap, "k", ["text"], as_of=5)
+    # re-merging the SAME snapshot at the same clock into the merged
+    # history changes nothing (open rows already match the snapshot)
+    twice = scd2_merge(once, snap, "k", ["text"], as_of=5)
+    a = _sorted(once.toPandas())
+    b = _sorted(twice.toPandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_scd2_merge_validation(spark):
+    from pandasql_spark.operators.delta import scd2_merge
+
+    hist = _hist(spark, [(1, "one", 0, None)])
+    snap = spark.createDataFrame(pd.DataFrame({"k": [1], "text": ["one"]}))
+    with pytest.raises(ValueError, match="non-empty"):
+        scd2_merge(hist, snap, "k", [], as_of=1)
+    with pytest.raises(ValueError, match="valid_from"):
+        scd2_merge(hist.drop("valid_from"), snap, "k", ["text"], as_of=1)
