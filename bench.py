@@ -74,6 +74,7 @@ HEADLINE = [
     "q81_audio_report",
     "q82_bm25_topk",
     "q83_scd2_merge",
+    "q84_hash_split",
 ]
 
 

@@ -143,3 +143,65 @@ def sample_exact_global(df: DataFrame, n: int, id_col: str) -> DataFrame:
     out = ranked.filter(F.col("__srank") <= n).drop("__srank", "__skey")
     # pass through the ranking recipe's persisted-frame release hook
     return attach_cleanup(out, ranked.cleanup)
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str,
+    split_col: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic, leakage-safe train/val/test assignment.
+
+    Every row gets a split label from ``weights`` (e.g. ``{"train":
+    0.9, "val": 0.05, "test": 0.05}``) by hashing ``key_col`` — NOT by
+    a per-row random draw. Hash-by-key is the leakage control: pass the
+    dedup-cluster id, the URL domain, or any "these rows must never
+    straddle the boundary" key, and every row sharing the key lands in
+    the same split, on every engine, on every re-run, under any
+    partitioning. ``salt`` re-rolls the assignment without touching the
+    data (different salt → independent split).
+
+    Mechanics: md5(salt ‖ key) → first 13 hex chars as an exact 52-bit
+    integer (engine-portable, same trick as the KMV sketch / q78
+    sampler) → compare against cumulative cut points in hash-space.
+    The LAST split in dict order is the ``otherwise`` bucket, so float
+    edge-dust in the cumulative sum can never leave a row unassigned;
+    weights must be positive and sum to ~1 (±1e-9). NULL keys are a
+    contract violation and fail the job (a NULL has no identity to
+    split by).
+
+    One scan, zero shuffles, pure codegen — at 100 TB the split column
+    costs what a projection costs. Write the result partitioned by
+    ``split_col`` and each split is its own partition-pruned path.
+    """
+    if len(weights) < 2:
+        raise ValueError("need at least two splits")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive: {weights}")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    key = F.col(key_col)
+    from pandasql_spark.operators.sketch import _hex13_to_double
+
+    frac = _hex13_to_double(
+        F.md5(F.concat(F.lit(salt), key.cast("string")))
+    )
+    names = list(weights)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum = cum + weights[name]
+        cut = F.lit(cum * 4503599627370496.0)  # cum * 16^13
+        branch = (expr.when if expr is not None else F.when)(
+            frac < cut, F.lit(name)
+        )
+        expr = branch
+    assigned = expr.otherwise(F.lit(names[-1]))
+    guarded = F.when(
+        key.isNull(),
+        F.raise_error(F.lit(f"hash_split: NULL {key_col} has no identity")),
+    ).otherwise(assigned)
+    return df.withColumn(split_col, guarded)

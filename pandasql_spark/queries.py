@@ -3445,6 +3445,43 @@ FROM j WHERE fp_new IS NOT NULL AND (fp_old IS NULL OR fp_old <> fp_new)
 """
 
 
+def q84_hash_split(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Leakage-safe deterministic train/val/test split
+    (operators/sampling.py:hash_split): every document assigned by
+    md5(doc_id) against cumulative cut points in 52-bit hash space —
+    zero shuffles, partitioning/retry-stable, group-consistent when
+    keyed by a cluster/domain id. The oracle reproduces the exact
+    hash arithmetic (13-hex-char integer, identical IEEE cut points)
+    so the per-row assignment hash-matches, not just the counts."""
+    from pandasql_spark.operators.sampling import hash_split
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    out = hash_split(d, {"train": 0.9, "val": 0.05, "test": 0.05}, "doc_id")
+    return out.select("doc_id", "split")
+
+
+Q84_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         list_reduce(
+           list_transform(range(1, 14),
+             x -> CAST(strpos('0123456789abcdef',
+                              substr(md5(CAST(doc_id AS VARCHAR)), x, 1)) - 1
+                       AS DOUBLE)),
+           (acc, v) -> acc * 16 + v) AS frac
+  FROM documents
+)
+SELECT doc_id,
+       CASE
+         WHEN frac < CAST(0.9 AS DOUBLE) * 4503599627370496.0 THEN 'train'
+         WHEN frac < (CAST(0.9 AS DOUBLE) + CAST(0.05 AS DOUBLE))
+                       * 4503599627370496.0 THEN 'val'
+         ELSE 'test'
+       END AS split
+FROM h
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_distinct": QueryDef(
@@ -3601,6 +3638,10 @@ REGISTRY: dict[str, QueryDef] = {
         q83_scd2_merge, Q83_SQL,
         "SCD2 versioned-history merge (fingerprint-only change detection)",
     ),
+    "q84_hash_split": QueryDef(
+        q84_hash_split, Q84_SQL,
+        "leakage-safe deterministic hash split (zero-shuffle, per-row oracle match)",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -3676,6 +3717,7 @@ REGISTRY: dict[str, QueryDef] = {
 _RESTING: tuple[str, ...] = (
     "q15_window_topn",
     "q36_array_dims",
+    "q37_string_funcs",
     "q32_stats_agg",
     "q02_filter_distinct",
     "q03_predicates",

@@ -3,6 +3,8 @@ approximate sampleBy path's seeded reproducibility."""
 
 from __future__ import annotations
 
+import pandas as pd
+import pytest
 import pyspark.sql.functions as F
 
 from pandasql_spark.operators.sampling import (
@@ -178,3 +180,80 @@ def test_mixture_resample_int_stratum(spark):
     )
     got = dict(out.groupBy("domain").count().collect())
     assert got == {0: 5, 1: 5}
+
+
+# ---------------------------------------------------------------------------
+# hash_split (leakage-safe deterministic splits)
+
+
+def test_hash_split_proportions_and_total(spark):
+    from pandasql_spark.operators.sampling import hash_split
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id")
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = docs.count()
+    assert sum(counts.values()) == n
+    assert abs(counts["train"] / n - 0.8) < 0.08
+    assert counts["val"] > 0 and counts["test"] > 0
+
+
+def test_hash_split_group_consistent(spark):
+    """The leakage contract: splitting by a group key puts every row of
+    the group in the same split."""
+    from pandasql_spark.operators.sampling import hash_split
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = hash_split(docs, {"a": 0.5, "b": 0.5}, "source")
+    per_group = (
+        out.groupBy("source")
+        .agg(F.countDistinct("split").alias("k"))
+        .collect()
+    )
+    assert all(r["k"] == 1 for r in per_group)
+
+
+def test_hash_split_deterministic_and_salt_rerolls(spark):
+    from pandasql_spark.operators.sampling import hash_split
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    w = {"train": 0.5, "test": 0.5}
+    a1 = {r["doc_id"]: r["split"] for r in hash_split(docs, w, "doc_id").collect()}
+    a2 = {r["doc_id"]: r["split"] for r in
+          hash_split(docs.repartition(13), w, "doc_id").collect()}
+    assert a1 == a2  # partitioning-independent
+    b = {r["doc_id"]: r["split"] for r in
+         hash_split(docs, w, "doc_id", salt="v2").collect()}
+    assert a1 != b  # salt re-rolls
+
+
+def test_hash_split_no_shuffle(spark):
+    from pandasql_spark.operators.sampling import hash_split
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = hash_split(docs, {"a": 0.5, "b": 0.5}, "doc_id")
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hash_split_validation(spark):
+    from pandasql_spark.operators.sampling import hash_split
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with pytest.raises(ValueError, match="two splits"):
+        hash_split(docs, {"all": 1.0}, "doc_id")
+    with pytest.raises(ValueError, match="positive"):
+        hash_split(docs, {"a": 1.1, "b": -0.1}, "doc_id")
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, {"a": 0.5, "b": 0.4}, "doc_id")
+
+
+def test_hash_split_null_key_raises(spark):
+    from pandasql_spark.operators.sampling import hash_split
+
+    d = spark.createDataFrame(
+        pd.DataFrame({"k": [1.0, None], "v": ["x", "y"]})
+    )
+    with pytest.raises(Exception) as ei:
+        hash_split(d, {"a": 0.5, "b": 0.5}, "k").collect()
+    assert "no identity" in str(ei.value)
