@@ -75,6 +75,7 @@ HEADLINE = [
     "q82_bm25_topk",
     "q83_scd2_merge",
     "q84_hash_split",
+    "q85_chunking",
 ]
 
 

@@ -108,3 +108,63 @@ def chunk_utilization(packed: DataFrame, chunk_tokens: int) -> DataFrame:
             "fill_ratio", F.round(F.col("n_tokens") / F.lit(chunk_tokens), 6)
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document sliding-window chunking — the RAG/embedding-prep
+    counterpart to :func:`pack_chunks`. Where packing concatenates docs
+    into a global stream (trainer shards), chunking stays WITHIN each
+    document: windows of ``chunk_tokens`` tokens advancing by
+    ``chunk_tokens - overlap``, so consecutive chunks share ``overlap``
+    tokens of context.
+
+    Returns (id, chunk_idx, start_tok, end_tok, chunk_text): token span
+    ``[start_tok, end_tok)`` (0-based, doc-relative, whitespace tokens)
+    and the re-joined chunk text. Chunk starts are 0, s, 2s, …; the
+    LAST chunk is the first window reaching the document's end (it may
+    be short, but a tail fully contained in the previous window is
+    never emitted): n_chunks = 1 + floor((n - w + s - 1)/s) for n > w,
+    else 1.
+
+    Scale shape: pure per-row arithmetic + a JVM-side
+    ``explode(sequence())`` — ZERO shuffles, no Python. The explode
+    factor per doc is ~n/s, the output's inherent size. At 100 TB this
+    is scan-bound; write the result partitioned however the retriever
+    shards.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got overlap={overlap}"
+        )
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    w, s = F.lit(chunk_tokens), F.lit(stride)
+    n_chunks = F.when(n <= w, F.lit(1)).otherwise(
+        F.lit(1) + F.floor((n - w + s - F.lit(1)) / s)
+    )
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        n.alias("__n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * s
+    end = F.least(start + w, F.col("__n"))
+    return base.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.cast("long").alias("start_tok"),
+        end.cast("long").alias("end_tok"),
+        F.array_join(
+            F.slice(F.col("__toks"), start + 1, end - start), " "
+        ).alias("chunk_text"),
+    )

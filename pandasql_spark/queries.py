@@ -3482,6 +3482,47 @@ FROM h
 """
 
 
+def q85_chunking(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """RAG sliding-window chunking (operators/packing.py:
+    chunk_documents): every document cut into 64-token windows with a
+    16-token overlap — zero shuffles, JVM-side explode(sequence). The
+    gate returns every chunk's span plus the md5 of its re-joined text,
+    so the oracle (which re-slices the token list in SQL) verifies the
+    actual chunk CONTENT, not just the span arithmetic."""
+    from pandasql_spark.operators.packing import chunk_documents
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    out = chunk_documents(d, 64, overlap=16)
+    return out.select(
+        "doc_id", "chunk_idx", "start_tok", "end_tok",
+        F.md5(F.col("chunk_text")).alias("fp"),
+    )
+
+
+Q85_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tok,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, tok, n,
+         unnest(range(0,
+           CASE WHEN n <= 64 THEN 1
+                ELSE 1 + CAST(floor((n - 64 + 47) / CAST(48 AS DOUBLE))
+                             AS BIGINT) END)) AS chunk_idx
+  FROM t
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * 48 AS BIGINT) AS start_tok,
+       CAST(least(chunk_idx * 48 + 64, n) AS BIGINT) AS end_tok,
+       md5(array_to_string(
+             list_slice(tok, chunk_idx * 48 + 1,
+                        least(chunk_idx * 48 + 64, n)), ' ')) AS fp
+FROM c
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_distinct": QueryDef(
@@ -3642,6 +3683,10 @@ REGISTRY: dict[str, QueryDef] = {
         q84_hash_split, Q84_SQL,
         "leakage-safe deterministic hash split (zero-shuffle, per-row oracle match)",
     ),
+    "q85_chunking": QueryDef(
+        q85_chunking, Q85_SQL,
+        "RAG sliding-window chunking (zero-shuffle, content-verified chunks)",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -3718,6 +3763,7 @@ _RESTING: tuple[str, ...] = (
     "q15_window_topn",
     "q36_array_dims",
     "q37_string_funcs",
+    "q38_pivot",
     "q32_stats_agg",
     "q02_filter_distinct",
     "q03_predicates",

@@ -16,6 +16,8 @@ from tests.conftest import soak_examples
 from pandasql_spark.operators.packing import chunk_utilization, pack_chunks
 from pandasql_spark.operators.ranking import with_global_running_sum
 
+SF = "/root/testdata/sf0.001"
+
 
 def _pandas_pack(pdf: pd.DataFrame, L: int) -> pd.DataFrame:
     """Single-machine oracle: cumsum + per-doc chunk expansion."""
@@ -177,3 +179,88 @@ def test_column_typed_order_by(spark):
     )
     # prio desc → docs 1, 3, 2
     assert list(out.doc_id) == [1, 3, 2]
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents (per-doc sliding windows, RAG prep)
+
+
+def _py_chunks(text: str, w: int, o: int):
+    toks = text.split(" ")
+    n, s = len(toks), w - o
+    n_chunks = 1 if n <= w else 1 + (n - w + s - 1) // s
+    out = []
+    for i in range(n_chunks):
+        start, end = i * s, min(i * s + w, n)
+        out.append((i, start, end, " ".join(toks[start:end])))
+    return out
+
+
+def test_chunk_documents_matches_python(spark):
+    from pandasql_spark.operators.packing import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["start_tok"], r["end_tok"], r["chunk_text"])
+        for r in chunk_documents(docs, 32, overlap=8).collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        for i, start, end, txt in _py_chunks(row["text"], 32, 8):
+            assert got[(row["doc_id"], i)] == (start, end, txt)
+    assert len(got) == sum(
+        len(_py_chunks(r["text"], 32, 8))
+        for r in docs.select("text").collect()
+    )
+
+
+def test_chunk_documents_invariants(spark):
+    """Coverage, overlap width, and no-contained-tail over generated
+    shapes."""
+    from pandasql_spark.operators.packing import chunk_documents
+
+    import pandas as _pd
+
+    texts = [" ".join(f"t{j}" for j in range(n)) for n in
+             [1, 2, 7, 8, 9, 15, 16, 17, 31, 100]]
+    d = spark.createDataFrame(
+        _pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    for w, o in [(8, 0), (8, 4), (8, 7), (16, 5)]:
+        rows = chunk_documents(d, w, overlap=o).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for doc_id, chunks in by_doc.items():
+            chunks.sort(key=lambda r: r["chunk_idx"])
+            n = len(texts[doc_id].split(" "))
+            assert chunks[0]["start_tok"] == 0
+            assert chunks[-1]["end_tok"] == n
+            for a, b in zip(chunks, chunks[1:]):
+                assert b["start_tok"] - a["start_tok"] == w - o  # stride
+                assert a["end_tok"] > b["start_tok"] or o == 0 and a["end_tok"] == b["start_tok"]
+                assert not (b["start_tok"] >= a["start_tok"] and b["end_tok"] <= a["end_tok"])  # no contained tail
+            # token coverage with no gaps
+            covered = set()
+            for c in chunks:
+                covered.update(range(c["start_tok"], c["end_tok"]))
+            assert covered == set(range(n))
+
+
+def test_chunk_documents_zero_shuffle(spark):
+    from pandasql_spark.operators.packing import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = chunk_documents(docs, 64, 16)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_chunk_documents_validation(spark):
+    from pandasql_spark.operators.packing import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(docs, 0)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, 8, overlap=8)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, 8, overlap=-1)
