@@ -76,6 +76,7 @@ HEADLINE = [
     "q83_scd2_merge",
     "q84_hash_split",
     "q85_chunking",
+    "q86_gif",
 ]
 
 

@@ -5,11 +5,14 @@ Two layers:
 - ``decode_image_meta``: header-only parse (PNG IHDR, JPEG SOF scan,
   GIF logical screen descriptor) → (format, width, height, mode).
   Pure stdlib, O(header) per image.
-- ``decode_image`` / ``encode_png``: full pixel decode/encode. PNG is
-  implemented natively (zlib inflate + per-scanline unfilter in numpy,
-  all five filter types, 8-bit gray/gray+alpha/RGB/RGBA, non-interlaced)
-  so the container needs no image libraries; if PIL is importable it is
-  preferred and also unlocks JPEG/GIF pixel decode.
+- ``decode_image`` / ``encode_png`` / ``encode_gif``: full pixel
+  decode/encode. PNG is implemented natively (zlib inflate +
+  per-scanline unfilter in numpy, all five filter types, 8-bit
+  gray/gray+alpha/RGB/RGBA, non-interlaced) and GIF87a/89a is
+  implemented natively too (variable-width LSB-first LZW, global/local
+  color tables, interlace, first-frame contract) so the container
+  needs no image libraries; if PIL is importable it is preferred and
+  also unlocks JPEG pixel decode.
 
 These run inside Arrow-batched ``mapInPandas`` kernels on executors
 (see operators/multimodal.py) — plain ``bytes -> numpy`` functions with
@@ -320,4 +323,220 @@ def decode_image(b: bytes) -> np.ndarray:
         if arr.ndim == 2:  # PIL mode 'L'/'P' → (h, w); contract is 3-D
             arr = arr[:, :, None]
         return arr
+    if sniff_format(b) == "gif":
+        return decode_gif(b)
     return decode_png(b)
+
+
+# ---------------------------------------------------------------------------
+# GIF: native LZW decode + encode (no image libraries)
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-flavor LZW (LSB-first variable-width codes, CLEAR/EOI,
+    12-bit cap) → palette-index list."""
+    if not (2 <= min_code_size <= 11):
+        raise ImageDecodeError(f"bad LZW min code size {min_code_size}")
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    base = {i: (i,) for i in range(clear)}
+    table = dict(base)
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    bitpos, n_bits = 0, len(data) * 8
+    while True:
+        if bitpos + code_size > n_bits:
+            break  # ran out of bits before EOI — tolerate (common)
+        byte_i = bitpos >> 3
+        window = int.from_bytes(data[byte_i:byte_i + 3], "little")
+        code = (window >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = dict(base)
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ImageDecodeError(f"LZW first code {code} undefined")
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:  # the KwKwK case
+            entry = prev + (prev[0],)
+        else:
+            raise ImageDecodeError(f"LZW code {code} out of range")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return out
+
+
+def _gif_lzw_encode(indices: "np.ndarray | list[int]", min_code_size: int) -> bytes:
+    """Inverse of :func:`_gif_lzw_decode`; emits CLEAR up front and on
+    table overflow (the always-safe variant), EOI at the end."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    cur, nbits = 0, 0
+    code_size = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal cur, nbits
+        cur |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(cur & 0xFF)
+            cur >>= 8
+            nbits -= 8
+
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    w: tuple[int, ...] = ()
+    for k in indices:
+        k = int(k)
+        if not 0 <= k < clear:
+            raise ValueError(f"index {k} exceeds palette ({clear})")
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # decoder widens after ITS mirrored insert (one behind us)
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:  # table full: reset rather than rely on deferred-clear
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        w = (k,)
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(cur & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(b: bytes) -> np.ndarray:
+    """First frame of a GIF87a/89a → uint8 RGB array (h, w, 3), fully
+    native: screen/image descriptors, global+local color tables, LZW,
+    interlace. Animation frames past the first and transparency are
+    ignored (first-frame contract, like PIL's default seek(0))."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ImageDecodeError("not a GIF")
+    try:
+        sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        while pos < len(b):
+            block = b[pos]
+            pos += 1
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 1
+                while b[pos]:
+                    pos += 1 + b[pos]
+                pos += 1
+            elif block == 0x2C:  # image descriptor
+                _lx, _ty, w, h, ip = struct.unpack_from("<HHHHB", b, pos)
+                pos += 9
+                ct = gct
+                if ip & 0x80:
+                    n = 2 << (ip & 0x07)
+                    ct = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+                    pos += 3 * n
+                if ct is None:
+                    raise ImageDecodeError("no color table")
+                mcs = b[pos]
+                pos += 1
+                chunks = []
+                while b[pos]:
+                    ln = b[pos]
+                    chunks.append(b[pos + 1:pos + 1 + ln])
+                    pos += 1 + ln
+                pos += 1
+                idx = _gif_lzw_decode(b"".join(chunks), mcs)
+                if len(idx) < w * h:
+                    raise ImageDecodeError(
+                        f"LZW stream short: {len(idx)} < {w * h}"
+                    )
+                arr = np.asarray(idx[: w * h], np.uint16).reshape(h, w)
+                if int(arr.max(initial=0)) >= len(ct):
+                    raise ImageDecodeError("palette index out of range")
+                if ip & 0x40:  # interlaced: reorder rows
+                    rows = np.empty(h, np.int64)
+                    src = 0
+                    for start, step in _GIF_INTERLACE:
+                        for r in range(start, h, step):
+                            rows[r] = src
+                            src += 1
+                    arr = arr[rows]
+                return ct[arr]
+            elif block == 0x3B:
+                break
+            else:
+                raise ImageDecodeError(f"bad GIF block 0x{block:02x}")
+    except ImageDecodeError:
+        raise
+    except (struct.error, IndexError, ValueError) as exc:
+        raise ImageDecodeError(f"truncated GIF: {exc}") from exc
+    raise ImageDecodeError("GIF has no image data")
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """uint8 RGB (h, w, 3) or palette-index (h, w) with ≤256 distinct
+    colors → single-frame GIF89a with a global color table. Palette
+    order is the sorted unique colors, so encoding is deterministic."""
+    a = np.asarray(arr)
+    if a.dtype != np.uint8:
+        raise ValueError(f"need uint8 pixels, got {a.dtype}")
+    if a.ndim == 2:
+        rgb = np.repeat(a[:, :, None], 3, axis=2)
+    elif a.ndim == 3 and a.shape[2] == 3:
+        rgb = a
+    else:
+        raise ValueError(f"need (h, w) or (h, w, 3), got {a.shape}")
+    h, w = rgb.shape[:2]
+    if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF):
+        raise ValueError(f"dims out of GIF range: {w}x{h}")
+    flat = rgb.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"{len(palette)} colors exceed GIF's 256")
+    depth = max(1, int(np.ceil(np.log2(max(2, len(palette))))))
+    n_slots = 1 << depth
+    ct = np.zeros((n_slots, 3), np.uint8)
+    ct[: len(palette)] = palette
+    mcs = max(2, depth)
+    data = _gif_lzw_encode(inverse.ravel(), mcs)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += ct.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(mcs)
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -3523,6 +3523,91 @@ FROM c
 """
 
 
+def q86_gif(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """GIF pipeline with REAL native LZW decode, end-to-end (the GIF
+    analog of q41's PNG gate): each document renders an actual GIF89a —
+    dims, palette size, and the cyclic pixel pattern all deterministic
+    functions of (len(text), doc_id) — then the independent image_meta
+    stage decodes it back (variable-width LZW, color-table lookup). The
+    oracle recomputes width/height/pixel-mean in closed form from the
+    text length (residue-class counting for the cyclic pattern): the
+    Spark side can only match by truly LZW-decoding the payload. Docs
+    with len(text) % 11 == 0 carry garbage bytes — the corrupt-media
+    contract (decode_ok=false, NULL stats, job survives)."""
+    from pandasql_spark.operators.multimodal import image_meta
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+
+    def render(it):
+        import numpy as np
+        import pandas as pd
+
+        from pandasql_spark.functions.imagecodec import encode_gif
+
+        for pdf in it:
+            payloads = []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                n = len(t)
+                if n % 11 == 0:
+                    payloads.append(b"\x00" * 32)
+                    continue
+                w, h, nc = 4 + n % 5, 3 + n % 7, 2 + n % 7
+                c = np.arange(nc, dtype=np.int64)
+                pal = np.stack(
+                    [(c * 37) % 256, (c * 59) % 256, (c * 83) % 256], axis=1
+                ).astype(np.uint8)
+                idx = (np.arange(w * h) + int(did)) % nc
+                payloads.append(encode_gif(pal[idx].reshape(h, w, 3)))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    media = d.mapInPandas(render, "media_id long, payload binary")
+    stats = image_meta(media, decode_pixels=True)
+    return stats.select(
+        "media_id",
+        F.col("format").alias("fmt"),
+        "width",
+        "height",
+        "mode",
+        "decode_ok",
+        "n_pixels",
+        F.round("mean_px", 6).alias("mean_px"),
+    )
+
+
+Q86_SQL = """
+WITH t AS (
+  SELECT doc_id, length(text) AS n FROM documents
+),
+p AS (
+  SELECT doc_id, 4 + n % 5 AS w, 3 + n % 7 AS h, 2 + n % 7 AS nc,
+         unnest(range(2 + n % 7)) AS c
+  FROM t WHERE n % 11 <> 0
+),
+cnt AS (
+  SELECT doc_id, w, h,
+         (w * h) // nc
+           + CASE WHEN ((c - doc_id) % nc + nc) % nc < (w * h) % nc
+                  THEN 1 ELSE 0 END AS k,
+         (c * 37) % 256 + (c * 59) % 256 + (c * 83) % 256 AS chsum
+  FROM p
+),
+m AS (
+  SELECT doc_id, w, h, sum(k * chsum) AS total
+  FROM cnt GROUP BY doc_id, w, h
+)
+SELECT doc_id AS media_id, 'gif' AS fmt, CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height, 'P' AS mode, TRUE AS decode_ok,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       round(CAST(total AS DOUBLE) / (w * h * 3), 6) AS mean_px
+FROM m
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL, FALSE, NULL, NULL
+FROM t WHERE n % 11 = 0
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_distinct": QueryDef(
@@ -3687,6 +3772,10 @@ REGISTRY: dict[str, QueryDef] = {
         q85_chunking, Q85_SQL,
         "RAG sliding-window chunking (zero-shuffle, content-verified chunks)",
     ),
+    "q86_gif": QueryDef(
+        q86_gif, Q86_SQL,
+        "multimodal real-GIF gate (render -> native LZW decode -> pixel stats)",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -3764,6 +3853,7 @@ _RESTING: tuple[str, ...] = (
     "q36_array_dims",
     "q37_string_funcs",
     "q38_pivot",
+    "q42_salted_agg",
     "q32_stats_agg",
     "q02_filter_distinct",
     "q03_predicates",

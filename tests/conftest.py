@@ -14,6 +14,12 @@ import pandas as pd
 import pytest
 
 os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+# 4 shuffle partitions to match the 4-core test session: stateful
+# streaming cost scales with state-store instances PER MICRO-BATCH
+# (32 partitions made the interval-join property replay 1.8x slower);
+# semantics are partition-count-independent — tests that need a
+# specific layout repartition explicitly.
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "4")
 
 from pandasql_spark.session import get_spark  # noqa: E402
 

@@ -237,3 +237,141 @@ def test_decode_image_pil_branch(monkeypatch):
 
     with pytest.raises(ic.ImageDecodeError):
         ic.decode_image(b"not-an-image")
+
+
+# ---------------------------------------------------------------------------
+# GIF codec (native LZW)
+
+
+def _rand_rgb(rng, h, w, ncol):
+    pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+    return pal[rng.integers(0, ncol, (h, w))]
+
+
+def test_gif_roundtrip_shapes_and_palettes():
+    from pandasql_spark.functions.imagecodec import decode_gif, encode_gif
+
+    rng = np.random.default_rng(7)
+    for (h, w), ncol in [((1, 1), 2), ((3, 5), 4), ((16, 16), 7),
+                         ((40, 33), 256), ((7, 9), 1), ((2, 300), 16)]:
+        rgb = _rand_rgb(rng, h, w, ncol)
+        got = decode_gif(encode_gif(rgb))
+        assert got.shape == (h, w, 3)
+        assert (got == rgb).all()
+
+
+def test_gif_grayscale_input_expands():
+    from pandasql_spark.functions.imagecodec import decode_gif, encode_gif
+
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8) * 3
+    got = decode_gif(encode_gif(g))
+    assert (got == np.repeat(g[:, :, None], 3, axis=2)).all()
+
+
+def test_gif_canonical_1x1_real_world():
+    """The ubiquitous 1x1 'transparent pixel' GIF — output of a REAL
+    standard encoder, so it cross-checks our LZW against the ecosystem,
+    not just against our own encoder."""
+    import base64
+
+    from pandasql_spark.functions.imagecodec import decode_gif
+
+    b = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    px = decode_gif(b)
+    assert px.shape == (1, 1, 3) and (px == 0).all()
+
+
+def test_gif_interlaced_decode():
+    """Handcraft an interlaced file: rows stored in 4-pass order with
+    the interlace flag set must come back in display order."""
+    from pandasql_spark.functions.imagecodec import (
+        _GIF_INTERLACE, decode_gif, encode_gif,
+    )
+
+    rng = np.random.default_rng(3)
+    rgb = _rand_rgb(rng, 13, 6, 5)
+    pass_rows = [
+        r for start, step in _GIF_INTERLACE for r in range(start, 13, step)
+    ]
+    b = bytearray(encode_gif(rgb[pass_rows]))
+    # image descriptor: 6(sig)+7(lsd)+3*GCT... find 0x2C block, set bit 6
+    gct_depth = (b[10] & 0x07) + 1
+    desc = 13 + 3 * (1 << gct_depth)
+    assert b[desc] == 0x2C
+    b[desc + 9] |= 0x40
+    got = decode_gif(bytes(b))
+    assert (got == rgb).all()
+
+
+def test_gif_local_color_table():
+    """Move the palette from the global to a local color table."""
+    from pandasql_spark.functions.imagecodec import decode_gif, encode_gif
+
+    rng = np.random.default_rng(5)
+    rgb = _rand_rgb(rng, 4, 4, 8)
+    b = bytearray(encode_gif(rgb))
+    depth = (b[10] & 0x07) + 1
+    n = 1 << depth
+    gct = bytes(b[13:13 + 3 * n])
+    rest = bytes(b[13 + 3 * n:])
+    out = bytes(b[:10]) + bytes([b[10] & 0x7F]) + bytes(b[11:13])  # GCT off
+    assert rest[0] == 0x2C
+    out += rest[:9] + bytes([rest[9] | 0x80 | (depth - 1)]) + gct + rest[10:]
+    got = decode_gif(out)
+    assert (got == rgb).all()
+
+
+def test_gif_corrupt_payloads_raise():
+    from pandasql_spark.functions.imagecodec import (
+        ImageDecodeError, decode_gif, encode_gif,
+    )
+
+    rng = np.random.default_rng(11)
+    good = encode_gif(_rand_rgb(rng, 6, 6, 4))
+    for bad in [b"", b"GIF89a", good[:20], good[:-10],
+                b"NOTGIF" + good[6:], good[:11] + b"\xff" * 5]:
+        with pytest.raises(ImageDecodeError):
+            decode_gif(bad)
+
+
+def test_gif_encode_validation():
+    from pandasql_spark.functions.imagecodec import encode_gif
+
+    with pytest.raises(ValueError, match="uint8"):
+        encode_gif(np.zeros((2, 2, 3), np.float32))
+    with pytest.raises(ValueError, match="shape|need"):
+        encode_gif(np.zeros((2, 2, 4), np.uint8))
+    rng = np.random.default_rng(13)
+    toomany = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    if len(np.unique(toomany.reshape(-1, 3), axis=0)) > 256:
+        with pytest.raises(ValueError, match="256"):
+            encode_gif(toomany)
+
+
+def test_gif_decode_image_native_route():
+    """decode_image must pixel-decode GIF without PIL."""
+    from pandasql_spark.functions import imagecodec as ic
+
+    rng = np.random.default_rng(17)
+    rgb = _rand_rgb(rng, 5, 7, 6)
+    b = ic.encode_gif(rgb)
+    orig = ic.HAVE_PIL
+    ic.HAVE_PIL = False
+    try:
+        got = ic.decode_image(b)
+    finally:
+        ic.HAVE_PIL = orig
+    assert (got == rgb).all()
+
+
+def test_gif_lzw_table_overflow_reset():
+    """A high-entropy image large enough to overflow the 12-bit table
+    forces the mid-stream CLEAR/reset path on both sides."""
+    from pandasql_spark.functions.imagecodec import decode_gif, encode_gif
+
+    rng = np.random.default_rng(19)
+    rgb = _rand_rgb(rng, 120, 120, 256)  # 14400 px, 256 colors
+    got = decode_gif(encode_gif(rgb))
+    assert (got == rgb).all()
