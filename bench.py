@@ -77,6 +77,7 @@ HEADLINE = [
     "q84_hash_split",
     "q85_chunking",
     "q86_gif",
+    "q87_ann_join",
 ]
 
 

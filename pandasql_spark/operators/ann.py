@@ -21,6 +21,7 @@ tuned by nprobe, exactly like FAISS IVF-Flat.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -88,3 +89,75 @@ def write_ivf_index(index: IVFIndex, path: str) -> None:
     """Persist the indexed table partitioned by cell id: a probe becomes
     a partition-pruned scan of nprobe directories."""
     index.indexed.write.mode("overwrite").partitionBy("cell_id").parquet(path)
+
+
+def ann_join(
+    index: IVFIndex,
+    queries: DataFrame,
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Batch similarity search: top-k corpus neighbors for EVERY query
+    row — the similarity-search join a retrieval/dedup pipeline runs,
+    vs `IVFIndex.search`'s one-query-at-a-time driver loop.
+
+    Returns (query_id, neighbor_id, cos_sim, rank), rank 1..k per
+    query, ties broken by neighbor id.
+
+    Scale shape: probe-cell selection is a VECTORIZED Arrow kernel
+    (queries × the driver-held nlist×dim centroid matrix — no shuffle,
+    no per-row Python), exploded to (query, cell) pairs; one equi-join
+    on cell_id against the indexed corpus (the corpus never moves
+    except by its own cell partitioning — write the index with
+    `write_ivf_index` and the join prunes partitions); per-query top-k
+    is a rank window that Spark 4 trims below the exchange
+    (WindowGroupLimit), so a hot query ships k rows per partition.
+    With ``nprobe >= nlist`` every cell is probed and the result is
+    EXACTLY brute force (the q87 oracle gates that path; recall for
+    nprobe < nlist is property-tested instead — approximation is the
+    contract, same as FAISS)."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    cents = index.centroids
+    np_ = min(nprobe, len(cents))
+    cnorm = np.linalg.norm(cents, axis=1)
+
+    @pandas_udf("array<int>")
+    def _probe_cells(vs: pd.Series) -> pd.Series:
+        Q = np.asarray(vs.tolist(), dtype=np.float64)  # (m, dim)
+        qn = np.linalg.norm(Q, axis=1)
+        denom = np.outer(np.where(qn == 0, 1.0, qn), np.where(cnorm == 0, 1.0, cnorm))
+        sims = (Q @ cents.T) / denom
+        # stable sort: deterministic probe sets under centroid-sim ties
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :np_]
+        return pd.Series([row.tolist() for row in top])
+
+    probed = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qvec"),
+        F.explode(_probe_cells(F.col(query_vec_col))).alias("cell_id"),
+    )
+    corpus = index.indexed.select(
+        F.col(index.id_col).alias("neighbor_id"),
+        F.col(index.vec_col).alias("__cvec"),
+        "cell_id",
+    )
+    scored = probed.join(corpus, "cell_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qvec"), F.col("__cvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -3608,6 +3608,55 @@ FROM t WHERE n % 11 = 0
 """
 
 
+def q87_ann_join(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Batch similarity-search join (operators/ann.py:ann_join): top-5
+    corpus neighbors for each of the first 10 embedding rows, through
+    the FULL IVF machinery — vectorized probe-cell kernel, (query,
+    cell) explode, cell equi-join, WindowGroupLimit top-k — with
+    nprobe == nlist so every cell is probed and the result is exactly
+    brute force: the oracle recomputes all-pairs cosine (identical
+    left-to-right fold) + the same rank window in SQL. Cell ASSIGNMENT
+    cancels out of the result by construction, so seeded-KMeans
+    placement can't flake the gate; nprobe < nlist recall is
+    property-tested in pytest instead (approximation is the contract).
+    Ranking happens on the UNROUNDED cosine on both engines; rounding
+    to 6 only at output."""
+    from pandasql_spark.operators.ann import ann_join, build_ivf_index
+
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    idx = build_ivf_index(e, nlist=8)
+    qs = e.orderBy("vec_id").limit(10)
+    out = ann_join(idx, qs, k=5, nprobe=8)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
+Q87_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv
+  FROM embeddings ORDER BY vec_id LIMIT 10
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_reduce(list_transform(list_zip(q.qv::DOUBLE[], e.embedding::DOUBLE[]),
+                                    x -> x[1] * x[2]), (a, b) -> a + b)
+         / (sqrt(list_reduce(list_transform(q.qv::DOUBLE[], x -> x * x), (a, b) -> a + b))
+          * sqrt(list_reduce(list_transform(e.embedding::DOUBLE[], x -> x * x), (a, b) -> a + b)))
+           AS cos
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_distinct": QueryDef(
@@ -3776,6 +3825,10 @@ REGISTRY: dict[str, QueryDef] = {
         q86_gif, Q86_SQL,
         "multimodal real-GIF gate (render -> native LZW decode -> pixel stats)",
     ),
+    "q87_ann_join": QueryDef(
+        q87_ann_join, Q87_SQL,
+        "batch ANN similarity join (full-probe == brute force, oracle-exact)",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -3854,6 +3907,7 @@ _RESTING: tuple[str, ...] = (
     "q37_string_funcs",
     "q38_pivot",
     "q42_salted_agg",
+    "q55_csv_roundtrip",
     "q32_stats_agg",
     "q02_filter_distinct",
     "q03_predicates",

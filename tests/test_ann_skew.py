@@ -3,6 +3,7 @@ salted-aggregation/join equivalence tests on skewed data."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -98,3 +99,86 @@ def test_salted_join_equals_plain(spark):
     )
     plain = sb.join(ss, "k").toPandas().sort_values(["k", "x"], ignore_index=True)
     pd.testing.assert_frame_equal(got[plain.columns], plain, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# ann_join (batch similarity-search join)
+
+
+def _brute_topk_batch(embs, qids, k):
+    """numpy brute force: {qid: [(neighbor_id, cos), ...rank order]}"""
+    ids = np.array([r[0] for r in embs])
+    M = np.array([r[1] for r in embs], dtype=np.float64)
+    norms = np.linalg.norm(M, axis=1)
+    out = {}
+    for qid in qids:
+        q = M[ids == qid][0]
+        qn = np.linalg.norm(q) or 1.0
+        cos = (M @ q) / (np.where(norms == 0, 1.0, norms) * qn)
+        order = sorted(range(len(ids)), key=lambda i: (-cos[i], ids[i]))[:k]
+        out[qid] = [(int(ids[i]), cos[i]) for i in order]
+    return out
+
+
+def test_ann_join_full_probe_is_brute_force(spark):
+    from pandasql_spark.operators.ann import ann_join, build_ivf_index
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    embs = [(r["vec_id"], r["embedding"]) for r in e.collect()]
+    idx = build_ivf_index(e, nlist=8)
+    qs = e.orderBy("vec_id").limit(6)
+    got = ann_join(idx, qs, k=4, nprobe=8).collect()
+    qids = [r["vec_id"] for r in qs.select("vec_id").collect()]
+    exp = _brute_topk_batch(embs, qids, 4)
+    assert len(got) == 4 * len(qids)
+    for r in got:
+        nid, cos = exp[r["query_id"]][r["rank"] - 1]
+        assert r["neighbor_id"] == nid
+        # engine folds left-to-right over float32-typed embeddings;
+        # numpy sums pairwise in float64 — equal to ~1e-7, not ulp
+        assert abs(r["cos_sim"] - cos) < 1e-6
+
+
+def test_ann_join_partial_probe_exact_on_separated_blobs(spark):
+    """Well-separated blobs: with nprobe=1 each query probes its own
+    blob's cell and still recovers the exact in-blob top-k."""
+    from pandasql_spark.operators.ann import ann_join, build_ivf_index
+
+    rng = np.random.default_rng(5)
+    centers = np.eye(4) * 100.0
+    rows = []
+    for b in range(4):
+        for i in range(30):
+            v = centers[b] + rng.normal(0, 0.01, 4)
+            rows.append((b * 100 + i, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = build_ivf_index(df, id_col="vec_id", vec_col="embedding", nlist=4)
+    qs = df.filter(F.col("vec_id") % 100 == 0)  # one query per blob
+    got = ann_join(idx, qs, k=3, nprobe=1).collect()
+    assert len(got) == 12
+    for r in got:
+        # every neighbor comes from the query's own blob
+        assert r["neighbor_id"] // 100 == r["query_id"] // 100
+        if r["rank"] == 1:
+            assert r["neighbor_id"] == r["query_id"]  # self first
+
+
+def test_ann_join_plan_window_group_limit(spark):
+    from pandasql_spark.operators.ann import ann_join, build_ivf_index
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = build_ivf_index(e, nlist=4)
+    sdf = ann_join(idx, e.limit(3), k=2, nprobe=2)
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_ann_join_validation(spark):
+    from pandasql_spark.operators.ann import ann_join, build_ivf_index
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = build_ivf_index(e, nlist=4)
+    with pytest.raises(ValueError, match="k must"):
+        ann_join(idx, e, k=0)
+    with pytest.raises(ValueError, match="nprobe"):
+        ann_join(idx, e, nprobe=0)
