@@ -78,6 +78,7 @@ HEADLINE = [
     "q85_chunking",
     "q86_gif",
     "q87_ann_join",
+    "q88_line_dedup",
 ]
 
 

@@ -815,3 +815,82 @@ def dedup_embeddings(
     return attach_cleanup(
         df.join(non_reps, id_col, "anti"), pairs.cleanup, clusters.cleanup
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    keep: str = "first",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Sub-document (line-level) exact dedup — the C4-style pass that
+    strips boilerplate lines repeated across a crawl (nav bars, cookie
+    banners, license blocks) while keeping the documents themselves.
+
+    Splits each document on ``sep``, fingerprints every line (md5), and
+    across the WHOLE corpus keeps:
+
+    - ``keep="first"``: the first occurrence of each line — ordered by
+      (id, position), so survival is deterministic;
+    - ``keep="none"``: no copy of any line occurring more than once
+      (the aggressive variant of the C4 paper's three-sentence rule).
+
+    Lines shorter than ``min_chars`` bypass dedup entirely (empty lines
+    and separators are structure, not content). Documents are then
+    reassembled in original line order; a document whose every line was
+    dropped survives as an empty string, never a lost row.
+
+    Returns (id, text, n_kept, n_dropped).
+
+    Scale shape: two shuffles total — (1) the per-fingerprint window;
+    `keep="first"`'s rank-1 filter is exactly the WindowGroupLimit
+    shape (Spark 4 trims to 1 row per fingerprint per input partition
+    BELOW the exchange), so a boilerplate line occurring on billions of
+    pages ships one candidate per partition, not every copy, and
+    `keep="none"`'s count carries the same partial-agg property;
+    (2) the per-document regroup, whose payload is the surviving lines
+    (≤ the corpus, usually far less). Line CONTENT crosses the first
+    shuffle once; at 100 TB swap the line for its fp + first-copy
+    content join if lines are huge (not done here: lines are short by
+    construction).
+    """
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    if min_chars < 0:
+        raise ValueError(f"min_chars must be >= 0, got {min_chars}")
+    from pyspark.sql.window import Window
+
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    dedupable = F.length("line") >= min_chars
+    w = Window.partitionBy("fp").orderBy(F.col("id").asc(), F.col("pos").asc())
+    tagged = lines.withColumn(
+        "fp", F.when(dedupable, F.md5(F.col("line")))
+    )
+    if keep == "first":
+        kept = F.col("fp").isNull() | (F.row_number().over(w) == 1)
+    else:
+        wc = Window.partitionBy("fp")
+        kept = F.col("fp").isNull() | (F.count(F.lit(1)).over(wc) == 1)
+    flagged = tagged.withColumn("kept", kept)
+    surv = F.filter(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos"), F.col("line"), F.col("kept")))
+        ),
+        lambda s: s["kept"],
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(surv, lambda s: s["line"]), sep
+            ).alias("text"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.sum((~F.col("kept")).cast("long")).alias("n_dropped"),
+        )
+        .withColumnRenamed("id", id_col)
+    )

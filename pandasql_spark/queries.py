@@ -3666,6 +3666,66 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q88_line_dedup(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """C4-style line-level dedup (operators/dedup.py:line_dedup): the
+    corpus is first re-lined deterministically (newline every 8 tokens
+    — both engines replicate the transform), then every line repeated
+    anywhere in the corpus keeps only its first (doc_id, pos)
+    occurrence and documents are reassembled in order. With a ~30-word
+    vocabulary the 8-token lines collide heavily across docs, so the
+    gate exercises real cross-document suppression. The oracle
+    reproduces the lining, the per-fingerprint rank, the reassembly
+    (ORDER BY pos string_agg), and the md5 of every surviving text."""
+    from pandasql_spark.operators.dedup import line_dedup
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.floor((F.size(toks) + 7) / F.lit(8)).cast("int")
+    line_arr = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+    )
+    lined = d.select("doc_id", F.array_join(line_arr, "\n").alias("text"))
+    out = line_dedup(lined, keep="first")
+    return out.select(
+        "doc_id", F.md5(F.col("text")).alias("fp"), "n_kept", "n_dropped"
+    )
+
+
+Q88_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+),
+p AS (
+  SELECT doc_id, tok,
+         unnest(range(0, (len(tok) + 7) // 8)) AS pos
+  FROM t
+),
+lines AS (
+  SELECT doc_id, pos,
+         array_to_string(
+           list_slice(tok, pos * 8 + 1, least(pos * 8 + 8, len(tok))), ' ')
+           AS line
+  FROM p
+),
+flg AS (
+  SELECT doc_id, pos, line,
+         CASE WHEN length(line) >= 1
+              THEN row_number() OVER (PARTITION BY md5(line)
+                                      ORDER BY doc_id, pos) = 1
+              ELSE TRUE END AS kept
+  FROM lines
+)
+SELECT doc_id,
+       md5(coalesce(
+         string_agg(CASE WHEN kept THEN line END, chr(10) ORDER BY pos),
+         '')) AS fp,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM flg GROUP BY doc_id
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_distinct": QueryDef(
@@ -3838,6 +3898,10 @@ REGISTRY: dict[str, QueryDef] = {
         q87_ann_join, Q87_SQL,
         "batch ANN similarity join (full-probe == brute force, oracle-exact)",
     ),
+    "q88_line_dedup": QueryDef(
+        q88_line_dedup, Q88_SQL,
+        "C4-style line-level dedup (cross-doc first-occurrence, reassembled)",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -3917,6 +3981,7 @@ _RESTING: tuple[str, ...] = (
     "q38_pivot",
     "q42_salted_agg",
     "q55_csv_roundtrip",
+    "q61_stratified_sample",
     "q32_stats_agg",
     "q02_filter_distinct",
     "q03_predicates",

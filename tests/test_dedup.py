@@ -444,3 +444,104 @@ def test_lsh_bucket_cap_adversarial_boilerplate(spark):
     out = dedup.dedup_corpus(sdf, threshold=0.5)
     survivors = set(out.select("doc_id").toPandas()["doc_id"])
     assert survivors == {0} | set(uniq)
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup (C4-style boilerplate strip)
+
+
+def _py_line_dedup(docs, keep="first", min_chars=1, sep="\n"):
+    from collections import Counter
+
+    cnt = Counter()
+    order = []
+    for did in sorted(docs):
+        for pos, line in enumerate(docs[did].split(sep)):
+            order.append((did, pos, line))
+            if len(line) >= min_chars:
+                cnt[line] += 1
+    seen = set()
+    out = {did: ([], 0, 0) for did in docs}
+    for did, pos, line in order:
+        kept_lines, k, d = out[did]
+        if len(line) < min_chars:
+            kept = True
+        elif keep == "first":
+            kept = line not in seen
+            seen.add(line)
+        else:
+            kept = cnt[line] == 1
+        if kept:
+            kept_lines.append(line)
+            out[did] = (kept_lines, k + 1, d)
+        else:
+            out[did] = (kept_lines, k, d + 1)
+    return {
+        did: (sep.join(ls), k, d) for did, (ls, k, d) in out.items()
+    }
+
+
+@pytest.fixture(scope="module")
+def lined_docs(spark):
+    docs = {
+        1: "nav\nalpha\nbeta",
+        2: "nav\ngamma\n\nbeta",
+        3: "nav\nalpha",
+        4: "unique only\n\n",
+    }
+    return docs, spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    )
+
+
+@pytest.mark.parametrize("keep", ["first", "none"])
+def test_line_dedup_matches_python(lined_docs, keep):
+    from pandasql_spark.operators.dedup import line_dedup
+
+    docs, df = lined_docs
+    got = {
+        r["doc_id"]: (r["text"], r["n_kept"], r["n_dropped"])
+        for r in line_dedup(df, keep=keep).collect()
+    }
+    assert got == _py_line_dedup(docs, keep=keep)
+
+
+def test_line_dedup_counts_conserve(lined_docs):
+    from pandasql_spark.operators.dedup import line_dedup
+
+    docs, df = lined_docs
+    for r in line_dedup(df).collect():
+        assert r["n_kept"] + r["n_dropped"] == len(docs[r["doc_id"]].split("\n"))
+
+
+def test_line_dedup_min_chars_bypass(lined_docs, spark):
+    from pandasql_spark.operators.dedup import line_dedup
+
+    # min_chars=6 exempts every line <6 chars from dedup: nav/alpha/beta
+    # all survive everywhere
+    docs, df = lined_docs
+    got = {
+        r["doc_id"]: (r["text"], r["n_kept"], r["n_dropped"])
+        for r in line_dedup(df, min_chars=6, keep="first").collect()
+    }
+    assert got == _py_line_dedup(docs, keep="first", min_chars=6)
+    assert got[3] == ("nav\nalpha", 2, 0)
+
+
+def test_line_dedup_validation(lined_docs):
+    from pandasql_spark.operators.dedup import line_dedup
+
+    _, df = lined_docs
+    with pytest.raises(ValueError, match="keep"):
+        line_dedup(df, keep="last")
+    with pytest.raises(ValueError, match="min_chars"):
+        line_dedup(df, min_chars=-1)
+
+
+def test_line_dedup_partitioning_independent(lined_docs):
+    from pandasql_spark.operators.dedup import line_dedup
+
+    docs, df = lined_docs
+    a = sorted(map(tuple, line_dedup(df).collect()))
+    b = sorted(map(tuple, line_dedup(df.repartition(7)).collect()))
+    assert a == b
