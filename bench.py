@@ -79,6 +79,7 @@ HEADLINE = [
     "q86_gif",
     "q87_ann_join",
     "q88_line_dedup",
+    "q89_quantize",
 ]
 
 

@@ -3726,6 +3726,47 @@ FROM flg GROUP BY doc_id
 """
 
 
+def q89_quantize(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Scalar int8-range embedding quantization audit
+    (operators/quantize.py:quantization_report): per-vector affine
+    min/max codes, dequantized reconstruction error, and an md5 over
+    the code array itself — all zero-shuffle higher-order functions.
+    The oracle recomputes codes, error, and the code fingerprint in
+    SQL with the identical IEEE sequence (round-half-up on the
+    non-negative affine image is engine-invariant), so the gate
+    hash-matches the COMPRESSED REPRESENTATION, not just stats."""
+    from pandasql_spark.operators.quantize import quantization_report
+
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return quantization_report(e)
+
+
+Q89_SQL = """
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_min(embedding::DOUBLE[]) AS lo,
+         (list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[]))
+           / 255.0 AS scale
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id, v, lo, scale,
+         CASE WHEN scale = 0
+              THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v, x -> CAST(round((x - lo) / scale)
+                                              AS BIGINT)) END AS codes
+  FROM b
+)
+SELECT vec_id, CAST(len(v) AS BIGINT) AS dim,
+       round(lo, 6) AS lo, round(scale, 6) AS scale,
+       round(list_max(list_transform(list_zip(v, codes),
+               p -> abs(p[1] - (lo + p[2] * scale)))), 6) AS max_abs_err,
+       md5(array_to_string(list_transform(codes, q -> CAST(q AS VARCHAR)),
+                           ',')) AS code_fp
+FROM c
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_distinct": QueryDef(
@@ -3902,6 +3943,10 @@ REGISTRY: dict[str, QueryDef] = {
         q88_line_dedup, Q88_SQL,
         "C4-style line-level dedup (cross-doc first-occurrence, reassembled)",
     ),
+    "q89_quantize": QueryDef(
+        q89_quantize, Q89_SQL,
+        "int8-range embedding quantization (zero-shuffle, code-hash-exact)",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -3982,6 +4027,7 @@ _RESTING: tuple[str, ...] = (
     "q42_salted_agg",
     "q55_csv_roundtrip",
     "q61_stratified_sample",
+    "q20_cosine_topk",
     "q32_stats_agg",
     "q02_filter_distinct",
     "q03_predicates",
