@@ -80,6 +80,7 @@ HEADLINE = [
     "q87_ann_join",
     "q88_line_dedup",
     "q89_quantize",
+    "q90_jpeg",
 ]
 
 

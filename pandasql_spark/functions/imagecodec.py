@@ -323,8 +323,13 @@ def decode_image(b: bytes) -> np.ndarray:
         if arr.ndim == 2:  # PIL mode 'L'/'P' → (h, w); contract is 3-D
             arr = arr[:, :, None]
         return arr
-    if sniff_format(b) == "gif":
+    fmt = sniff_format(b)
+    if fmt == "gif":
         return decode_gif(b)
+    if fmt == "jpeg":
+        from .jpegcodec import decode_jpeg
+
+        return decode_jpeg(b)
     return decode_png(b)
 
 

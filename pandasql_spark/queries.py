@@ -3767,6 +3767,108 @@ FROM c
 """
 
 
+def q90_jpeg(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """JPEG pipeline with REAL native baseline decode, end-to-end
+    (functions/jpegcodec.py — Huffman + dequant + IDCT, no PIL): each
+    document renders a grayscale JPEG of flat 8×8 tiles whose values
+    are a closed-form function of (doc_id, len(text)); an independent
+    stage decodes the bytes and checks every pixel against the
+    expected tile value. Flat tiles are DC-only blocks, so true
+    decode error is bounded by the DC quantization step (≤1 grey
+    level at quality 90) — the gate emits err_ok = (max |decoded −
+    expected| ≤ 1) and the oracle demands TRUE plus exact dims for
+    every well-formed payload: only a genuinely working
+    entropy-decode + IDCT chain passes. len(text) % 11 == 0 rows carry garbage — the
+    corrupt-media contract (decode_ok=false, NULL stats)."""
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+
+    def render(it):
+        import numpy as np
+        import pandas as pd
+
+        from pandasql_spark.functions.jpegcodec import encode_jpeg
+
+        for pdf in it:
+            payloads, ns = [], []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                n = len(t)
+                ns.append(n)
+                if n % 11 == 0:
+                    payloads.append(b"\x00" * 32)
+                    continue
+                bw, bh = 1 + n % 3, 1 + n % 2
+                tiles = (
+                    int(did) * 7 + 83 * np.arange(bh * bw, dtype=np.int64)
+                ) % 256
+                img = np.kron(
+                    tiles.reshape(bh, bw).astype(np.uint8),
+                    np.ones((8, 8), np.uint8),
+                )
+                payloads.append(encode_jpeg(img, quality=90))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "n": np.asarray(ns, dtype=np.int64),
+                    "payload": payloads,
+                }
+            )
+
+    media = d.mapInPandas(render, "media_id long, n long, payload binary")
+
+    def verify(it):
+        import numpy as np
+        import pandas as pd
+
+        from pandasql_spark.functions.imagecodec import ImageDecodeError
+        from pandasql_spark.functions.jpegcodec import decode_jpeg
+
+        for pdf in it:
+            rows = {"doc_id": [], "decode_ok": [], "width": [],
+                    "height": [], "err_ok": []}
+            for did, n, payload in zip(pdf["media_id"], pdf["n"], pdf["payload"]):
+                did, n = int(did), int(n)
+                rows["doc_id"].append(did)
+                try:
+                    px = decode_jpeg(bytes(payload))
+                except ImageDecodeError:
+                    rows["decode_ok"].append(False)
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["err_ok"].append(None)
+                    continue
+                bw, bh = 1 + n % 3, 1 + n % 2
+                tiles = (did * 7 + 83 * np.arange(bh * bw, dtype=np.int64)) % 256
+                exp = np.kron(
+                    tiles.reshape(bh, bw), np.ones((8, 8), np.int64)
+                )
+                got = px[:, :, 0].astype(np.int64)
+                rows["decode_ok"].append(True)
+                rows["width"].append(px.shape[1])
+                rows["height"].append(px.shape[0])
+                rows["err_ok"].append(
+                    bool(got.shape == exp.shape
+                         and np.abs(got - exp).max() <= 1)
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        verify,
+        "doc_id long, decode_ok boolean, width long, height long, err_ok boolean",
+    )
+
+
+Q90_SQL = """
+WITH t AS (SELECT doc_id, length(text) AS n FROM documents)
+SELECT doc_id, TRUE AS decode_ok,
+       CAST(8 * (1 + n % 3) AS BIGINT) AS width,
+       CAST(8 * (1 + n % 2) AS BIGINT) AS height,
+       TRUE AS err_ok
+FROM t WHERE n % 11 <> 0
+UNION ALL
+SELECT doc_id, FALSE, NULL, NULL, NULL FROM t WHERE n % 11 = 0
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_distinct": QueryDef(
@@ -3947,6 +4049,10 @@ REGISTRY: dict[str, QueryDef] = {
         q89_quantize, Q89_SQL,
         "int8-range embedding quantization (zero-shuffle, code-hash-exact)",
     ),
+    "q90_jpeg": QueryDef(
+        q90_jpeg, Q90_SQL,
+        "multimodal real-JPEG gate (render -> native baseline decode -> pixel check)",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -4028,6 +4134,7 @@ _RESTING: tuple[str, ...] = (
     "q55_csv_roundtrip",
     "q61_stratified_sample",
     "q20_cosine_topk",
+    "q04_topk",
     "q32_stats_agg",
     "q02_filter_distinct",
     "q03_predicates",
@@ -4061,6 +4168,7 @@ _RESTING: tuple[str, ...] = (
     "q75_kmv_set_overlap",
 )
 assert set(_RESTING) <= set(REGISTRY), "roster names must exist"
+assert len(set(_RESTING)) == len(_RESTING), "duplicate resting entry"
 assert len(REGISTRY) - len(_RESTING) <= 50, "active roster must fit the gate"
 
 # Every gate query runs under the engine's pinned semantics regardless of
