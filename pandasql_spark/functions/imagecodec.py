@@ -8,11 +8,13 @@ Two layers:
 - ``decode_image`` / ``encode_png`` / ``encode_gif``: full pixel
   decode/encode. PNG is implemented natively (zlib inflate +
   per-scanline unfilter in numpy, all five filter types, 8-bit
-  gray/gray+alpha/RGB/RGBA, non-interlaced) and GIF87a/89a is
-  implemented natively too (variable-width LSB-first LZW, global/local
-  color tables, interlace, first-frame contract) so the container
-  needs no image libraries; if PIL is importable it is preferred and
-  also unlocks JPEG pixel decode.
+  gray/gray+alpha/RGB/RGBA, non-interlaced), GIF87a/89a natively
+  (variable-width LSB-first LZW, global/local color tables, interlace,
+  first-frame contract), and baseline JPEG natively too
+  (jpegcodec.py: Huffman + dequant + IDCT, 4:4:4…4:2:0, restart
+  markers) — the container needs no image libraries; if PIL is
+  importable it is preferred as the fast path and adds progressive
+  JPEG.
 
 These run inside Arrow-batched ``mapInPandas`` kernels on executors
 (see operators/multimodal.py) — plain ``bytes -> numpy`` functions with
