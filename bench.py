@@ -81,6 +81,7 @@ HEADLINE = [
     "q88_line_dedup",
     "q89_quantize",
     "q90_jpeg",
+    "q91_quantile_normalize",
 ]
 
 

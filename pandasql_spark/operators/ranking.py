@@ -294,3 +294,43 @@ def exact_ntile(
         bucket_col, ntile_bucket(F.col(_RN), total, n)
     ).drop(_RN)
     return attach_cleanup(out, ranked.cleanup)
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: int = 100,
+    out_col: str = "pct",
+) -> DataFrame:
+    """Per-group quantile (rank) normalization — calibrate a score
+    column so values are comparable ACROSS groups (the classic move
+    before mixing quality scores from different sources/classifiers:
+    "top 10% within its source" instead of raw scores with per-source
+    scales).
+
+    Adds ``out_col`` ∈ {0, 1/k, …, (k-1)/k}: the fraction of the
+    group's k-quantile cut points strictly below the row's value —
+    an exact empirical-CDF bucket at 1/k resolution.
+
+    Scale shape: the k−1 cut points per group come from
+    :func:`grouped_exact_percentiles` (per-group window — each task
+    sorts one group); the cut table is (groups × k−1) rows, broadcast
+    back onto the data; assignment is a codegen array filter. No
+    row-level shuffle of the data itself, no per-row Python, and the
+    resolution/cost knob is k, not the group size. NULL values get a
+    NULL pct (no rank, same as SQL percent_rank over a null)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    qs = [i / k for i in range(1, k)]
+    cuts = grouped_exact_percentiles(df, group_cols, value_col, qs)
+    cut_arrays = cuts.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list("value")).alias("__cuts")
+    )
+    joined = df.join(F.broadcast(cut_arrays), group_cols, "left")
+    pct = F.when(
+        F.col(value_col).isNotNull(),
+        F.size(F.filter(F.col("__cuts"), lambda c: c < F.col(value_col)))
+        / F.lit(float(k)),
+    )
+    return joined.withColumn(out_col, pct).drop("__cuts")

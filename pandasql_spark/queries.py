@@ -3869,6 +3869,45 @@ SELECT doc_id, FALSE, NULL, NULL, NULL FROM t WHERE n % 11 = 0
 """
 
 
+def q91_quantile_normalize(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Per-group quantile normalization (operators/ranking.py:
+    quantile_normalize): every order's price calibrated to its
+    priority-class empirical CDF at 1/20 resolution — the cross-source
+    score-calibration move. Cut points are exact per-group inverse-CDF
+    picks (value-at-rank is tie-order-independent, so no tiebreak
+    needed); the oracle reproduces the rank picks, the cut arrays, and
+    the strict-less count per row. pct = count/k is the same double on
+    both engines (small-int division)."""
+    from pandasql_spark.operators.ranking import quantile_normalize
+
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    out = quantile_normalize(o, "o_totalprice", ["o_orderpriority"], k=20)
+    return out.select("o_orderkey", "o_orderpriority", "pct")
+
+
+Q91_SQL = """
+WITH r AS (
+  SELECT o_orderpriority AS g, o_totalprice AS v,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+),
+cuts AS (
+  SELECT g, v
+  FROM r JOIN (SELECT unnest(range(1, 20)) AS i) qs
+    ON rn = CAST(ceil(i / 20.0 * n) AS BIGINT)
+),
+agg AS (
+  SELECT g, list(v ORDER BY v) AS cut_arr FROM cuts GROUP BY g
+)
+SELECT o.o_orderkey, o.o_orderpriority,
+       CAST(len(list_filter(a.cut_arr, c -> c < o.o_totalprice)) AS DOUBLE)
+         / 20.0 AS pct
+FROM orders o JOIN agg a ON o.o_orderpriority = a.g
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_distinct": QueryDef(
@@ -4053,6 +4092,10 @@ REGISTRY: dict[str, QueryDef] = {
         q90_jpeg, Q90_SQL,
         "multimodal real-JPEG gate (render -> native baseline decode -> pixel check)",
     ),
+    "q91_quantile_normalize": QueryDef(
+        q91_quantile_normalize, Q91_SQL,
+        "per-group quantile normalization (broadcast cut points, exact ECDF buckets)",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -4135,6 +4178,7 @@ _RESTING: tuple[str, ...] = (
     "q61_stratified_sample",
     "q20_cosine_topk",
     "q04_topk",
+    "q35_shipping_priority",
     "q32_stats_agg",
     "q02_filter_distinct",
     "q03_predicates",

@@ -174,3 +174,64 @@ def test_grouped_exact_percentiles(spark, orders):
         ["o_orderstatus", "q"], ignore_index=True
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# quantile_normalize (per-group score calibration)
+
+
+def test_quantile_normalize_matches_pandas_ecdf(spark):
+    from pandasql_spark.operators.ranking import quantile_normalize
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    k = 10
+    got = {
+        r["o_orderkey"]: r["pct"]
+        for r in quantile_normalize(
+            o, "o_totalprice", ["o_orderpriority"], k=k
+        ).collect()
+    }
+    pdf = o.select("o_orderkey", "o_orderpriority", "o_totalprice").toPandas()
+    for g, grp in pdf.groupby("o_orderpriority"):
+        vals = grp["o_totalprice"].sort_values().tolist()
+        n = len(vals)
+        cuts = [vals[int(__import__("math").ceil(q * n)) - 1]
+                for q in [i / k for i in range(1, k)]]
+        for _, row in grp.iterrows():
+            exp = sum(1 for c in cuts if c < row["o_totalprice"]) / k
+            assert got[row["o_orderkey"]] == exp
+
+
+def test_quantile_normalize_distribution_flat(spark):
+    from pandasql_spark.operators.ranking import quantile_normalize
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    out = quantile_normalize(o, "o_totalprice", ["o_orderpriority"], k=20)
+    stats = out.groupBy("o_orderpriority").agg(
+        F.min("pct").alias("lo"), F.max("pct").alias("hi"),
+        F.avg("pct").alias("m"), F.count(F.lit(1)).alias("n"),
+    ).collect()
+    for r in stats:
+        assert r["lo"] == 0.0 and r["hi"] == 0.95
+        assert abs(r["m"] - 0.475) < 0.02  # near-uniform buckets
+
+
+def test_quantile_normalize_null_and_validation(spark):
+    import pandas as pd
+
+    from pandasql_spark.operators.ranking import quantile_normalize
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["a"] * 4, "v": [1.0, 2.0, None, 4.0]})
+    )
+    rows = {r["v"]: r["pct"] for r in quantile_normalize(df, "v", ["g"], k=2).collect()}
+    assert rows[None] is None
+    with pytest.raises(ValueError, match="k must"):
+        quantile_normalize(df, "v", ["g"], k=1)
+
+
+def test_quantile_normalize_row_count_preserved(spark):
+    from pandasql_spark.operators.ranking import quantile_normalize
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    assert quantile_normalize(o, "o_totalprice", ["o_orderpriority"], k=7).count() == o.count()
