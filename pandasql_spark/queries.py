@@ -4165,9 +4165,10 @@ REGISTRY: dict[str, QueryDef] = {
 # 81 → 31 rest, all green r6: the four r4-resting slots (q50–q52,
 # q57), thirteen of the r5-born operator cohort (q63–q72, q74, q75),
 # and fourteen r5-resting relational slots (q02, q03, q05, q07–q09,
-# q11, q13, q14, q28–q33). New-this-session q82+ gate immediately;
-# per policy one extra twice-green slot rests per addition (q15 is
-# green r6, rested r5 — not two rounds running).
+# q11, q13, q14, q28–q33). New-this-round q82–q91 gate immediately;
+# per policy one extra twice-green slot rests per addition (q04, q15,
+# q20, q35, q36, q37, q38, q42, q55, q61 — each green r6, rested r5,
+# so nothing rests two rounds running).
 _RESTING: tuple[str, ...] = (
     "q15_window_topn",
     "q36_array_dims",
