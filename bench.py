@@ -82,6 +82,7 @@ HEADLINE = [
     "q89_quantize",
     "q90_jpeg",
     "q91_quantile_normalize",
+    "q92_html_extract",
 ]
 
 

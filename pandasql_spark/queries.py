@@ -3908,6 +3908,74 @@ FROM orders o JOIN agg a ON o.o_orderpriority = a.g
 """
 
 
+def q92_html_extract(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """HTML → text extraction (functions/html.py): each document is
+    wrapped into a deterministic HTML page — title, per-token <p>
+    markup, a script block containing decoy tags, a comment, and
+    entity-encoded text — then html_to_text / html_title recover the
+    visible text. Everything is codegen regexp/replace chains with
+    RE2-portable patterns, so the oracle renders the same page and runs
+    the SAME patterns in DuckDB; the md5 of the extracted text matches
+    only if tag stripping, script/comment removal, single-level entity
+    decode, and whitespace collapse all agree."""
+    from pandasql_spark.functions.html import html_title, html_to_text
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    page = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p{c:red}</style></head><body>"
+              "<script>var a=\"<p>decoy</p>\";</script><p>"),
+        F.replace(F.col("text"), F.lit(" "), F.lit("</p> <p>")),
+        F.lit("</p><!-- crawl:meta --><div>Q&amp;A&nbsp;&lt;x&gt;</div>"
+              "</body></html>"),
+    )
+    h = d.select("doc_id", page.alias("html"))
+    return h.select(
+        "doc_id",
+        html_title("html").alias("title"),
+        F.md5(html_to_text("html")).alias("fp"),
+    )
+
+
+Q92_SQL = """
+WITH page AS (
+  SELECT doc_id,
+         '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+         || '</title><style>p{c:red}</style></head><body>'
+         || '<script>var a="<p>decoy</p>";</script><p>'
+         || replace(text, ' ', '</p> <p>')
+         || '</p><!-- crawl:meta --><div>Q&amp;A&nbsp;&lt;x&gt;</div>'
+         || '</body></html>' AS html
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id, html,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(html, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g'),
+           '<[^>]+>', ' ', 'g') AS s
+  FROM page
+),
+decoded AS (
+  SELECT doc_id, html,
+         replace(replace(replace(replace(replace(replace(s,
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS s
+  FROM stripped
+)
+SELECT doc_id,
+       trim(regexp_replace(
+         regexp_extract(html, '(?is)<title\\b[^>]*>(.*?)</title>', 1),
+         '\\s+', ' ', 'g')) AS title,
+       md5(trim(regexp_replace(s, '\\s+', ' ', 'g'))) AS fp
+FROM decoded
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_distinct": QueryDef(
@@ -4096,6 +4164,10 @@ REGISTRY: dict[str, QueryDef] = {
         q91_quantile_normalize, Q91_SQL,
         "per-group quantile normalization (broadcast cut points, exact ECDF buckets)",
     ),
+    "q92_html_extract": QueryDef(
+        q92_html_extract, Q92_SQL,
+        "HTML-to-text extraction (codegen RE2-portable strip/decode chain)",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -4180,6 +4252,7 @@ _RESTING: tuple[str, ...] = (
     "q20_cosine_topk",
     "q04_topk",
     "q35_shipping_priority",
+    "q12_having",
     "q32_stats_agg",
     "q02_filter_distinct",
     "q03_predicates",

@@ -1,0 +1,93 @@
+"""HTML → text extraction: known-payload expectations, entity decode
+ordering, script/style/comment removal, title extraction, Python
+html-module differential on generated fragments, codegen plan."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pandasql_spark.functions.html import html_title, html_to_text, strip_tags
+
+
+def _extract(spark, payloads):
+    df = spark.createDataFrame(
+        pd.DataFrame({"i": range(len(payloads)), "h": payloads})
+    )
+    rows = df.select(
+        "i",
+        html_to_text("h").alias("t"),
+        html_title("h").alias("title"),
+    ).collect()
+    return {r["i"]: (r["t"], r["title"]) for r in rows}
+
+
+def test_known_payloads(spark):
+    got = _extract(spark, [
+        "<html><head><title>My  Page</title><style>p{x}</style></head>"
+        "<body><script>var a='<p>';</script><p>Hello &amp; welcome</p>"
+        "<!-- note --><div>a &lt;b&gt; c&nbsp;d</div></body></html>",
+        "no markup at all",
+        "<p>unclosed",
+        "",
+    ])
+    assert got[0] == ("My Page Hello & welcome a <b> c d", "My Page")
+    assert got[1] == ("no markup at all", "")
+    assert got[2] == ("unclosed", "")
+    assert got[3] == ("", "")
+
+
+def test_entity_decode_is_single_level(spark):
+    # "&amp;lt;" is the ESCAPED text "&lt;" — must NOT double-decode to "<"
+    got = _extract(spark, ["&amp;lt;tag&amp;gt;"])
+    assert got[0][0] == "&lt;tag&gt;"
+
+
+def test_script_style_spanning_lines(spark):
+    got = _extract(spark, [
+        "<script>\nvar a = 1;\nif (a < 2) {}\n</script>keep"
+        "<style>\nbody { color: red }\n</style>me",
+    ])
+    assert got[0][0] == "keep me"
+
+
+def test_matches_python_reference(spark):
+    """Differential vs an independent Python implementation (regex +
+    html.unescape limited to the same core entities)."""
+    import re
+
+    def py_extract(h):
+        out = re.sub(r"(?is)<script\b[^>]*>.*?</script>", " ", h)
+        out = re.sub(r"(?is)<style\b[^>]*>.*?</style>", " ", out)
+        out = re.sub(r"(?s)<!--.*?-->", " ", out)
+        out = re.sub(r"<[^>]+>", " ", out)
+        for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]:
+            out = out.replace(ent, ch)
+        return re.sub(r"\s+", " ", out).strip()
+
+    frags = [
+        "<b>bold</b> and <i>italic</i>",
+        "<a href='x?a=1&amp;b=2'>link</a> tail",
+        "text <script src='x'></script><p>para</p>",
+        "<TITLE>caps</TITLE><P>Q&amp;A</P>",
+        "plain & unescaped ampersand",
+        "<div   class='x'\n data-y='1'>attrs\nnewlines</div>",
+    ]
+    got = _extract(spark, frags)
+    for i, h in enumerate(frags):
+        assert got[i][0] == py_extract(h), h
+
+
+def test_strip_tags_keeps_raw_entities(spark):
+    df = spark.createDataFrame(pd.DataFrame({"h": ["<p>a &amp; b</p>"]}))
+    r = df.select(strip_tags("h").alias("t")).collect()[0]
+    assert r["t"] == "a &amp; b"
+
+
+def test_all_codegen_no_python(spark):
+    df = spark.createDataFrame(pd.DataFrame({"h": ["<p>x</p>"]}))
+    sdf = df.select(html_to_text("h").alias("t"))
+    phys = sdf._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys
