@@ -83,6 +83,7 @@ HEADLINE = [
     "q90_jpeg",
     "q91_quantile_normalize",
     "q92_html_extract",
+    "q93_url_normalize",
 ]
 
 

@@ -3976,6 +3976,49 @@ FROM decoded
 """
 
 
+def q93_url_normalize(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """URL canonicalization (functions/url.py): each document renders a
+    deliberately messy absolute URL — uppercase scheme/host, default
+    :80 port on a third of rows, a tracking parameter, unsorted query
+    params, a fragment on even ids — and url_normalize must collapse
+    every variant axis at once. The oracle is CLOSED FORM: it renders
+    the already-canonical URL directly from doc_id, so the gate passes
+    only if normalization removes exactly the junk and nothing else
+    (path case and non-default ports must survive — covered by unit
+    tests; here every axis is exercised corpus-wide)."""
+    from pandasql_spark.functions.url import url_host, url_normalize
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    raw = F.concat(
+        F.lit("HTTP://Site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?b="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("&utm_source=t&a=1"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    u = d.select("doc_id", raw.alias("url"))
+    return u.select(
+        "doc_id",
+        url_normalize("url").alias("norm"),
+        url_host("url").alias("host"),
+    )
+
+
+Q93_SQL = """
+SELECT doc_id,
+       'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/p/'
+         || CAST(doc_id AS VARCHAR) || '?a=1&b='
+         || CAST(doc_id % 5 AS VARCHAR) AS norm,
+       'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host
+FROM documents
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_distinct": QueryDef(
@@ -4168,6 +4211,10 @@ REGISTRY: dict[str, QueryDef] = {
         q92_html_extract, Q92_SQL,
         "HTML-to-text extraction (codegen RE2-portable strip/decode chain)",
     ),
+    "q93_url_normalize": QueryDef(
+        q93_url_normalize, Q93_SQL,
+        "URL canonicalization (closed-form oracle over every variant axis)",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -4253,6 +4300,7 @@ _RESTING: tuple[str, ...] = (
     "q04_topk",
     "q35_shipping_priority",
     "q12_having",
+    "q77_source_caps",
     "q32_stats_agg",
     "q02_filter_distinct",
     "q03_predicates",

@@ -91,3 +91,52 @@ def test_all_codegen_no_python(spark):
     sdf = df.select(html_to_text("h").alias("t"))
     phys = sdf._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in phys and "ArrowEvalPython" not in phys
+
+
+# ---------------------------------------------------------------------------
+# URL normalization (functions/url.py)
+
+
+def _norm(spark, urls):
+    from pandasql_spark.functions.url import url_host, url_normalize
+
+    df = spark.createDataFrame(pd.DataFrame({"i": range(len(urls)), "u": urls}))
+    rows = df.select(
+        "i", url_normalize("u").alias("n"), url_host("u").alias("h")
+    ).collect()
+    return {r["i"]: (r["n"], r["h"]) for r in rows}
+
+
+def test_url_normalize_known_cases(spark):
+    got = _norm(spark, [
+        "HTTP://Example.COM:80/Path/x?b=2&utm_source=x&a=1#frag",
+        "https://site.org:443/",
+        "https://site.org",
+        "http://a.b/p?utm_campaign=z&gclid=1",
+        "  http://h/p?z=1&y=2&z=0 ",
+        "not a url #tail",
+        "http://case.com/KeepPathCase",
+        "https://x.io:8443/p",
+    ])
+    assert got[0] == ("http://example.com/Path/x?a=1&b=2", "example.com")
+    assert got[1] == ("https://site.org/", "site.org")
+    assert got[2] == ("https://site.org/", "site.org")
+    assert got[3] == ("http://a.b/p", "a.b")
+    assert got[4] == ("http://h/p?y=2&z=0&z=1", "h")
+    assert got[5] == ("not a url", "")
+    assert got[6][0] == "http://case.com/KeepPathCase"  # path case kept
+    assert got[7] == ("https://x.io:8443/p", "x.io")  # non-default port kept
+
+
+def test_url_normalize_idempotent_and_variant_collapse(spark):
+    variants = [
+        "HTTP://A.com:80/x?b=1&a=2#z",
+        "http://a.COM/x?a=2&b=1",
+        "http://a.com:80/x?utm_source=s&b=1&a=2",
+    ]
+    got = _norm(spark, variants)
+    canon = {v[0] for v in got.values()}
+    assert canon == {"http://a.com/x?a=2&b=1"}
+    # idempotence: normalizing the canonical form is a fixpoint
+    again = _norm(spark, list(canon))
+    assert again[0][0] == next(iter(canon))
