@@ -81,3 +81,12 @@ def test_zero_shuffle_plan(spark):
     for sdf in (quantize_embeddings(e), quantization_report(e)):
         plan = sdf._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_report_impls_bit_identical(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = sorted(map(tuple, quantization_report(e, impl="numpy").collect()))
+    b = sorted(map(tuple, quantization_report(e, impl="expr").collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="impl"):
+        quantization_report(e, impl="arrow")
