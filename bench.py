@@ -84,6 +84,7 @@ HEADLINE = [
     "q91_quantile_normalize",
     "q92_html_extract",
     "q93_url_normalize",
+    "q94_crawl_pipeline",
 ]
 
 

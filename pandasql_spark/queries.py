@@ -4019,6 +4019,84 @@ FROM documents
 """
 
 
+def q94_crawl_pipeline(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Crawl → corpus capstone (operators/crawl.py:crawl_to_corpus):
+    each document becomes a raw crawl record — the q92 HTML page and a
+    q93-style messy URL whose path is doc_id % 50, so URL variants AND
+    true cross-document URL collisions both occur — then one call runs
+    extract → canonicalize → URL-dedup (min id) → token-count gate →
+    host-keyed leakage-safe split. The oracle is FULLY CLOSED FORM: the
+    extracted text, canonical URL, survivor set, token counts, and the
+    md5-based split assignment are all arithmetic over (doc_id, text) —
+    no regexp in the oracle at all, so the gate only passes if the real
+    extraction/normalization chain lands exactly on the closed form."""
+    from pandasql_spark.operators.crawl import crawl_to_corpus
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    page = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p{c:red}</style></head><body>"
+              "<script>var a=\"<p>decoy</p>\";</script><p>"),
+        F.replace(F.col("text"), F.lit(" "), F.lit("</p> <p>")),
+        F.lit("</p><!-- crawl:meta --><div>Q&amp;A&nbsp;&lt;x&gt;</div>"
+              "</body></html>"),
+    )
+    url = F.concat(
+        F.lit("HTTP://Site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("?b=2&utm_source=t&a=1"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    crawl = d.select("doc_id", url.alias("url"), page.alias("html"))
+    out = crawl_to_corpus(
+        crawl, min_tokens=40, split_weights={"train": 0.9, "eval": 0.1}
+    )
+    return out.select(
+        "doc_id", "url_norm", "host", "title", "n_tokens", "split",
+        F.md5(F.col("text")).alias("fp"),
+    )
+
+
+Q94_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         'doc ' || CAST(doc_id AS VARCHAR) || ' ' || text || ' Q&A <x>'
+           AS extracted,
+         'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/p/'
+           || CAST(doc_id % 50 AS VARCHAR) || '?a=1&b=2' AS url_norm,
+         'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host
+  FROM documents
+),
+dedup AS (
+  SELECT *, row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) AS rn
+  FROM t
+),
+gated AS (
+  SELECT doc_id, url_norm, host,
+         'doc ' || CAST(doc_id AS VARCHAR) AS title,
+         CAST(len(string_split(extracted, ' ')) AS BIGINT) AS n_tokens,
+         extracted
+  FROM dedup
+  WHERE rn = 1 AND len(string_split(extracted, ' ')) >= 40
+)
+SELECT doc_id, url_norm, host, title, n_tokens,
+       CASE WHEN list_reduce(
+              list_transform(range(1, 14),
+                x -> CAST(strpos('0123456789abcdef',
+                                 substr(md5(host), x, 1)) - 1 AS DOUBLE)),
+              (acc, v) -> acc * 16 + v)
+            < CAST(0.9 AS DOUBLE) * 4503599627370496.0
+            THEN 'train' ELSE 'eval' END AS split,
+       md5(extracted) AS fp
+FROM gated
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_distinct": QueryDef(
@@ -4215,6 +4293,10 @@ REGISTRY: dict[str, QueryDef] = {
         q93_url_normalize, Q93_SQL,
         "URL canonicalization (closed-form oracle over every variant axis)",
     ),
+    "q94_crawl_pipeline": QueryDef(
+        q94_crawl_pipeline, Q94_SQL,
+        "crawl->corpus pipeline (extract, canonicalize, dedup, gate, split)",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -4301,6 +4383,7 @@ _RESTING: tuple[str, ...] = (
     "q35_shipping_priority",
     "q12_having",
     "q77_source_caps",
+    "q78_sampled_quantiles",
     "q32_stats_agg",
     "q02_filter_distinct",
     "q03_predicates",
