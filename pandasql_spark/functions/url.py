@@ -31,8 +31,12 @@ _SCHEME_HOST = r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)"
 def url_host(col: Column | str) -> Column:
     """Lowercased host ('' for non-absolute URLs), port excluded."""
     c = F.trim(F.col(col) if isinstance(col, str) else col)
+    # optional userinfo@ is skipped non-capturing: the host of
+    # http://user:pw@site.com/x is site.com, not user
     return F.lower(
-        F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#:@]+)", 1)
+        F.regexp_extract(
+            c, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:@]+)", 1
+        )
     )
 
 

@@ -140,3 +140,12 @@ def test_url_normalize_idempotent_and_variant_collapse(spark):
     # idempotence: normalizing the canonical form is a fixpoint
     again = _norm(spark, list(canon))
     assert again[0][0] == next(iter(canon))
+
+
+def test_url_host_skips_userinfo(spark):
+    got = _norm(spark, [
+        "http://user:pw@site.com/x",
+        "https://u@h.org:8443/p",
+    ])
+    assert got[0][1] == "site.com"
+    assert got[1][1] == "h.org"
