@@ -131,6 +131,8 @@ def ann_join(
 
     @pandas_udf("array<int>")
     def _probe_cells(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:  # Arrow may deliver empty batches
+            return pd.Series([], dtype=object)
         Q = np.asarray(vs.tolist(), dtype=np.float64)  # (m, dim)
         qn = np.linalg.norm(Q, axis=1)
         denom = np.outer(np.where(qn == 0, 1.0, qn), np.where(cnorm == 0, 1.0, cnorm))

@@ -132,7 +132,10 @@ def quantization_report(
                     "max_abs_err": [], "code_fp": []}
             for v in pdf[vec_col]:
                 x = np.asarray(v, np.float64)
-                lo, hi = x.min(), x.max()
+                if len(x) == 0:  # degenerate row: never a kernel crash
+                    lo = hi = 0.0
+                else:
+                    lo, hi = x.min(), x.max()
                 if hi == lo:
                     scale, q, err = 0.0, np.zeros(len(x), np.int64), 0.0
                 else:
