@@ -62,13 +62,20 @@ def bm25_scores(
     toks = tokens(text_col)
     # one corpus scan: N and Σdl (exact int64 → avgdl division is the
     # same correctly-rounded double everywhere)
-    n_docs, total_dl = (
-        df.select(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.size(toks).cast("long")).alias("s"),
-        ).first()
-    )
-    avgdl = float(total_dl) / float(n_docs)
+    stats = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(toks).cast("long")).alias("s"),
+    ).first()
+    n_docs = stats["n"] if stats is not None else 0
+    if not n_docs:
+        id_type = next(
+            f.dataType.simpleString() for f in df.schema.fields
+            if f.name == id_col
+        )
+        return df.sparkSession.createDataFrame(
+            [], f"doc_id {id_type}, hit_terms long, bm25 double"
+        )
+    avgdl = float(stats["s"]) / float(n_docs)
 
     tok = df.select(
         F.col(id_col).alias("doc_id"),

@@ -118,3 +118,11 @@ def test_filter_precedes_aggregation(corpus_df):
     agg_pos = opt.find("Aggregate")
     filt_pos = opt.find("Filter")
     assert agg_pos != -1 and filt_pos != -1 and filt_pos > agg_pos
+
+
+def test_empty_corpus_returns_empty_frame(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = bm25_scores(empty, ["join"])
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "hit_terms", "bm25"]
+    assert bm25_topk(empty, ["join"], k=3).count() == 0
