@@ -484,6 +484,8 @@ def _decode_scan(b, pos, frame, scan, qtables, htables, restart):
                     for bh_ in range(c["h"]):
                         zz = np.zeros(64, np.int64)
                         s = rd.huff(dct)
+                        if s > 15:  # corrupt DHT: DC size category is 0..15
+                            raise ImageDecodeError(f"bad DC size {s}")
                         diff = _extend(rd.bits(s), s) if s else 0
                         pred[ci] += diff
                         zz[0] = pred[ci]

@@ -1,0 +1,119 @@
+"""Hypothesis property suites for the native media codecs: GIF
+round-trips EXACTLY on arbitrary palette images (lossless by
+construction); JPEG reconstructs flat tiles within the DC-quantization
+bound and never crashes/garbles on arbitrary content; both decoders
+normalize arbitrary byte mutations to ImageDecodeError, never other
+exceptions."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import soak_examples
+
+from pandasql_spark.functions.imagecodec import (
+    ImageDecodeError,
+    decode_gif,
+    encode_gif,
+)
+from pandasql_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+_SETTINGS = dict(
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+
+
+@st.composite
+def _palette_image(draw):
+    h = draw(st.integers(1, 24))
+    w = draw(st.integers(1, 24))
+    ncol = draw(st.integers(1, 16))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+    return pal[rng.integers(0, ncol, (h, w))]
+
+
+@settings(max_examples=soak_examples(40), **_SETTINGS)
+@given(rgb=_palette_image())
+def test_gif_roundtrip_exact(rgb):
+    got = decode_gif(encode_gif(rgb))
+    assert got.shape == rgb.shape
+    assert (got == rgb).all()
+
+
+@settings(max_examples=soak_examples(30), **_SETTINGS)
+@given(rgb=_palette_image(), data=st.data())
+def test_gif_mutation_never_garbles_silently(rgb, data):
+    """Any single-byte corruption either still decodes to a VALID-shape
+    image or raises ImageDecodeError — never another exception type."""
+    b = bytearray(encode_gif(rgb))
+    i = data.draw(st.integers(0, len(b) - 1))
+    v = data.draw(st.integers(0, 255))
+    b[i] = v
+    try:
+        out = decode_gif(bytes(b))
+        assert out.ndim == 3 and out.shape[2] == 3
+    except ImageDecodeError:
+        pass
+
+
+@settings(max_examples=soak_examples(25), **_SETTINGS)
+@given(
+    bh=st.integers(1, 3),
+    bw=st.integers(1, 3),
+    seed=st.integers(0, 2**31 - 1),
+    quality=st.integers(50, 95),
+)
+def test_jpeg_flat_tiles_within_dc_bound(bh, bw, seed, quality):
+    rng = np.random.default_rng(seed)
+    tiles = rng.integers(0, 256, (bh, bw), dtype=np.uint8)
+    img = np.kron(tiles, np.ones((8, 8), np.uint8))
+    got = decode_jpeg(encode_jpeg(img, quality=quality))[:, :, 0]
+    exp = img.astype(int)
+    # DC quant step at quality q: bound = ceil(step/8/2) + 1 rounding
+    from pandasql_spark.functions.jpegcodec import QUANT_LUMA, _scaled_quant
+
+    q0 = int(_scaled_quant(QUANT_LUMA, quality)[0, 0])
+    bound = q0 / 16 + 1
+    assert np.abs(got - exp).max() <= bound
+
+
+@settings(max_examples=soak_examples(20), **_SETTINGS)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    seed=st.integers(0, 2**31 - 1),
+    color=st.booleans(),
+)
+def test_jpeg_arbitrary_content_roundtrip_bounded(h, w, seed, color):
+    """Noise is the worst case for DCT quantization: the decode must
+    stay within a generous-but-finite bound and exact dims/channels."""
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    assert out.shape[:2] == (h, w)
+    assert out.shape[2] == (3 if color else 1)
+    ref = img if color else img[:, :, None]
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 48
+
+
+@settings(max_examples=soak_examples(25), **_SETTINGS)
+@given(
+    h=st.integers(1, 16), w=st.integers(1, 16),
+    seed=st.integers(0, 2**31 - 1), data=st.data(),
+)
+def test_jpeg_mutation_never_garbles_silently(h, w, seed, data):
+    rng = np.random.default_rng(seed)
+    b = bytearray(encode_jpeg(rng.integers(0, 256, (h, w), dtype=np.uint8)))
+    i = data.draw(st.integers(0, len(b) - 1))
+    b[i] = data.draw(st.integers(0, 255))
+    try:
+        out = decode_jpeg(bytes(b))
+        assert out.ndim == 3
+    except ImageDecodeError:
+        pass
