@@ -117,3 +117,35 @@ def test_jpeg_mutation_never_garbles_silently(h, w, seed, data):
         assert out.ndim == 3
     except ImageDecodeError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# WAV: single-byte mutations normalize to AudioDecodeError or decode to
+# a shape-valid result (same robustness contract as the image codecs)
+
+
+@settings(max_examples=soak_examples(30), **_SETTINGS)
+@given(
+    ns=st.integers(1, 200),
+    ch=st.integers(1, 3),
+    k=st.integers(0, 3),
+    seed=st.integers(0, 2**31 - 1),
+    data=st.data(),
+)
+def test_wav_mutation_never_garbles_silently(ns, ch, k, seed, data):
+    from pandasql_spark.functions.audiocodec import (
+        AudioDecodeError,
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-(2**15), 2**15, (ns, ch)).astype(np.int16)
+    b = bytearray(encode_wav(samples, 1000 * (1 << k)))
+    i = data.draw(st.integers(0, len(b) - 1))
+    b[i] = data.draw(st.integers(0, 255))
+    try:
+        rate, out = decode_wav(bytes(b))
+        assert out.ndim == 2 and rate > 0
+    except AudioDecodeError:
+        pass
