@@ -375,3 +375,13 @@ def test_gif_lzw_table_overflow_reset():
     rgb = _rand_rgb(rng, 120, 120, 256)  # 14400 px, 256 colors
     got = decode_gif(encode_gif(rgb))
     assert (got == rgb).all()
+
+
+def test_gif87a_header_variant_decodes():
+    from pandasql_spark.functions.imagecodec import decode_gif, encode_gif
+
+    rng = np.random.default_rng(23)
+    rgb = _rand_rgb(rng, 5, 5, 4)
+    b = bytearray(encode_gif(rgb))
+    b[3:6] = b"87a"
+    assert (decode_gif(bytes(b)) == rgb).all()

@@ -218,3 +218,30 @@ def test_restart_markers_reset_prediction():
     assert out.shape == (8, 16)
     assert np.abs(out[:, :8].astype(int) - recon[0]).max() == 0
     assert np.abs(out[:, 8:].astype(int) - recon[1]).max() == 0
+
+
+def test_422_and_440_subsampled_decode():
+    """4:2:2 (h=2,v=1) and 4:4:0 (h=1,v=2) MCU layouts through the
+    same hand-rolled DC-only construction as the 4:2:0 test."""
+    dqt, qt = _dqt_flat()
+    q0 = int(qt[0, 0])
+    val = 77
+    dc = int(round((val - 128) * 8.0 / q0))
+    recon = int(np.clip(round(dc * q0 / 8.0 + 128), 0, 255))
+    dc_l = _canonical_codes(*DC_LUMA_SPEC)
+    dc_c = _canonical_codes(*DC_CHROMA_SPEC)
+
+    for hv, w, h, ny in ((0x21, 16, 8, 2), (0x12, 8, 16, 2)):
+        sof = _marker(0xC0, struct.pack(">BHHB", 8, h, w, 3)
+                      + bytes([1, hv, 0]) + bytes([2, 0x11, 0])
+                      + bytes([3, 0x11, 0]))
+        sos = _marker(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11])
+                      + b"\x00\x3f\x00")
+        blocks = [(dc_l, dc, None)] + [(dc_l, 0, None)] * (ny - 1) \
+            + [(dc_c, 0, None), (dc_c, 0, None)]
+        data = _dc_only_stream(dc_l, blocks)
+        b = (b"\xff\xd8" + dqt + _dht_segments() + sof + sos + data
+             + b"\xff\xd9")
+        out = decode_jpeg(b)
+        assert out.shape == (h, w, 3)
+        assert np.abs(out.astype(int) - recon).max() <= 1
