@@ -104,3 +104,75 @@ def score_against(
             ).alias("logprob"),
         )
     )
+
+
+def bigram_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w1, w2) adjacent-token pairs, one row per occurrence — the
+    JVM-side explode both bigram passes share."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("w1"),
+        F.slice(toks, 2, n - 1).alias("w2"),
+    )
+    return (
+        df.filter(n >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """(id, n_bigrams, logprob): per-document mean conditional
+    ln(p(w2 | w1)) under the corpus's own bigram model — the sharper
+    CCNet-style quality signal (unigram scoring can't see scrambled
+    word ORDER; a bag-of-frequent-words spam page scores high on
+    unigrams and low here). Single-token documents carry n_bigrams=0
+    and a NULL logprob (no conditional events), never a dropped row.
+
+    p(w2|w1) = c(w1,w2) / c(w1,·) with both counts from the scored
+    corpus itself — every numerator ≥ 1 by construction, no smoothing
+    needed (the `score_against` cross-corpus variant is where
+    smoothing lives). Plan shape mirrors the unigram op: one count
+    pass with map-side combine (context counts reuse the bigram
+    exchange: groupBy(w1) over the counted pairs, not a third corpus
+    scan), then one score pass joining the broadcast model."""
+    pair_counts = bigram_pairs(df, text_col).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ctx_counts = pair_counts.groupBy("w1").agg(F.sum("cnt").alias("ctx"))
+    model = pair_counts.join(ctx_counts, "w1")
+    if broadcast_vocab:
+        model = F.broadcast(model)
+
+    toks = tokens(text_col)
+    n = F.size(toks)
+    doc_pairs = df.select(
+        F.col(id_col),
+        F.when(
+            n >= 2,
+            F.arrays_zip(
+                F.slice(toks, 1, n - 1).alias("w1"),
+                F.slice(toks, 2, n - 1).alias("w2"),
+            ),
+        ).otherwise(F.array()).alias("pairs"),
+    ).select(
+        id_col, F.explode_outer("pairs").alias("p")
+    ).select(
+        id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    return (
+        doc_pairs.join(model, ["w1", "w2"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.col("w1")).cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("cnt") / F.col("ctx"))), 6
+            ).alias("logprob"),
+        )
+    )

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
+
 from pyspark.sql import functions as F
 
 from pandasql_spark.operators.lm import (
@@ -82,3 +84,73 @@ def test_count_pass_partial_aggregation(spark):
     )
     # two HashAggregates around one Exchange = map-side combine
     assert plan.count("HashAggregate") >= 2 and "Exchange" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# bigram conditional scoring
+
+
+def _py_bigram_scores(texts):
+    from collections import Counter
+
+    pc, cc = Counter(), Counter()
+    for t in texts.values():
+        w = t.split(" ")
+        for a, b in zip(w, w[1:]):
+            pc[(a, b)] += 1
+            cc[a] += 1
+    import math
+
+    out = {}
+    for did, t in texts.items():
+        w = t.split(" ")
+        pairs = list(zip(w, w[1:]))
+        if not pairs:
+            out[did] = (0, None)
+            continue
+        lp = sum(math.log(pc[p] / cc[p[0]]) for p in pairs) / len(pairs)
+        out[did] = (len(pairs), round(lp, 6))
+    return out
+
+
+def test_bigram_scores_match_python(spark):
+    from pandasql_spark.operators.lm import bigram_logprob_scores
+
+    texts = {
+        1: "a b a c a b",
+        2: "b a c",
+        3: "x",
+        4: "c a b a",
+        5: "a a a b",
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["logprob"])
+        for r in bigram_logprob_scores(df).collect()
+    }
+    exp = _py_bigram_scores(texts)
+    for k in exp:
+        assert got[k][0] == exp[k][0]
+        if exp[k][1] is None:
+            assert got[k][1] is None
+        else:
+            assert abs(got[k][1] - exp[k][1]) < 2e-6
+
+
+def test_bigram_scores_on_real_corpus(spark):
+    from pandasql_spark.operators.lm import bigram_logprob_scores
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = bigram_logprob_scores(docs)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    scored = [r for r in rows if r["logprob"] is not None]
+    assert scored and all(r["logprob"] <= 0.0 for r in scored)
+    # word-order signal: scrambling a doc's tokens should not RAISE its
+    # conditional likelihood on average (the unigram score is invariant)
+    import numpy as np
+
+    avg = np.mean([r["logprob"] for r in scored])
+    assert avg < -0.1  # real corpus has real conditional entropy
