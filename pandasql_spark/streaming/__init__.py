@@ -2,6 +2,7 @@
 the reference has no streaming at all — this is the Spark-native
 north-star addition over the `events` table)."""
 
+from .admission import admit_per_key_stream
 from .events import (
     click_purchase_interval_join,
     dedup_event_stream,
@@ -34,4 +35,5 @@ __all__ = [
     "replay_incremental_dedup",
     "windowed_kmv_distinct",
     "replay_windowed_kmv",
+    "admit_per_key_stream",
 ]

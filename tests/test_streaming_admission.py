@@ -1,0 +1,130 @@
+"""Streaming admission caps (streaming/admission.py): real-engine
+replays vs the batch first-n oracle, cross-batch counter continuation,
+per-key bounds, and arg validation."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pandasql_spark.streaming import admit_per_key_stream
+from pandasql_spark.streaming.events import EVENT_SCHEMA
+
+SF = "/root/testdata/sf0.001"
+
+
+def _batch_first_n(spark, n):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def _replay(spark, src_dir, n, max_files=None):
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    stream = reader.parquet(src_dir)
+    name = "adm" + uuid.uuid4().hex[:8]
+    q = (
+        admit_per_key_stream(stream, "event_type", n)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).toPandas()
+
+
+@pytest.fixture(scope="module")
+def staged_single(spark):
+    d = tempfile.mkdtemp(prefix="adm_single_")
+    os.symlink(
+        os.path.abspath(f"{SF}/events.parquet"),
+        os.path.join(d, "events.parquet"),
+    )
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def staged_chrono(spark):
+    """Two chronological files with ascending mtimes: a time-ordered
+    multi-batch replay."""
+    import time
+
+    d = tempfile.mkdtemp(prefix="adm_chrono_")
+    ev = spark.read.parquet(f"{SF}/events.parquet").orderBy("ts", "event_id")
+    pdf = ev.toPandas()
+    mid = pdf["ts"].sort_values().iloc[len(pdf) // 2]
+    early, late = pdf[pdf["ts"] <= mid], pdf[pdf["ts"] > mid]
+    for i, part in enumerate([early, late]):
+        path = os.path.join(d, f"chunk{i}.parquet")
+        spark.createDataFrame(part, schema=EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path + ".dir")
+        # flatten: the file source lists files; move the part file up
+        f = [x for x in os.listdir(path + ".dir") if x.endswith(".parquet")][0]
+        shutil.move(os.path.join(path + ".dir", f), path)
+        shutil.rmtree(path + ".dir")
+        os.utime(path, (time.time() + i, time.time() + i))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_single_batch_equals_batch_first_n(spark, staged_single):
+    n = 40
+    got = _replay(spark, staged_single, n)
+    exp = _batch_first_n(spark, n).toPandas()
+    key = ["event_id"]
+    got_s = got.sort_values(key, ignore_index=True)[exp.columns]
+    exp_s = exp.sort_values(key, ignore_index=True)
+    pd.testing.assert_frame_equal(got_s, exp_s)
+
+
+def test_chrono_multibatch_equals_batch_first_n(spark, staged_chrono):
+    """Time-ordered batches + intra-batch (ts, id) sort ⇒ admission
+    equals the global batch first-n — and the counter must CONTINUE
+    across micro-batches (a reset would re-admit n per batch)."""
+    n = 40
+    got = _replay(spark, staged_chrono, n, max_files=1)
+    exp = _batch_first_n(spark, n).toPandas()
+    assert len(got) == len(exp)
+    got_s = got.sort_values(["event_id"], ignore_index=True)[exp.columns]
+    exp_s = exp.sort_values(["event_id"], ignore_index=True)
+    pd.testing.assert_frame_equal(got_s, exp_s)
+    # per-key bound holds
+    assert got.groupby("event_type").size().max() <= n
+
+
+def test_small_cap_saturates_every_key(spark, staged_single):
+    got = _replay(spark, staged_single, 3)
+    sizes = got.groupby("event_type").size()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    avail = ev.groupby("event_type").size()
+    for k, a in avail.items():
+        assert sizes.get(k, 0) == min(3, a)
+
+
+def test_validation(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    with pytest.raises(ValueError, match="n must"):
+        admit_per_key_stream(ev, "event_type", 0)
+    with pytest.raises(ValueError, match="columns"):
+        admit_per_key_stream(ev, "nope", 5)
