@@ -5,11 +5,15 @@ struct — the only scalable representation: the bytes never leave the
 executors, all planning happens on metadata. Decode/feature kernels are
 Arrow-batched ``mapInPandas`` functions.
 
-Image decode is REAL: ``functions/imagecodec.py`` natively decodes PNG
-(zlib inflate + scanline unfilter) and parses JPEG/GIF headers, with an
-optional PIL fast path when installed. Only the *video* frame extractor
-remains a deterministic stub (no video codec in this container or in
-PIL); its row-explosion shape is production-real.
+Every modality decodes for REAL with no external libraries: PNG (zlib
+inflate + scanline unfilter), GIF (LZW), baseline JPEG (Huffman +
+IDCT) via ``functions/imagecodec.py``/``jpegcodec.py``; WAV/PCM audio
+via ``functions/audiocodec.py``; uncompressed-AVI video via
+``functions/videocodec.py`` (frame sampling re-encodes frames as PNG
+so they compose with the image operators). COMPRESSED video codecs
+(H.264, MJPEG, …) are explicitly rejected — no codec library exists
+in this container, and rejected-not-garbled is the contract; an
+optional PIL fast path accelerates images when installed.
 
 Scale notes: ``mapInPandas`` is shuffle-free (embarrassingly parallel);
 ``spark.sql.files.maxPartitionBytes`` bounds the bytes a single task
@@ -273,32 +277,76 @@ def sample_frames(
     id_col: str = "media_id",
     every_ms: int = 1000,
 ) -> DataFrame:
-    """Video frame-sampling plumbing: one output row per sampled frame.
-    Frame extraction is STUBBED to 3 deterministic frames (no video
-    codec in this container or in PIL); the row explosion shape
-    (media → many frames, each a binary) is real."""
+    """REAL video frame sampling: one output row per sampled frame,
+    decoded by the native uncompressed-AVI codec
+    (functions/videocodec.py — AVI is RIFF like WAV; compressed codecs
+    are explicitly unsupported, there is no codec library in this
+    container). Frames are sampled on the ``every_ms`` grid (index =
+    floor(t·fps/1000), deduplicated) and each sampled frame is
+    re-encoded as PNG (``frame_png``) so it flows straight into the
+    image operators (image_meta/extract_image_features). A payload that
+    is not a decodable AVI survives as ONE decode_ok=false row — the
+    corrupt-media contract, never a poisoned job."""
+    if every_ms < 1:
+        raise ValueError(f"every_ms must be >= 1, got {every_ms}")
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
+            T.StructField("decode_ok", T.BooleanType()),
             T.StructField("frame_idx", T.IntegerType()),
             T.StructField("frame_ms", T.LongType()),
-            T.StructField("frame_bytes", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("frame_png", T.BinaryType()),
         ]
     )
 
     def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.imagecodec import encode_png
+        from ..functions.videocodec import VideoDecodeError, decode_avi
+
         for pdf in it:
-            rows = {"media_id": [], "frame_idx": [], "frame_ms": [], "frame_bytes": []}
+            rows = {k.name: [] for k in out_schema.fields}
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                b = bytes(payload)
-                for i in range(3):  # stub: real decoder derives count from duration
-                    rows["media_id"].append(int(mid))
-                    rows["frame_idx"].append(i)
-                    rows["frame_ms"].append(i * every_ms)
-                    rows["frame_bytes"].append(
-                        hashlib.sha256(b + i.to_bytes(4, "little")).digest()
-                    )
-            yield pd.DataFrame(rows)
+                mid = int(mid)
+                try:
+                    fps, frames = decode_avi(bytes(payload))
+                except VideoDecodeError:
+                    rows["media_id"].append(mid)
+                    rows["decode_ok"].append(False)
+                    for c in ("frame_idx", "frame_ms", "width", "height",
+                              "frame_png"):
+                        rows[c].append(None)
+                    continue
+                n, h, w, _ = frames.shape
+                if fps <= 0:  # degenerate header: treat as 1 fps
+                    fps = 1.0
+                dur_ms = n * 1000.0 / fps
+                seen: set[int] = set()
+                t = 0.0
+                while t < dur_ms or (t == 0.0 and n):
+                    idx = min(int(t * fps / 1000.0), n - 1)
+                    if idx not in seen:
+                        seen.add(idx)
+                        rows["media_id"].append(mid)
+                        rows["decode_ok"].append(True)
+                        rows["frame_idx"].append(idx)
+                        rows["frame_ms"].append(int(round(idx * 1000.0 / fps)))
+                        rows["width"].append(w)
+                        rows["height"].append(h)
+                        rows["frame_png"].append(encode_png(frames[idx]))
+                    t += every_ms
+            yield pd.DataFrame(
+                {
+                    "media_id": rows["media_id"],
+                    "decode_ok": rows["decode_ok"],
+                    "frame_idx": pd.array(rows["frame_idx"], dtype="Int32"),
+                    "frame_ms": pd.array(rows["frame_ms"], dtype="Int64"),
+                    "width": pd.array(rows["width"], dtype="Int32"),
+                    "height": pd.array(rows["height"], dtype="Int32"),
+                    "frame_png": rows["frame_png"],
+                }
+            )
 
     return df.select(id_col, payload_col).mapInPandas(_batch, out_schema)
 

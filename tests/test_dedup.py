@@ -166,9 +166,12 @@ def test_multimodal_plumbing(spark):
     assert feats["sha256"].tolist() == f2["sha256"].tolist()
     assert [list(f) for f in feats["feature"]] == [list(f) for f in f2["feature"]]
 
+    # none of these payloads is an AVI: each survives as ONE
+    # decode_ok=false row (real decode now — stub era over)
     frames = multimodal.sample_frames(sdf).toPandas()
-    assert len(frames) == 36  # 3 per media
-    assert set(frames["frame_idx"]) == {0, 1, 2}
+    assert len(frames) == 12
+    assert not frames["decode_ok"].any()
+    assert frames["frame_png"].isna().all()
 
 
 def test_connected_components(spark):

@@ -1,0 +1,114 @@
+"""Native uncompressed-AVI codec + real frame sampling: frame-exact
+round-trips, compressed/corrupt rejection, sampling grid semantics,
+and the frames->PNG->image-operator composition."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pandasql_spark.functions.videocodec import (
+    VideoDecodeError,
+    avi_meta,
+    decode_avi,
+    encode_avi,
+)
+
+
+def _vid(n, h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+
+
+def test_roundtrip_frame_exact():
+    for n, h, w in [(1, 1, 1), (3, 5, 7), (4, 16, 9), (2, 8, 8)]:
+        fr = _vid(n, h, w)
+        fps, got = decode_avi(encode_avi(fr, fps=12))
+        assert fps == 12.0
+        assert got.shape == fr.shape
+        assert (got == fr).all()
+
+
+def test_meta():
+    assert avi_meta(encode_avi(_vid(5, 4, 6), fps=25)) == (6, 4, 5, 25.0)
+
+
+def test_row_padding_nonmultiple_of_4_width():
+    fr = _vid(2, 3, 5)  # 5*3=15 bytes/row -> padded to 16
+    _, got = decode_avi(encode_avi(fr))
+    assert (got == fr).all()
+
+
+def test_compressed_rejected():
+    b = bytearray(encode_avi(_vid(1, 4, 4)))
+    i = bytes(b).find(b"strf")
+    # biCompression lives 16 bytes into BITMAPINFOHEADER (after fourcc+size)
+    off = i + 8 + 16
+    b[off:off + 4] = b"MJPG"
+    with pytest.raises(VideoDecodeError, match="compressed"):
+        decode_avi(bytes(b))
+
+
+def test_corrupt_payloads_raise():
+    good = encode_avi(_vid(2, 4, 4))
+    for bad in [b"", b"RIFF", good[:40], b"RIFX" + good[4:],
+                good[:-20]]:
+        with pytest.raises(VideoDecodeError):
+            decode_avi(bad)
+
+
+def test_encode_validation():
+    with pytest.raises(ValueError, match="uint8"):
+        encode_avi(np.zeros((1, 2, 2, 3), np.float32))
+    with pytest.raises(ValueError, match="need"):
+        encode_avi(np.zeros((2, 2, 3), np.uint8))
+    with pytest.raises(ValueError, match="fps"):
+        encode_avi(_vid(1, 2, 2), fps=0)
+
+
+def test_sample_frames_real_decode(spark):
+    from pandasql_spark.functions.imagecodec import decode_png
+    from pandasql_spark.operators import multimodal
+
+    vids = {0: _vid(10, 6, 8, seed=1), 1: _vid(3, 4, 4, seed=2)}
+    pdf = pd.DataFrame(
+        {
+            "media_id": [0, 1, 2],
+            "payload": [encode_avi(vids[0], fps=2), encode_avi(vids[1], fps=1),
+                        b"not a video"],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    out = multimodal.sample_frames(sdf, every_ms=1000).toPandas()
+    bad = out[~out["decode_ok"]]
+    assert list(bad["media_id"]) == [2]
+    # media 0: 10 frames at 2 fps = 5 s; 1000 ms grid -> frames 0,2,4,6,8
+    m0 = out[(out["media_id"] == 0) & out["decode_ok"]]
+    assert list(m0["frame_idx"]) == [0, 2, 4, 6, 8]
+    assert list(m0["frame_ms"]) == [0, 1000, 2000, 3000, 4000]
+    # sampled frame decodes back to the EXACT original frame
+    for _, r in m0.iterrows():
+        px = decode_png(bytes(r["frame_png"]))
+        assert (px == vids[0][int(r["frame_idx"])]).all()
+    # media 1: 3 frames at 1 fps, one per second
+    m1 = out[(out["media_id"] == 1) & out["decode_ok"]]
+    assert list(m1["frame_idx"]) == [0, 1, 2]
+
+
+def test_sample_frames_composes_with_image_ops(spark):
+    from pandasql_spark.operators import multimodal
+
+    pdf = pd.DataFrame(
+        {"media_id": [7], "payload": [encode_avi(_vid(2, 5, 5, seed=3), fps=1)]}
+    )
+    frames = multimodal.sample_frames(
+        spark.createDataFrame(pdf), every_ms=1000
+    ).filter("decode_ok")
+    as_media = frames.selectExpr(
+        "media_id * 10 + frame_idx AS media_id", "frame_png AS payload"
+    )
+    meta = multimodal.image_meta(as_media, decode_pixels=True).toPandas()
+    assert meta["decode_ok"].all()
+    assert set(meta["format"]) == {"png"}
+    assert set(zip(meta["width"], meta["height"])) == {(5, 5)}
