@@ -383,6 +383,10 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         while pos < len(b):
             if b[pos] != 0xFF:
                 raise ImageDecodeError(f"bad marker byte at {pos}")
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+            # marker id — skip them instead of parsing one as a marker
+            while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+                pos += 1
             marker = b[pos + 1]
             pos += 2
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

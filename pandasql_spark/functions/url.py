@@ -49,9 +49,28 @@ def url_normalize(col: Column | str) -> Column:
     u = F.trim(F.regexp_replace(u, r"#.*", ""))
     scheme_host = F.regexp_extract(u, _SCHEME_HOST, 1)
     rest = F.substring(u, F.length(scheme_host) + 1, F.length(u))
-    sh = F.lower(scheme_host)
-    sh = F.regexp_replace(sh, r"^(http://[^:/]+):80$", "$1")
-    sh = F.regexp_replace(sh, r"^(https://[^:/]+):443$", "$1")
+    # lowercase ONLY scheme and host:port — userinfo is case-sensitive
+    # credential material and must pass through untouched; and the
+    # default-port strip must still fire when userinfo carries a ':'
+    scheme = F.lower(
+        F.regexp_extract(scheme_host, r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", 1)
+    )
+    userinfo = F.regexp_extract(scheme_host, r"^[^:]+://([^/?#@]*@)", 1)
+    hostport = F.lower(
+        F.regexp_extract(scheme_host, r"^[^:]+://(?:[^/?#@]*@)?([^/?#]*)$", 1)
+    )
+    hostport = (
+        F.when(
+            scheme == "http",
+            F.regexp_replace(hostport, r"^([^:]+):80$", "$1"),
+        )
+        .when(
+            scheme == "https",
+            F.regexp_replace(hostport, r"^([^:]+):443$", "$1"),
+        )
+        .otherwise(hostport)
+    )
+    sh = F.concat(scheme, F.lit("://"), userinfo, hostport)
     path = F.regexp_replace(rest, r"\?.*$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.regexp_extract(rest, r"\?(.*)$", 1)

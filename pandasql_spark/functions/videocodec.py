@@ -99,10 +99,11 @@ def decode_avi(b: bytes) -> tuple[float, np.ndarray]:
     try:
         w = h = None
         fps = 0.0
+        top_down = False
         frames: list[bytes] = []
 
         def walk_list(start: int, end: int) -> None:
-            nonlocal w, h, fps
+            nonlocal w, h, fps, top_down
             for fourcc, ps, pe in _walk(b, start, end):
                 if fourcc == b"LIST":
                     walk_list(ps + 4, pe)
@@ -121,7 +122,9 @@ def decode_avi(b: bytes) -> tuple[float, np.ndarray]:
                         )
                     if bits != 24:
                         raise VideoDecodeError(f"{bits}-bit DIB unsupported")
-                    w, h = bw, abs(bh)
+                    # negative biHeight = spec-valid TOP-DOWN row order:
+                    # decode it correctly (no flip), don't mirror it
+                    w, h, top_down = bw, abs(bh), bh < 0
                 elif fourcc in (b"00db", b"00dc"):
                     frames.append(b[ps:pe])
 
@@ -135,7 +138,8 @@ def decode_avi(b: bytes) -> tuple[float, np.ndarray]:
                 raise VideoDecodeError(f"frame {i} truncated")
             rows = np.frombuffer(fr, np.uint8, stride * h).reshape(h, stride)
             bgr = rows[:, : w * 3].reshape(h, w, 3)
-            out[i] = bgr[::-1, :, ::-1]  # bottom-up BGR → top-down RGB
+            rgb = bgr[:, :, ::-1] if top_down else bgr[::-1, :, ::-1]
+            out[i] = rgb
         return fps, out
     except VideoDecodeError:
         raise

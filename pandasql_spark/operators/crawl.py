@@ -54,7 +54,14 @@ def crawl_to_corpus(
         url_host(url_col).alias("host"),
         html_title(html_col).alias("title"),
         html_to_text(html_col).alias("text"),
-    ).withColumn("n_tokens", token_count("text").cast("long"))
+    ).withColumn(
+        # split('') yields [''] (1 token); an EMPTY extraction is zero
+        # tokens, so a tags-only page can actually be gated out
+        "n_tokens",
+        F.when(F.col("text") == "", F.lit(0))
+        .otherwise(token_count("text"))
+        .cast("long"),
+    )
 
     w = Window.partitionBy("url_norm").orderBy(F.col(id_col).asc())
     deduped = (

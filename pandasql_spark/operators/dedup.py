@@ -844,14 +844,17 @@ def line_dedup(
 
     Returns (id, text, n_kept, n_dropped).
 
-    Scale shape: two shuffles total — (1) the per-fingerprint window;
-    `keep="first"`'s rank-1 filter is exactly the WindowGroupLimit
-    shape (Spark 4 trims to 1 row per fingerprint per input partition
-    BELOW the exchange), so a boilerplate line occurring on billions of
-    pages ships one candidate per partition, not every copy, and
-    `keep="none"`'s count carries the same partial-agg property;
-    (2) the per-document regroup, whose payload is the surviving lines
-    (≤ the corpus, usually far less). Line CONTENT crosses the first
+    Scale shape (restructured after the round-7 review): bypass lines
+    (< min_chars — e.g. every empty line of a newline-heavy corpus)
+    NEVER enter the fingerprint shuffle, so there is no degenerate
+    NULL-fp window partition; `keep="first"` is a row_number FILTER
+    over the fp window — the exact shape Spark 4's WindowGroupLimit
+    rule trims PARTIALLY below the exchange (plan-asserted in tests),
+    so a boilerplate line occurring on billions of pages ships one
+    candidate per input partition, not every copy; `keep="none"` is a
+    partial-agg groupBy count joined back. Reassembly is one per-doc
+    regroup of the SURVIVORS plus a narrow (id, total) join that
+    resurrects fully-dropped documents. Line CONTENT crosses the fp
     shuffle once; at 100 TB swap the line for its fp + first-copy
     content join if lines are huge (not done here: lines are short by
     construction).
@@ -864,33 +867,54 @@ def line_dedup(
 
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        # F.split's pattern is a Java regex; \\Q...\\E quotes the
+        # separator so sep="." or "|" splits literally, matching the
+        # literal array_join on reassembly
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + sep + "\\E")
+        ).alias("pos", "line"),
     )
     dedupable = F.length("line") >= min_chars
-    w = Window.partitionBy("fp").orderBy(F.col("id").asc(), F.col("pos").asc())
-    tagged = lines.withColumn(
-        "fp", F.when(dedupable, F.md5(F.col("line")))
-    )
+    content = lines.filter(dedupable).withColumn("fp", F.md5(F.col("line")))
     if keep == "first":
-        kept = F.col("fp").isNull() | (F.row_number().over(w) == 1)
+        w = Window.partitionBy("fp").orderBy(F.col("id").asc(), F.col("pos").asc())
+        winners = (
+            content.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)  # rank filter => WindowGroupLimit
+            .drop("__rn", "fp")
+        )
     else:
-        wc = Window.partitionBy("fp")
-        kept = F.col("fp").isNull() | (F.count(F.lit(1)).over(wc) == 1)
-    flagged = tagged.withColumn("kept", kept)
-    surv = F.filter(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("pos"), F.col("line"), F.col("kept")))
-        ),
-        lambda s: s["kept"],
+        counts = content.groupBy("fp").agg(F.count(F.lit(1)).alias("__cnt"))
+        winners = (
+            content.join(counts, "fp")
+            .filter(F.col("__cnt") == 1)
+            .drop("__cnt", "fp")
+        )
+    kept_lines = winners.unionByName(lines.filter(~dedupable))
+    reassembled = kept_lines.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("line")))),
+                lambda st: st["line"],
+            ),
+            sep,
+        ).alias("text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), "\\Q" + sep + "\\E"))
+        .cast("long")
+        .alias("__total"),
     )
     return (
-        flagged.groupBy("id")
-        .agg(
-            F.array_join(
-                F.transform(surv, lambda s: s["line"]), sep
-            ).alias("text"),
-            F.sum(F.col("kept").cast("long")).alias("n_kept"),
-            F.sum((~F.col("kept")).cast("long")).alias("n_dropped"),
+        totals.join(reassembled, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("__total") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
         )
-        .withColumnRenamed("id", id_col)
     )

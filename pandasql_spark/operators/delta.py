@@ -38,11 +38,20 @@ def fingerprints(
     concat_ws, which would collide (NULL,"x") with ("x",NULL)."""
     if not content_cols:
         raise ValueError("content_cols must be non-empty")
+    return df.select(
+        F.col(key_col).alias("key"), content_fingerprint(content_cols).alias("fp")
+    )
+
+
+def content_fingerprint(content_cols: list[str]):
+    """The shared fingerprint Column: md5 over \\x1f-joined content
+    with NULL→\\x00 sentinels. ONE definition — snapshot_diff and
+    scd2_merge must never diverge on the sentinel scheme, or histories
+    computed across a change would mis-detect every row as changed."""
     parts = [
         F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in content_cols
     ]
-    fp = F.md5(F.concat_ws("\x1f", *parts))
-    return df.select(F.col(key_col).alias("key"), fp.alias("fp"))
+    return F.md5(F.concat_ws("\x1f", *parts))
 
 
 def snapshot_diff(
@@ -139,21 +148,16 @@ def scd2_merge(
             f"history must carry {valid_from_col!r} and {valid_to_col!r}"
         )
 
-    def _fp(df: DataFrame) -> F.Column:
-        parts = [
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-            for c in content_cols
-        ]
-        return F.md5(F.concat_ws("\x1f", *parts))
+    fp_col = content_fingerprint(content_cols)
 
     closed = history.filter(F.col(valid_to_col).isNotNull())
     open_ = history.filter(F.col(valid_to_col).isNull())
 
-    open_fp = open_.select(F.col(key_col), _fp(open_).alias("__fp_old"))
-    new_fp = snapshot.select(F.col(key_col), _fp(snapshot).alias("__fp_new"))
+    open_fp = open_.select(F.col(key_col), fp_col.alias("__fp_old"))
+    new_fp = snapshot.select(F.col(key_col), fp_col.alias("__fp_new"))
 
     # closes: open content × new fingerprints
-    o = open_.withColumn("__fp_old", _fp(open_)).join(
+    o = open_.withColumn("__fp_old", fp_col).join(
         new_fp, on=key_col, how="left"
     )
     gone_or_changed = F.col("__fp_new").isNull() | (
@@ -167,7 +171,7 @@ def scd2_merge(
     still_open = o.filter(~gone_or_changed).drop("__fp_old", "__fp_new")
 
     # inserts: new content × open fingerprints
-    n = snapshot.withColumn("__fp_new", _fp(snapshot)).join(
+    n = snapshot.withColumn("__fp_new", fp_col).join(
         open_fp, on=key_col, how="left"
     )
     inserts = (

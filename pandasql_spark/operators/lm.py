@@ -126,7 +126,7 @@ def bigram_logprob_scores(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    broadcast_vocab: bool = True,
+    broadcast_vocab: bool = False,
 ) -> DataFrame:
     """(id, n_bigrams, logprob): per-document mean conditional
     ln(p(w2 | w1)) under the corpus's own bigram model — the sharper
@@ -141,7 +141,12 @@ def bigram_logprob_scores(
     smoothing lives). Plan shape mirrors the unigram op: one count
     pass with map-side combine (context counts reuse the bigram
     exchange: groupBy(w1) over the counted pairs, not a third corpus
-    scan), then one score pass joining the broadcast model."""
+    scan), then one score pass joining the model. Unlike the UNIGRAM
+    vocabulary (bounded by the language), the bigram model grows with
+    the corpus — hundreds of millions of distinct pairs on a web
+    corpus — so ``broadcast_vocab`` defaults to FALSE here (shuffle
+    join; skewed 'the'-contexts are AQE's problem); opt in to the
+    broadcast only for bounded domains."""
     pair_counts = bigram_pairs(df, text_col).groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("cnt")
     )

@@ -323,7 +323,12 @@ def quantile_normalize(
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     qs = [i / k for i in range(1, k)]
-    cuts = grouped_exact_percentiles(df, group_cols, value_col, qs)
+    # cut points over NON-NULL values only: NULLs sort first under
+    # Spark's ascending window and would inflate n / occupy the lowest
+    # ranks, silently miscalibrating every non-null row in the group
+    cuts = grouped_exact_percentiles(
+        df.filter(F.col(value_col).isNotNull()), group_cols, value_col, qs
+    )
     cut_arrays = cuts.groupBy(*group_cols).agg(
         F.array_sort(F.collect_list("value")).alias("__cuts")
     )

@@ -4356,20 +4356,17 @@ REGISTRY: dict[str, QueryDef] = {
 # flipped to the cohort that was gated twice running, so nothing rests
 # twice in a row. Resting queries stay fully covered by pytest.
 #
-# Round-7 roster: the 29 r6-resting queries all rotate IN (green r5,
-# last rested r6 — nothing rests twice running). New-this-round q80/q81
-# gate immediately. Changed-this-round queries never rest: q62 (fused
-# MG kernel bigint fix), q79 (fresh-id keyspace fix), q76 (explicit
-# ttl_seconds after the replay-helper default change), q25 (similarity
-# router grew an exact= escape hatch), q73 (corpus_report grew the
-# audio surface — its no-audio path stays gated). Registry now holds
-# 81 → 31 rest, all green r6: the four r4-resting slots (q50–q52,
-# q57), thirteen of the r5-born operator cohort (q63–q72, q74, q75),
-# and fourteen r5-resting relational slots (q02, q03, q05, q07–q09,
-# q11, q13, q14, q28–q33). New-this-round q82–q91 gate immediately;
-# per policy one extra twice-green slot rests per addition (q04, q15,
-# q20, q35, q36, q37, q38, q42, q55, q61 — each green r6, rested r5,
-# so nothing rests two rounds running).
+# Round-7 roster (final): the 29 r6-resting queries all rotate IN
+# (green r5, last rested r6). New-this-round q80–q94 gate immediately;
+# changed-this-round queries never rest (q62, q79, q76, q25, q73 —
+# see COVERAGE.md "r7 note"). The registry holds 94 → 44 rest, all
+# green r6 and none resting two rounds running: the r4-resting slots
+# q50–q52/q57, the r5-born operator cohort q63–q72/q74/q75, the
+# r5-resting relational slots q02–q05/q07–q09/q11–q15/q20/q28–q33/
+# q35–q38/q42/q55/q61, plus q77/q78 (first-green r6, never rested).
+# Active = exactly 50; the eligible resting pool is spent — a new
+# gated query must wait for the r8 flip. COVERAGE.md's roster table
+# is the authoritative per-round record.
 _RESTING: tuple[str, ...] = (
     "q15_window_topn",
     "q36_array_dims",

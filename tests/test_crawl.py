@@ -62,3 +62,14 @@ def test_single_shuffle_plan(crawl_df):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "WindowGroupLimit" in plan
+
+
+def test_empty_extraction_counts_zero_tokens(spark):
+    rows = [(1, "http://a.com/x", "<script>only junk</script><style>p{}</style>"),
+            (2, "http://a.com/y", "<p>word</p>")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "url", "html"]))
+    out = {r["doc_id"]: r for r in crawl_to_corpus(df, min_tokens=1).collect()}
+    # the tags-only page extracts to '' -> 0 tokens -> gated OUT even
+    # at the min_tokens=1 default
+    assert set(out) == {2}
+    assert out[2]["n_tokens"] == 1

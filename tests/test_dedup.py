@@ -548,3 +548,30 @@ def test_line_dedup_partitioning_independent(lined_docs):
     a = sorted(map(tuple, line_dedup(df).collect()))
     b = sorted(map(tuple, line_dedup(df.repartition(7)).collect()))
     assert a == b
+
+
+def test_line_dedup_plan_window_group_limit(spark):
+    from pandasql_spark.operators.dedup import line_dedup
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        line_dedup(d)._jdf.queryExecution().executedPlan().toString()
+    )
+    # keep="first" must be the rank-FILTER shape Catalyst trims
+    # partially below the exchange; bypass lines never enter the window
+    assert "WindowGroupLimit" in plan
+
+
+def test_line_dedup_regex_metachar_separator(spark):
+    """sep is a LITERAL: '.' must not behave as a regex wildcard."""
+    from pandasql_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["nav.alpha", "nav.beta"]})
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_kept"], r["n_dropped"])
+        for r in line_dedup(df, sep=".").collect()
+    }
+    assert got[1] == ("nav.alpha", 2, 0)
+    assert got[2] == ("beta", 1, 1)  # 'nav' deduped across docs

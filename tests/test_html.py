@@ -149,3 +149,16 @@ def test_url_host_skips_userinfo(spark):
     ])
     assert got[0][1] == "site.com"
     assert got[1][1] == "h.org"
+
+
+def test_url_normalize_userinfo_preserved_and_port_stripped(spark):
+    got = _norm(spark, [
+        "HTTP://User:PW@Site.com:80/x",
+        "http://User:PW@site.com/x",
+        "https://U@h.org:443/",
+    ])
+    # credentials keep their case; scheme/host lowercase; :80 stripped
+    assert got[0][0] == "http://User:PW@site.com/x"
+    assert got[0] == got[1]  # the two variants collapse
+    assert got[0][1] == "site.com"
+    assert got[2][0] == "https://U@h.org/"

@@ -245,3 +245,14 @@ def test_422_and_440_subsampled_decode():
         out = decode_jpeg(b)
         assert out.shape == (h, w, 3)
         assert np.abs(out.astype(int) - recon).max() <= 1
+
+
+def test_fill_bytes_before_markers_accepted():
+    """T.81 B.1.1.2: 0xFF fill bytes may precede any marker."""
+    img = np.full((8, 8), 42, np.uint8)
+    good = encode_jpeg(img)
+    # inject fill bytes before the DQT marker (first marker after APP0)
+    i = good.find(b"\xff\xdb")
+    padded = good[:i] + b"\xff\xff\xff" + good[i:]
+    out = decode_jpeg(padded)
+    assert (out[:, :, 0] == 42).all()

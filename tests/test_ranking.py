@@ -235,3 +235,23 @@ def test_quantile_normalize_row_count_preserved(spark):
 
     o = spark.read.parquet(f"{SF}/orders.parquet")
     assert quantile_normalize(o, "o_totalprice", ["o_orderpriority"], k=7).count() == o.count()
+
+
+def test_quantile_normalize_null_values_do_not_shift_cuts(spark):
+    """NULL scores must not occupy cut ranks: the non-null rows'
+    percentiles are computed over the non-null distribution only."""
+    import pandas as _pd
+
+    from pandasql_spark.operators.ranking import quantile_normalize
+
+    vals = [float(v) for v in range(1, 11)]
+    with_nulls = spark.createDataFrame(
+        _pd.DataFrame({"g": ["a"] * 20, "v": vals + [None] * 10})
+    )
+    clean = spark.createDataFrame(_pd.DataFrame({"g": ["a"] * 10, "v": vals}))
+    got_n = {r["v"]: r["pct"] for r in
+             quantile_normalize(with_nulls, "v", ["g"], k=5).collect()
+             if r["v"] is not None}
+    got_c = {r["v"]: r["pct"] for r in
+             quantile_normalize(clean, "v", ["g"], k=5).collect()}
+    assert got_n == got_c

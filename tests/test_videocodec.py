@@ -112,3 +112,21 @@ def test_sample_frames_composes_with_image_ops(spark):
     assert meta["decode_ok"].all()
     assert set(meta["format"]) == {"png"}
     assert set(zip(meta["width"], meta["height"])) == {(5, 5)}
+
+
+def test_top_down_dib_decodes_upright():
+    """Negative biHeight = spec-valid top-down rows: frames must come
+    back upright, not mirrored."""
+    import struct as _struct
+
+    fr = _vid(1, 4, 4, seed=9)
+    b = bytearray(encode_avi(fr))
+    i = bytes(b).find(b"strf")
+    # rewrite biHeight (offset 8 into chunk payload + 4 for biWidth)
+    (bh,) = _struct.unpack_from("<i", b, i + 8 + 8)
+    _struct.pack_into("<i", b, i + 8 + 8, -bh)
+    # frame data in the file is bottom-up; a top-down header means the
+    # stored rows are already display order — so the decoded result of
+    # the UNCHANGED bytes must be the vertical flip of the original
+    _, got = decode_avi(bytes(b))
+    assert (got == fr[:, ::-1, :, :]).all()
