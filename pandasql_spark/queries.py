@@ -4097,6 +4097,40 @@ FROM gated
 """
 
 
+def q95_export_shards(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Training-data shard export (operators/shards.py): deterministic
+    md5-keyed shard assignment over documents (8 shards) plus the
+    audit manifest — per shard: row count, payload bytes, and an
+    order-independent bit_xor checksum over 60-bit content
+    fingerprints (the shared snapshot_diff sentinel scheme). The
+    oracle recomputes assignment, byte sums, and the XOR checksum
+    from scratch in SQL, so the gate proves a DuckDB reader could
+    independently audit a shard manifest this engine produced. The
+    filesystem write path (partitioned parquet + within-shard hash
+    order) is pinned by test_shards.py round-trips."""
+    from pandasql_spark.operators.shards import assign_shards, shard_manifest
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return shard_manifest(assign_shards(docs, 8, "doc_id"), ["text", "lang"])
+
+
+Q95_SQL = """
+SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT % 8
+         AS shard,
+       count(*) AS n_rows,
+       CAST(sum(coalesce(octet_length(encode(text)), 0)
+                + coalesce(octet_length(encode(lang)), 0)) AS BIGINT)
+         AS n_bytes,
+       bit_xor(('0x' || substr(md5(concat_ws(chr(31),
+                                             coalesce(text, chr(0)),
+                                             coalesce(lang, chr(0)))),
+                               1, 15))::BIGINT) AS checksum
+FROM documents
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_distinct": QueryDef(
@@ -4297,6 +4331,10 @@ REGISTRY: dict[str, QueryDef] = {
         q94_crawl_pipeline, Q94_SQL,
         "crawl->corpus pipeline (extract, canonicalize, dedup, gate, split)",
     ),
+    "q95_export_shards": QueryDef(
+        q95_export_shards, Q95_SQL,
+        "deterministic shard export manifest (bit_xor checksums)",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -4412,6 +4450,10 @@ _RESTING: tuple[str, ...] = (
     "q33_count_distinct",
     "q74_kmv_distinct",
     "q75_kmv_set_overlap",
+    # Born after the r7 active roster filled (pool spent — see comment
+    # above): pytest-covered now, gates at the r8 flip alongside the
+    # other r7-born candidates (COVERAGE.md "r8 (planned)").
+    "q95_export_shards",
 )
 assert set(_RESTING) <= set(REGISTRY), "roster names must exist"
 assert len(set(_RESTING)) == len(_RESTING), "duplicate resting entry"
