@@ -10,11 +10,17 @@ array filter/sort primitives that DuckDB mirrors 1:1 (the q93 oracle
 re-implements the same chain), same RE2-safe pattern discipline as
 functions/pii.py.
 
-Scope: syntactic normalization of absolute http(s) URLs. Percent-
-encoding canonicalization and IDN are NOT attempted (they change
-identity semantics and need tables, not regexes); a URL without an
-``scheme://host`` prefix passes through with only trim + fragment
-strip.
+Scope: syntactic normalization of absolute http(s) URLs, INCLUDING
+RFC 3986 §6.2.2 percent-encoding normalization — decode escapes of
+UNRESERVED characters (``%41``→``A``, ``%7E``→``~``) and uppercase
+the hex digits of every remaining escape (``%2f``→``%2F``). Both are
+table-free (``unhex``+``decode`` are JVM built-ins) and safe by
+construction: no unreserved character is a delimiter, so decoding can
+never change the URL's structure, and ``%25`` (the escape for ``%``
+itself) is reserved so nothing is ever double-decoded. Full generic
+percent-decoding and IDN remain non-goals (they change identity
+semantics); a URL without a ``scheme://host`` prefix passes through
+with only trim + fragment strip + percent normalization.
 """
 
 from __future__ import annotations
@@ -27,10 +33,44 @@ TRACKING_PARAM_PATTERN = r"^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=.*)?$"
 
 _SCHEME_HOST = r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)"
 
+#: uppercase hex codes of RFC 3986 unreserved characters:
+#: 0-9 (30-39), A-Z (41-5A), a-z (61-7A), '-' (2D) '.' (2E) '_' (5F) '~' (7E)
+_UNRESERVED_HEX = r"^(3[0-9]|4[1-9A-F]|5[0-9A]|6[1-9A-F]|7[0-9A]|2[DE]|5F|7E)$"
+
+
+def _pct_normalize(c: Column) -> Column:
+    """RFC 3986 §6.2.2: decode percent-escapes of unreserved chars,
+    uppercase the hex of the rest. Split on '%': piece 0 is literal;
+    each later piece starts where an escape would. A malformed escape
+    (non-hex or truncated) passes through byte-identical."""
+    parts = F.split(c, "%", -1)
+
+    def _fix(p: Column, i: Column) -> Column:
+        h2 = F.upper(p.substr(F.lit(1), F.lit(2)))
+        rest = p.substr(F.lit(3), F.length(p))
+        return (
+            F.when(i == 0, p)
+            .when(
+                h2.rlike(_UNRESERVED_HEX),
+                F.concat(F.decode(F.unhex(h2), "UTF-8"), rest),
+            )
+            .when(
+                h2.rlike(r"^[0-9A-F]{2}$"),
+                F.concat(F.lit("%"), h2, rest),
+            )
+            .otherwise(F.concat(F.lit("%"), p))
+        )
+
+    return F.array_join(F.transform(parts, _fix), "")
+
 
 def url_host(col: Column | str) -> Column:
-    """Lowercased host ('' for non-absolute URLs), port excluded."""
-    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    """Lowercased host ('' for non-absolute URLs), port excluded.
+    Percent-normalized first so escaped host bytes (``ex%61mple.com``)
+    key identically to their decoded form — hosts are the per-domain
+    accounting / split key, so they must share url_normalize's
+    identity semantics."""
+    c = _pct_normalize(F.trim(F.col(col) if isinstance(col, str) else col))
     # optional userinfo@ is skipped non-capturing: the host of
     # http://user:pw@site.com/x is site.com, not user
     return F.lower(
@@ -41,12 +81,17 @@ def url_host(col: Column | str) -> Column:
 
 
 def url_normalize(col: Column | str) -> Column:
-    """Canonical form: trim → drop fragment → lowercase scheme://host
-    → drop default :80/:443 → empty path becomes '/' → tracking params
-    dropped, remaining query params SORTED; '?' dropped when no params
-    survive."""
+    """Canonical form: trim → drop fragment → percent-normalize
+    (decode unreserved escapes, uppercase remaining escape hex) →
+    lowercase scheme://host → drop default :80/:443 → empty path
+    becomes '/' → tracking params dropped, remaining query params
+    SORTED; '?' dropped when no params survive. Percent normalization
+    runs BEFORE component extraction so escaped scheme/host bytes
+    (``htt%70://``) and escaped tracking-param names
+    (``%75tm_source``) still canonicalize."""
     u = F.trim(F.col(col) if isinstance(col, str) else col)
     u = F.trim(F.regexp_replace(u, r"#.*", ""))
+    u = _pct_normalize(u)
     scheme_host = F.regexp_extract(u, _SCHEME_HOST, 1)
     rest = F.substring(u, F.length(scheme_host) + 1, F.length(u))
     # lowercase ONLY scheme and host:port — userinfo is case-sensitive

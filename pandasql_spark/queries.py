@@ -3979,13 +3979,17 @@ FROM decoded
 def q93_url_normalize(spark: SparkSession, sf: str) -> SparkDataFrame:
     """URL canonicalization (functions/url.py): each document renders a
     deliberately messy absolute URL — uppercase scheme/host, default
-    :80 port on a third of rows, a tracking parameter, unsorted query
-    params, a fragment on even ids — and url_normalize must collapse
-    every variant axis at once. The oracle is CLOSED FORM: it renders
-    the already-canonical URL directly from doc_id, so the gate passes
-    only if normalization removes exactly the junk and nothing else
-    (path case and non-default ports must survive — covered by unit
-    tests; here every axis is exercised corpus-wide)."""
+    :80 port on a third of rows, a PERCENT-ENCODED tracking parameter
+    (``%75tm_source`` → ``utm_source``, must still be recognized and
+    dropped), an unreserved escape in the path (``%41`` → ``A`` with
+    the original case kept), a lowercase reserved escape in a param
+    value (``%2f`` → ``%2F``: uppercased, NOT decoded), unsorted query
+    params, and a fragment on even ids — and url_normalize must
+    collapse every variant axis at once. The oracle is CLOSED FORM: it
+    renders the already-canonical URL directly from doc_id, so the
+    gate passes only if normalization removes exactly the junk and
+    nothing else (path case and non-default ports must survive —
+    covered by unit tests; here every axis is exercised corpus-wide)."""
     from pandasql_spark.functions.url import url_host, url_normalize
 
     d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
@@ -3994,11 +3998,11 @@ def q93_url_normalize(spark: SparkSession, sf: str) -> SparkDataFrame:
         (F.col("doc_id") % 7).cast("string"),
         F.lit(".COM"),
         F.when(F.col("doc_id") % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
-        F.lit("/p/"),
+        F.lit("/p%41th/"),
         F.col("doc_id").cast("string"),
         F.lit("?b="),
         (F.col("doc_id") % 5).cast("string"),
-        F.lit("&utm_source=t&a=1"),
+        F.lit("&%75tm_source=t&a=%7e%2fx"),
         F.when(F.col("doc_id") % 2 == 0, F.lit("#sec")).otherwise(F.lit("")),
     )
     u = d.select("doc_id", raw.alias("url"))
@@ -4011,8 +4015,8 @@ def q93_url_normalize(spark: SparkSession, sf: str) -> SparkDataFrame:
 
 Q93_SQL = """
 SELECT doc_id,
-       'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/p/'
-         || CAST(doc_id AS VARCHAR) || '?a=1&b='
+       'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/pAth/'
+         || CAST(doc_id AS VARCHAR) || '?a=~%2Fx&b='
          || CAST(doc_id % 5 AS VARCHAR) AS norm,
        'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host
 FROM documents

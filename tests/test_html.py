@@ -151,6 +151,36 @@ def test_url_host_skips_userinfo(spark):
     assert got[1][1] == "h.org"
 
 
+def test_url_percent_encoding_normalization(spark):
+    got = _norm(spark, [
+        "http://h.com/p%41th%7e/x",        # unreserved escapes decode
+        "http://h.com/a%2fb?q=%2f",        # reserved: hex uppercased only
+        "http://h.com/%zz%4",              # malformed escapes pass through
+        "http://h.com/%2541",              # %25→'%' is reserved: no double-decode
+        "HTT%50://H.com/x",                # escaped scheme byte still canonicalizes
+        "http://h.com/p?%75tm_source=t&a=1",  # escaped tracking param dropped
+        "http://ex%61mple.COM/x",          # escaped host byte, then lowercased
+    ])
+    assert got[0][0] == "http://h.com/pAth~/x"
+    assert got[1][0] == "http://h.com/a%2Fb?q=%2F"
+    assert got[2][0] == "http://h.com/%zz%4"
+    assert got[3][0] == "http://h.com/%2541"
+    assert got[4][0] == "http://h.com/x"
+    assert got[5][0] == "http://h.com/p?a=1"
+    assert got[6][0] == "http://example.com/x"
+    assert got[6][1] == "example.com"
+
+
+def test_url_percent_normalization_idempotent(spark):
+    urls = [
+        "http://h.com/p%41th%7e/x?q=%2f%2E",
+        "http://h.com/%zz%4%2541",
+    ]
+    first = [v[0] for _, v in sorted(_norm(spark, urls).items())]
+    second = [v[0] for _, v in sorted(_norm(spark, first).items())]
+    assert first == second
+
+
 def test_url_normalize_userinfo_preserved_and_port_stripped(spark):
     got = _norm(spark, [
         "HTTP://User:PW@Site.com:80/x",
