@@ -85,7 +85,19 @@ HEADLINE = [
     "q92_html_extract",
     "q93_url_normalize",
     "q94_crawl_pipeline",
+    "q95_export_shards",
+    "q96_video_frames",
+    "q97_stream_admission",
+    "q98_bigram_lm",
 ]
+
+#: fixed drift sentinel: timed min-of-3 immediately after warmup and
+#: again after the whole sweep. Its plan never changes round-to-round,
+#: so (start_s, end_s) expose machine noise *within* this bench run —
+#: compare per-query movers against the sentinel ratio before calling
+#: them regressions (r7's +9.5% common-query drift was unattributable
+#: because nothing recorded contemporaneous machine state).
+SENTINEL = "q02_filter_distinct"
 
 
 def _sf_from_dir(d: str) -> float:
@@ -96,9 +108,19 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
+def _min_of(fn, spark, n: int = 3) -> float:
+    runs = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 3)
+
+
 def main() -> None:
     spark = get_spark("pandasql-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    load_start = os.getloadavg()
 
     # warmup: JVM, codegen, parquet footer cache
     REGISTRY["q02_filter_distinct"].fn(spark, SF_DIR).write.format("noop").mode(
@@ -119,6 +141,9 @@ def main() -> None:
     REGISTRY[HEADLINE[0]].fn(spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
+    spark.catalog.clearCache()
+
+    sentinel_start = _min_of(REGISTRY[SENTINEL].fn, spark)
     spark.catalog.clearCache()
 
     # min of 3 runs per query: the first run pays one-time costs (JIT,
@@ -175,6 +200,13 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["q40_ann_ivf_cold_build_probe"] = f"{type(exc).__name__}: {exc}"[:300]
 
+    try:
+        sentinel_end = _min_of(REGISTRY[SENTINEL].fn, spark)
+    except Exception as exc:  # noqa: BLE001
+        sentinel_end = None
+        errors["sentinel_end"] = f"{type(exc).__name__}: {exc}"[:300]
+    spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_runtime",
@@ -182,6 +214,18 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
+        # drift attribution: 1/5/15-min load averages around the run and
+        # a fixed sentinel query timed at both ends — compare movers
+        # against the sentinel ratio before calling them regressions
+        "load_avg": {
+            "start": [round(x, 2) for x in load_start],
+            "end": [round(x, 2) for x in os.getloadavg()],
+        },
+        "sentinel": {
+            "name": SENTINEL,
+            "start_s": sentinel_start,
+            "end_s": sentinel_end,
+        },
     }
     try:
         out["ingest"] = bench_ingest(spark)

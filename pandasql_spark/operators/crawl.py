@@ -32,6 +32,33 @@ from ..functions.text import token_count
 from ..functions.url import url_host, url_normalize
 
 
+def extract_crawl_columns(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stages 1+2 (extract + canonicalize) as one stateless projection:
+    (id, url_norm, host, title, text, n_tokens). Shared verbatim by the
+    batch pipeline below and the streaming ingest
+    (streaming/crawl_ingest.py), so the two surfaces extract
+    identically by construction."""
+    return df.select(
+        F.col(id_col),
+        url_normalize(url_col).alias("url_norm"),
+        url_host(url_col).alias("host"),
+        html_title(html_col).alias("title"),
+        html_to_text(html_col).alias("text"),
+    ).withColumn(
+        # split('') yields [''] (1 token); an EMPTY extraction is zero
+        # tokens, so a tags-only page can actually be gated out
+        "n_tokens",
+        F.when(F.col("text") == "", F.lit(0))
+        .otherwise(token_count("text"))
+        .cast("long"),
+    )
+
+
 def crawl_to_corpus(
     df: DataFrame,
     html_col: str = "html",
@@ -48,20 +75,7 @@ def crawl_to_corpus(
     same URL: dedup keeps the min-id fetch, quality judges the text)."""
     if min_tokens < 0:
         raise ValueError(f"min_tokens must be >= 0, got {min_tokens}")
-    extracted = df.select(
-        F.col(id_col),
-        url_normalize(url_col).alias("url_norm"),
-        url_host(url_col).alias("host"),
-        html_title(html_col).alias("title"),
-        html_to_text(html_col).alias("text"),
-    ).withColumn(
-        # split('') yields [''] (1 token); an EMPTY extraction is zero
-        # tokens, so a tags-only page can actually be gated out
-        "n_tokens",
-        F.when(F.col("text") == "", F.lit(0))
-        .otherwise(token_count("text"))
-        .cast("long"),
-    )
+    extracted = extract_crawl_columns(df, html_col, url_col, id_col)
 
     w = Window.partitionBy("url_norm").orderBy(F.col(id_col).asc())
     deduped = (

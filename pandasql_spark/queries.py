@@ -4135,6 +4135,180 @@ ORDER BY 1
 """
 
 
+def q96_video_frames(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Video pipeline with REAL native uncompressed-AVI decode, end to
+    end (the video analog of q80/q86/q90): each document renders an
+    actual RIFF/AVI payload (functions/videocodec.encode_avi) whose
+    dims and frame count are deterministic functions of len(text) and
+    whose pixel values follow the closed form x + 3y + 17c + 5i (all
+    < 256, so no mod wrap); operators/multimodal.sample_frames then
+    decodes it back — RIFF chunk walk, BGR/bottom-up DIB unpack — and
+    samples the 500 ms grid at fps=4, i.e. exactly the EVEN frame
+    indices; each sampled frame re-encodes as PNG and a second,
+    independent image_meta stage PNG-decodes it for per-frame pixel
+    means. The oracle recomputes the sampled index set and every mean
+    in closed form ((w-1)/2 + 3(h-1)/2 + 17 + 5·idx — exact rational,
+    identical correctly-rounded float64 on both engines): the Spark
+    side can only match by truly decoding AVI frames AND the PNG
+    round-trip. Docs with len(text) % 11 == 0 carry garbage bytes —
+    the corrupt-media contract (one decode_ok=false row, NULL stats,
+    job survives)."""
+    from pandasql_spark.operators.multimodal import image_meta, sample_frames
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+
+    def render(it):
+        import numpy as np
+        import pandas as pd
+
+        from pandasql_spark.functions.videocodec import encode_avi
+
+        for pdf in it:
+            payloads = []
+            for t in pdf["text"]:
+                n = len(t)
+                if n % 11 == 0:
+                    payloads.append(b"\x00" * 32)
+                    continue
+                w, h, nf = 4 + n % 5, 3 + n % 7, 2 + n % 5
+                x = np.arange(w).reshape(1, 1, w, 1)
+                y = np.arange(h).reshape(1, h, 1, 1)
+                c = np.arange(3).reshape(1, 1, 1, 3)
+                i = np.arange(nf).reshape(nf, 1, 1, 1)
+                frames = (x + 3 * y + 17 * c + 5 * i).astype(np.uint8)
+                payloads.append(encode_avi(frames, fps=4))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    media = d.mapInPandas(render, "media_id long, payload binary")
+    frames = sample_frames(media, every_ms=500)
+    ok = frames.filter(F.col("decode_ok")).withColumn(
+        # composite per-frame id: frame_idx < 16 always (nf <= 6)
+        "fid", F.col("media_id") * 16 + F.col("frame_idx")
+    )
+    meta = image_meta(
+        ok.select(F.col("fid").alias("media_id"), F.col("frame_png").alias("payload")),
+        decode_pixels=True,
+    ).select(F.col("media_id").alias("fid"), "mean_px")
+    good = ok.join(meta, "fid").select(
+        "media_id",
+        "decode_ok",
+        "frame_idx",
+        "frame_ms",
+        "width",
+        "height",
+        F.round("mean_px", 6).alias("mean_px"),
+    )
+    bad = frames.filter(~F.col("decode_ok")).select(
+        "media_id",
+        "decode_ok",
+        "frame_idx",
+        "frame_ms",
+        "width",
+        "height",
+        F.lit(None).cast("double").alias("mean_px"),
+    )
+    return good.unionByName(bad)
+
+
+Q96_SQL = """
+WITH t AS (
+  SELECT doc_id, length(text) AS n FROM documents
+),
+p AS (
+  SELECT doc_id, 4 + n % 5 AS w, 3 + n % 7 AS h, 2 + n % 5 AS nf
+  FROM t WHERE n % 11 <> 0
+),
+fr AS (
+  SELECT doc_id, w, h, unnest(range((nf + 1) // 2)) AS k FROM p
+)
+SELECT doc_id AS media_id, TRUE AS decode_ok,
+       CAST(2 * k AS INT) AS frame_idx,
+       CAST(2 * k * 250 AS BIGINT) AS frame_ms,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       round((3 * (w - 1) + 9 * (h - 1) + 102 + 30 * (2 * k))
+             / CAST(6 AS DOUBLE), 6) AS mean_px
+FROM fr
+UNION ALL
+SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL
+FROM t WHERE n % 11 = 0
+"""
+
+
+def q97_stream_admission(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Streaming per-key admission caps through the REAL streaming
+    engine (streaming/admission.py:admit_per_key_stream —
+    applyInPandasWithState with ONE counter per key, append mode): the
+    first 40 events per event_type are admitted, the rest dropped at
+    the door. The single-file testdata replays as one micro-batch
+    whose per-group rows are sorted by (ts, event_id) before
+    admission, so the result equals the batch first-n-by-(ts,
+    event_id) pick — which the oracle computes with a rank window.
+    Cross-batch counter continuation (the state part) is pinned by
+    tests/test_streaming_admission.py's chronological two-file replay.
+    Tenth gate-checked streaming surface."""
+    from pandasql_spark.streaming.admission import admit_per_key_stream
+    from pandasql_spark.streaming.events import _replay
+
+    return _replay(
+        spark,
+        f"{sf}/events.parquet",
+        lambda ev: admit_per_key_stream(ev, "event_type", 40),
+        "q97_admission_replay",
+        output_mode="append",
+    )
+
+
+Q97_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY ts, event_id
+  ) AS rn
+  FROM events
+) WHERE rn <= 40
+"""
+
+
+def q98_bigram_lm(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Bigram conditional LM quality scoring (operators/lm.py:
+    bigram_logprob_scores) — the word-ORDER-sensitive sharpening of
+    q72's unigram signal: per document, the mean ln p(w2|w1) under the
+    corpus's own bigram model, p(w2|w1) = c(w1,w2)/c(w1,·). One count
+    pass with map-side combine (context counts reuse the pair
+    exchange, not a third corpus scan), shuffle-join for the model
+    (bigram vocabularies grow with the corpus — broadcast is opt-in).
+    Single-token documents survive as n_bigrams=0 / NULL logprob. The
+    oracle recomputes both passes in SQL via zipped list-slice
+    unnests; ln/avg agree cross-engine after round-to-6 (the q72
+    recipe)."""
+    from pandasql_spark.operators.lm import bigram_logprob_scores
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return bigram_logprob_scores(docs)
+
+
+Q98_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+pairs AS (
+  SELECT doc_id, unnest(ts[1:len(ts)-1]) AS w1, unnest(ts[2:len(ts)]) AS w2
+  FROM toks WHERE len(ts) >= 2
+),
+pc AS (SELECT w1, w2, count(*) AS cnt FROM pairs GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(cnt) AS ctx FROM pc GROUP BY w1)
+SELECT t.doc_id,
+       CAST(count(p.w1) AS BIGINT) AS n_bigrams,
+       round(avg(ln(pc.cnt / CAST(c.ctx AS DOUBLE))), 6) AS logprob
+FROM toks t
+LEFT JOIN pairs p USING (doc_id)
+LEFT JOIN pc ON p.w1 = pc.w1 AND p.w2 = pc.w2
+LEFT JOIN ctx c ON p.w1 = c.w1
+GROUP BY t.doc_id
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_distinct": QueryDef(
@@ -4339,6 +4513,18 @@ REGISTRY: dict[str, QueryDef] = {
         q95_export_shards, Q95_SQL,
         "deterministic shard export manifest (bit_xor checksums)",
     ),
+    "q96_video_frames": QueryDef(
+        q96_video_frames, Q96_SQL,
+        "native AVI decode + frame sampling + PNG round-trip pixel means",
+    ),
+    "q97_stream_admission": QueryDef(
+        q97_stream_admission, Q97_SQL,
+        "streaming per-key admission caps (counter state, append mode)",
+    ),
+    "q98_bigram_lm": QueryDef(
+        q98_bigram_lm, Q98_SQL,
+        "bigram conditional LM scoring (word-order quality signal)",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -4398,66 +4584,65 @@ REGISTRY: dict[str, QueryDef] = {
 # flipped to the cohort that was gated twice running, so nothing rests
 # twice in a row. Resting queries stay fully covered by pytest.
 #
-# Round-7 roster (final): the 29 r6-resting queries all rotate IN
-# (green r5, last rested r6). New-this-round q80–q94 gate immediately;
-# changed-this-round queries never rest (q62, q79, q76, q25, q73 —
-# see COVERAGE.md "r7 note"). The registry holds 94 → 44 rest, all
-# green r6 and none resting two rounds running: the r4-resting slots
-# q50–q52/q57, the r5-born operator cohort q63–q72/q74/q75, the
-# r5-resting relational slots q02–q05/q07–q09/q11–q15/q20/q28–q33/
-# q35–q38/q42/q55/q61, plus q77/q78 (first-green r6, never rested).
-# Active = exactly 50; the eligible resting pool is spent — a new
-# gated query must wait for the r8 flip. COVERAGE.md's roster table
-# is the authoritative per-round record.
+# Round-8 roster (the planned flip, executed): the 45 r7-resting
+# queries all rotate IN (44 green r6, plus q95 shard export — born
+# after r7's pool was spent, oracle already written, gating for the
+# first time). New-this-round q96 (video frames), q97 (streaming
+# admission), q98 (bigram LM) gate immediately. Changed-this-round
+# queries never rest: q93 (url percent-encoding extension) and q94
+# (crawl pipeline — composes url_normalize underneath) stay gated.
+# The remaining 48 r7-gated queries rest, all green r7 and none
+# resting two rounds running. Registry holds 98 → active exactly 50.
+# COVERAGE.md's roster table is the authoritative per-round record.
 _RESTING: tuple[str, ...] = (
-    "q15_window_topn",
-    "q36_array_dims",
-    "q37_string_funcs",
-    "q38_pivot",
-    "q42_salted_agg",
-    "q55_csv_roundtrip",
-    "q61_stratified_sample",
-    "q20_cosine_topk",
-    "q04_topk",
-    "q35_shipping_priority",
-    "q12_having",
-    "q77_source_caps",
-    "q78_sampled_quantiles",
-    "q32_stats_agg",
-    "q02_filter_distinct",
-    "q03_predicates",
-    "q05_join_groupby",
-    "q07_join_diffkeys",
-    "q08_composite_join",
-    "q09_union",
-    "q11_derived_columns",
-    "q13_rename_sort_limit",
-    "q14_agg_global",
-    "q28_outer_join",
-    "q29_anti_join",
-    "q30_set_ops",
-    "q31_rollup",
-    "q50_jaccard_verified",
-    "q51_tfidf",
-    "q52_distribution",
-    "q57_moving_avg",
-    "q63_incremental_dedup",
-    "q64_sequence_packing",
-    "q65_exact_percentiles",
-    "q66_contamination",
-    "q67_repetition_signals",
-    "q68_pii_redaction",
-    "q69_semantic_dedup",
-    "q70_mixture_resample",
-    "q71_curation_pipeline",
-    "q72_unigram_logprob",
-    "q33_count_distinct",
-    "q74_kmv_distinct",
-    "q75_kmv_set_overlap",
-    # Born after the r7 active roster filled (pool spent — see comment
-    # above): pytest-covered now, gates at the r8 flip alongside the
-    # other r7-born candidates (COVERAGE.md "r8 (planned)").
-    "q95_export_shards",
+    "q01_pricing_summary",
+    "q06_multijoin_region",
+    "q10_embedding_neardup",
+    "q16_doc_profile",
+    "q17_session_windows_stream",
+    "q18_sliding_windows_stream",
+    "q19_dedup_exact",
+    "q21_events_hourly",
+    "q22_ngram_jaccard",
+    "q23_minhash_neardup",
+    "q24_simhash_neardup",
+    "q25_embedding_topk_pairs",
+    "q26_sessionize",
+    "q27_asof_join",
+    "q34_range_join",
+    "q39_winnowing",
+    "q40_ann_ivf",
+    "q41_multimodal",
+    "q43_decorrelated_scalar",
+    "q44_in_subquery",
+    "q45_cross_join",
+    "q46_json_props",
+    "q47_funnel",
+    "q48_write_roundtrip",
+    "q49_dedup_clusters",
+    "q53_stateful_running_totals",
+    "q54_fuzzy_match",
+    "q56_interval_join_stream",
+    "q58_stream_dedup",
+    "q59_stream_sink_roundtrip",
+    "q60_zorder_pruned_scan",
+    "q62_heavy_hitters",
+    "q73_corpus_report",
+    "q76_windowed_kmv_stream",
+    "q79_snapshot_diff",
+    "q80_audio",
+    "q81_audio_report",
+    "q82_bm25_topk",
+    "q83_scd2_merge",
+    "q84_hash_split",
+    "q85_chunking",
+    "q86_gif",
+    "q87_ann_join",
+    "q88_line_dedup",
+    "q89_quantize",
+    "q90_jpeg",
+    "q91_quantile_normalize",
+    "q92_html_extract",
 )
 assert set(_RESTING) <= set(REGISTRY), "roster names must exist"
 assert len(set(_RESTING)) == len(_RESTING), "duplicate resting entry"

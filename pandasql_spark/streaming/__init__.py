@@ -3,6 +3,10 @@ the reference has no streaming at all — this is the Spark-native
 north-star addition over the `events` table)."""
 
 from .admission import admit_per_key_stream
+from .crawl_ingest import (
+    crawl_ingest_stream,
+    replay_crawl_ingest,
+)
 from .events import (
     click_purchase_interval_join,
     dedup_event_stream,
@@ -36,4 +40,6 @@ __all__ = [
     "windowed_kmv_distinct",
     "replay_windowed_kmv",
     "admit_per_key_stream",
+    "crawl_ingest_stream",
+    "replay_crawl_ingest",
 ]

@@ -1,0 +1,201 @@
+"""Streaming crawl → training-corpus ingestion — the live twin of
+operators/crawl.crawl_to_corpus (q94). A crawl does not arrive as a
+finished corpus: pages stream in, per-host budgets must be enforced at
+the door, repeat fetches of the same canonical URL must be dropped
+against EVERYTHING already ingested, and survivors must land in a sink
+a retry can never duplicate.
+
+Pipeline (each stage backed by its own gated operator):
+
+1. enrich    — stateless ``host`` projection (functions/url.url_host)
+2. admission — ``admit_per_key_stream`` keyed by host
+   (streaming/admission.py, q97): at most ``host_cap`` pages per host
+   over the stream's lifetime, ONE counter per host of engine state
+3. extract   — ``extract_crawl_columns`` (operators/crawl.py): the
+   SAME stateless projection the batch pipeline runs, by construction
+4. dedup     — incremental exact URL dedup inside ``foreachBatch``
+   against a persisted url_norm store (the q63 store recipe: history
+   filtered to ``batch_id < current``, so a replayed batch neither
+   self-matches nor double-writes)
+5. quality   — min-token gate on the extracted text
+6. sink      — survivors append as parquet ``partitionBy(batch_id)``
+   under dynamic partition overwrite (idempotent-foreachBatch recipe,
+   same as streaming/incremental.py)
+
+Determinism: with monotone ingestion ids (arrival order = id order,
+the practical crawl contract and how the replay harness stages files),
+the final corpus equals the BATCH closed form — first ``host_cap``
+docs per host by id, then min-id per canonical URL, then the token
+gate — which is exactly what the q99 oracle recomputes in SQL.
+
+State at 100 TB: admission is one long per host (bounded by the
+host universe); the URL store grows one short string per admitted page
+— disk-resident parquet joined per batch, never executor memory; at
+production scale it would be a Delta/Iceberg table bucketed by
+url_norm, same join, same idempotency contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.url import url_host
+from ..operators.crawl import extract_crawl_columns
+from .admission import admit_per_key_stream
+from .incremental import _read_or_empty
+
+CRAWL_SCHEMA = "doc_id long, url string, html string"
+
+
+def process_crawl_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    corpus_dir: str,
+    html_col: str = "html",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    min_tokens: int = 1,
+) -> None:
+    """One micro-batch: extract → URL-dedup (within batch by min id,
+    then against strictly earlier batches) → token gate → idempotent
+    append. Exposed separately so tests can drive replay/idempotency
+    without a streaming query."""
+    spark = batch.sparkSession
+    extracted = extract_crawl_columns(batch, html_col, url_col, id_col)
+
+    w = Window.partitionBy("url_norm").orderBy(F.col(id_col).asc())
+    batch_first = (
+        extracted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # history = strictly earlier batches: a RETRY of this batch_id must
+    # not see its own previous write (it would drop the whole batch),
+    # and partition pruning keeps the read off the partition the retry
+    # overwrites (read-then-overwrite race) — the incremental.py recipe
+    hist = _read_or_empty(
+        spark, os.path.join(store_dir, "urls"), "url_norm string"
+    ).filter(F.col("batch_id") < F.lit(batch_id))
+    fresh = batch_first.join(
+        hist.select("url_norm").distinct(), "url_norm", "anti"
+    )
+    survivors = fresh.filter(F.col("n_tokens") >= min_tokens)
+
+    conf = spark.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # ALL the batch's canonical URLs enter the store — also the
+        # quality-gated-out ones: dedup keeps the first FETCH per URL,
+        # quality judges its text (the crawl_to_corpus contract), so a
+        # thin first fetch must still shadow later refetches
+        extracted.select("url_norm").distinct().withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.partitionBy("batch_id").mode("overwrite").parquet(
+            os.path.join(store_dir, "urls")
+        )
+        survivors.withColumn("batch_id", F.lit(batch_id)).write.partitionBy(
+            "batch_id"
+        ).mode("overwrite").parquet(corpus_dir)
+    finally:
+        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def crawl_ingest_stream(
+    crawl_stream: DataFrame,
+    store_dir: str,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    *,
+    host_cap: int,
+    min_tokens: int = 1,
+    html_col: str = "html",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+):
+    """Start the streaming ingest; returns the StreamingQuery.
+    ``crawl_stream`` must carry (id_col, url_col, html_col)."""
+    enriched = crawl_stream.withColumn("host", url_host(url_col))
+    admitted = admit_per_key_stream(
+        enriched, "host", host_cap, order_cols=(id_col,)
+    ).drop("host")
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        process_crawl_batch(
+            batch,
+            batch_id,
+            store_dir,
+            corpus_dir,
+            html_col=html_col,
+            url_col=url_col,
+            id_col=id_col,
+            min_tokens=min_tokens,
+        )
+
+    writer = (
+        admitted.writeStream.foreachBatch(_process)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def replay_crawl_ingest(
+    spark: SparkSession,
+    crawl_df: DataFrame,
+    n_batches: int = 3,
+    *,
+    host_cap: int,
+    min_tokens: int = 1,
+) -> DataFrame:
+    """Drive the ingest through the REAL streaming engine: stage the
+    bounded crawl frame (doc_id, url, html) as ``n_batches``
+    doc_id-ordered parquet files (``maxFilesPerTrigger=1`` → one
+    micro-batch each, arrival order = id order), run to completion,
+    return the corpus — which must equal the batch closed form the q99
+    oracle recomputes."""
+    import tempfile
+
+    from ..operators.ranking import exact_ntile
+
+    work = tempfile.mkdtemp(prefix="crawl_ingest_")
+    stage = os.path.join(work, "stage")
+    chunked = exact_ntile(
+        crawl_df.select("doc_id", "url", "html"),
+        n_batches,
+        ["doc_id"],
+        bucket_col="chunk",
+    )
+    for i in range(1, n_batches + 1):
+        d = os.path.join(stage, f"chunk_{i:02d}")
+        chunked.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        part = next(p for p in os.listdir(d) if p.startswith("part-"))
+        dest = os.path.join(stage, f"{i:02d}.parquet")
+        os.replace(os.path.join(d, part), dest)
+        # the file source orders micro-batches by modification time;
+        # pin strictly-increasing mtimes so chunk i replays as batch i-1
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(CRAWL_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "*.parquet"))
+    )
+    q = crawl_ingest_stream(
+        stream,
+        store_dir=os.path.join(work, "store"),
+        corpus_dir=os.path.join(work, "corpus"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        host_cap=host_cap,
+        min_tokens=min_tokens,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(work, "corpus")).drop("batch_id")
