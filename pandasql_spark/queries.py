@@ -4309,6 +4309,81 @@ GROUP BY t.doc_id
 """
 
 
+def q99_crawl_ingest_stream(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """Streaming crawl→corpus ingestion through the REAL streaming
+    engine (streaming/crawl_ingest.py): documents become messy crawl
+    records (q94's page construction; URL path doc_id % 11 so
+    canonical-URL collisions occur WITHIN a host's admission budget),
+    staged as 3 doc_id-ordered micro-batches. The live pipeline runs
+    host-keyed admission (q97's one-counter state, cap 40/host, the
+    cap straddles batch boundaries), the shared extract projection
+    (q92+q93), incremental URL dedup against the persisted store
+    (q63's batch_id < current recipe), a 40-token gate, and the
+    idempotent dynamic-partition-overwrite sink. With monotone ids the
+    corpus equals the batch closed form the oracle recomputes: first
+    40 per host by id → min-id per canonical URL → token gate.
+    Eleventh gate-checked streaming surface."""
+    from pandasql_spark.streaming.crawl_ingest import replay_crawl_ingest
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    page = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p{c:red}</style></head><body>"
+              "<script>var a=\"<p>decoy</p>\";</script><p>"),
+        F.replace(F.col("text"), F.lit(" "), F.lit("</p> <p>")),
+        F.lit("</p><!-- crawl:meta --><div>Q&amp;A&nbsp;&lt;x&gt;</div>"
+              "</body></html>"),
+    )
+    url = F.concat(
+        F.lit("HTTP://Site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        (F.col("doc_id") % 11).cast("string"),
+        F.lit("?b=2&utm_source=t&a=1"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    crawl = d.select("doc_id", url.alias("url"), page.alias("html"))
+    out = replay_crawl_ingest(
+        spark, crawl, n_batches=3, host_cap=40, min_tokens=40
+    )
+    return out.select(
+        "doc_id", "url_norm", "host", "title", "n_tokens",
+        F.md5(F.col("text")).alias("fp"),
+    )
+
+
+Q99_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         'doc ' || CAST(doc_id AS VARCHAR) || ' ' || text || ' Q&A <x>'
+           AS extracted,
+         'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/p/'
+           || CAST(doc_id % 11 AS VARCHAR) || '?a=1&b=2' AS url_norm,
+         'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host
+  FROM documents
+),
+admitted AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY host ORDER BY doc_id) AS hrn
+    FROM t
+  ) WHERE hrn <= 40
+),
+dedup AS (
+  SELECT *, row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) AS rn
+  FROM admitted
+)
+SELECT doc_id, url_norm, host,
+       'doc ' || CAST(doc_id AS VARCHAR) AS title,
+       CAST(len(string_split(extracted, ' ')) AS BIGINT) AS n_tokens,
+       md5(extracted) AS fp
+FROM dedup
+WHERE rn = 1 AND len(string_split(extracted, ' ')) >= 40
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_distinct": QueryDef(
@@ -4525,6 +4600,10 @@ REGISTRY: dict[str, QueryDef] = {
         q98_bigram_lm, Q98_SQL,
         "bigram conditional LM scoring (word-order quality signal)",
     ),
+    "q99_crawl_ingest_stream": QueryDef(
+        q99_crawl_ingest_stream, Q99_SQL,
+        "streaming crawl ingest (admission + dedup store + idempotent sink)",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -4584,65 +4663,64 @@ REGISTRY: dict[str, QueryDef] = {
 # flipped to the cohort that was gated twice running, so nothing rests
 # twice in a row. Resting queries stay fully covered by pytest.
 #
-# Round-8 roster (the planned flip, executed): the 45 r7-resting
-# queries all rotate IN (44 green r6, plus q95 shard export — born
-# after r7's pool was spent, oracle already written, gating for the
-# first time). New-this-round q96 (video frames), q97 (streaming
-# admission), q98 (bigram LM) gate immediately. Changed-this-round
-# queries never rest: q93 (url percent-encoding extension) and q94
-# (crawl pipeline — composes url_normalize underneath) stay gated.
-# The remaining 48 r7-gated queries rest, all green r7 and none
-# resting two rounds running. Registry holds 98 → active exactly 50.
+# Round-9 roster (the planned flip, executed): the 48 r8-resting
+# queries all rotate IN (all green r7). New-this-round q99 (streaming
+# crawl ingest — born after the r8 roster filled, exactly as q95 was
+# in r7) gates immediately. Changed-this-round queries never rest:
+# q96 (videocodec gains the MJPEG-in-AVI branch) stays gated. The
+# remaining 49 r8-gated queries rest, all green r8 and none resting
+# two rounds running. Registry holds 99 → active exactly 50.
 # COVERAGE.md's roster table is the authoritative per-round record.
 _RESTING: tuple[str, ...] = (
-    "q01_pricing_summary",
-    "q06_multijoin_region",
-    "q10_embedding_neardup",
-    "q16_doc_profile",
-    "q17_session_windows_stream",
-    "q18_sliding_windows_stream",
-    "q19_dedup_exact",
-    "q21_events_hourly",
-    "q22_ngram_jaccard",
-    "q23_minhash_neardup",
-    "q24_simhash_neardup",
-    "q25_embedding_topk_pairs",
-    "q26_sessionize",
-    "q27_asof_join",
-    "q34_range_join",
-    "q39_winnowing",
-    "q40_ann_ivf",
-    "q41_multimodal",
-    "q43_decorrelated_scalar",
-    "q44_in_subquery",
-    "q45_cross_join",
-    "q46_json_props",
-    "q47_funnel",
-    "q48_write_roundtrip",
-    "q49_dedup_clusters",
-    "q53_stateful_running_totals",
-    "q54_fuzzy_match",
-    "q56_interval_join_stream",
-    "q58_stream_dedup",
-    "q59_stream_sink_roundtrip",
-    "q60_zorder_pruned_scan",
-    "q62_heavy_hitters",
-    "q73_corpus_report",
-    "q76_windowed_kmv_stream",
-    "q79_snapshot_diff",
-    "q80_audio",
-    "q81_audio_report",
-    "q82_bm25_topk",
-    "q83_scd2_merge",
-    "q84_hash_split",
-    "q85_chunking",
-    "q86_gif",
-    "q87_ann_join",
-    "q88_line_dedup",
-    "q89_quantize",
-    "q90_jpeg",
-    "q91_quantile_normalize",
-    "q92_html_extract",
+    "q02_filter_distinct",
+    "q03_predicates",
+    "q04_topk",
+    "q05_join_groupby",
+    "q07_join_diffkeys",
+    "q08_composite_join",
+    "q09_union",
+    "q11_derived_columns",
+    "q12_having",
+    "q13_rename_sort_limit",
+    "q14_agg_global",
+    "q15_window_topn",
+    "q20_cosine_topk",
+    "q28_outer_join",
+    "q29_anti_join",
+    "q30_set_ops",
+    "q31_rollup",
+    "q32_stats_agg",
+    "q33_count_distinct",
+    "q35_shipping_priority",
+    "q36_array_dims",
+    "q37_string_funcs",
+    "q38_pivot",
+    "q42_salted_agg",
+    "q50_jaccard_verified",
+    "q51_tfidf",
+    "q52_distribution",
+    "q55_csv_roundtrip",
+    "q57_moving_avg",
+    "q61_stratified_sample",
+    "q63_incremental_dedup",
+    "q64_sequence_packing",
+    "q65_exact_percentiles",
+    "q66_contamination",
+    "q67_repetition_signals",
+    "q68_pii_redaction",
+    "q69_semantic_dedup",
+    "q70_mixture_resample",
+    "q71_curation_pipeline",
+    "q72_unigram_logprob",
+    "q74_kmv_distinct",
+    "q75_kmv_set_overlap",
+    "q77_source_caps",
+    "q78_sampled_quantiles",
+    "q93_url_normalize",
+    "q94_crawl_pipeline",
+    "q95_export_shards",
+    "q97_stream_admission",
+    "q98_bigram_lm",
 )
 assert set(_RESTING) <= set(REGISTRY), "roster names must exist"
 assert len(set(_RESTING)) == len(_RESTING), "duplicate resting entry"

@@ -137,9 +137,11 @@ def crawl_ingest_stream(
             min_tokens=min_tokens,
         )
 
+    # append, matching admit_per_key_stream's applyInPandasWithState
+    # contract — Spark rejects that operator under Update output mode
     writer = (
         admitted.writeStream.foreachBatch(_process)
-        .outputMode("update")
+        .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
@@ -165,6 +167,12 @@ def replay_crawl_ingest(
 
     from ..operators.ranking import exact_ntile
 
+    n_rows = crawl_df.count()
+    if n_rows < n_batches:
+        raise ValueError(
+            f"cannot stage {n_batches} non-empty micro-batches from "
+            f"{n_rows} rows"
+        )
     work = tempfile.mkdtemp(prefix="crawl_ingest_")
     stage = os.path.join(work, "stage")
     chunked = exact_ntile(
@@ -178,7 +186,14 @@ def replay_crawl_ingest(
         chunked.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
             "overwrite"
         ).parquet(d)
-        part = next(p for p in os.listdir(d) if p.startswith("part-"))
+        part = next(
+            (p for p in os.listdir(d) if p.startswith("part-")), None
+        )
+        if part is None:
+            raise ValueError(
+                f"staging chunk {i}/{n_batches} wrote no rows — "
+                f"n_batches exceeds the crawl frame's row count?"
+            )
         dest = os.path.join(stage, f"{i:02d}.parquet")
         os.replace(os.path.join(d, part), dest)
         # the file source orders micro-batches by modification time;
