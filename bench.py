@@ -208,11 +208,17 @@ def main() -> None:
     spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    # key order is deliberate: the driver's capture keeps only the TAIL
+    # of stdout, and BENCH_r08 lost the head of the line mid-"queries"
+    # (q01–q05 timings + metric/value unrecoverable). The big per-query
+    # map therefore goes FIRST and every summary scalar (metric, value,
+    # sentinel, load_avg, ingest) AFTER it, so a head-truncated capture
+    # still carries the headline numbers.
     out = {
+        "queries": timings,
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
         # drift attribution: 1/5/15-min load averages around the run and
         # a fixed sentinel query timed at both ends — compare movers
@@ -237,6 +243,15 @@ def main() -> None:
         out["value"] = None
         out["partial"] = True
         out["errors"] = errors
+    # truncation-proof twin: the COMPLETE dict, committed next to the
+    # round files so per-query history survives any stdout capture loss
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LOCAL.json"), "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout must not kill the bench line
     print(json.dumps(out))
 
 
