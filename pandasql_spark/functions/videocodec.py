@@ -1,20 +1,26 @@
-"""Native uncompressed-AVI video codec — the video analog of the WAV
-codec (audiocodec.py): AVI is RIFF, exactly like WAVE, so the same
+"""Native AVI video codec — the video analog of the WAV codec
+(audiocodec.py): AVI is RIFF, exactly like WAVE, so the same
 chunk-walk discipline yields a real, dependency-free video path.
 
-``encode_avi`` writes spec-valid single-stream 'DIB ' (BI_RGB,
-24-bit, bottom-up, row-padded) AVI files; ``decode_avi`` reads them
-back frame-exact. COMPRESSED codecs (MJPEG, H.264, …) are rejected
-with VideoDecodeError — explicitly unsupported, never silently wrong:
-no codec library exists in this container, and an uncompressed
-contract is what makes frame bytes bit-checkable by an oracle. The
-Spark-side plumbing (operators/multimodal.sample_frames) treats this
-codec as the decodable case and any other payload as the corrupt-media
-branch.
+``encode_avi`` writes spec-valid single-stream AVI files in either of
+two codecs: 'DIB ' (BI_RGB, 24-bit, bottom-up, row-padded — decoded
+back frame-EXACT) or 'MJPG' (Motion JPEG: each frame is an
+independent baseline JPEG produced by the oracle-proven jpegcodec.py
+encoder — decoded back within JPEG quantization error, ≤1 grey level
+for flat DC-only content). MJPEG is what real crawl video most often
+degrades to without a native H.264 stack; because every frame stands
+alone it is also embarrassingly parallel, the right shape for
+mapInPandas decode at scale. OTHER compressed codecs (H.264, VP9, …)
+are rejected with VideoDecodeError — explicitly unsupported, never
+silently wrong: no codec library exists in this container. The
+Spark-side plumbing (operators/multimodal.sample_frames) treats both
+supported codecs as the decodable case and any other payload as the
+corrupt-media branch.
 
 Everything here is the public AVI/RIFF layout: AVIMAINHEADER (56
-bytes), AVISTREAMHEADER ('vids'/'DIB '), BITMAPINFOHEADER (40 bytes,
-biCompression=0), LIST movi with '00db' frames.
+bytes), AVISTREAMHEADER ('vids'/'DIB '|'MJPG'), BITMAPINFOHEADER (40
+bytes, biCompression=0 or 'MJPG'), LIST movi with '00db'/'00dc'
+frames.
 """
 
 from __future__ import annotations
@@ -25,25 +31,50 @@ import numpy as np
 
 
 class VideoDecodeError(ValueError):
-    """Payload is not a decodable (uncompressed-AVI) video."""
+    """Payload is not a decodable (DIB- or MJPG-AVI) video."""
+
+
+#: biCompression value for Motion JPEG ('MJPG' as a little-endian u32)
+MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
 
 
 def _row_stride(w: int) -> int:
     return (w * 3 + 3) & ~3  # BGR rows padded to 4 bytes
 
 
-def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
-    """uint8 RGB frames (n, h, w, 3) → single-stream uncompressed AVI."""
+def encode_avi(
+    frames: np.ndarray, fps: int = 10, codec: str = "dib", quality: int = 90
+) -> bytes:
+    """uint8 RGB frames (n, h, w, 3) → single-stream AVI.
+    ``codec="dib"`` writes uncompressed BI_RGB (frame-exact);
+    ``codec="mjpg"`` writes Motion JPEG — each frame an independent
+    baseline JPEG at ``quality`` (jpegcodec.encode_jpeg)."""
     f = np.asarray(frames)
     if f.dtype != np.uint8 or f.ndim != 4 or f.shape[3] != 3:
         raise ValueError(f"need uint8 (n, h, w, 3), got {f.dtype} {f.shape}")
     if fps < 1:
         raise ValueError(f"fps must be >= 1, got {fps}")
+    if codec not in ("dib", "mjpg"):
+        raise ValueError(f"codec must be 'dib' or 'mjpg', got {codec!r}")
     n, h, w, _ = f.shape
     if n < 1 or h < 1 or w < 1:
         raise ValueError(f"empty video: {f.shape}")
-    stride = _row_stride(w)
-    frame_size = stride * h
+    if codec == "dib":
+        stride = _row_stride(w)
+        payloads = []
+        for i in range(n):
+            # RGB → BGR, bottom-up, padded rows
+            bgr = f[i, ::-1, :, ::-1]
+            rows = np.zeros((h, stride), np.uint8)
+            rows[:, : w * 3] = bgr.reshape(h, w * 3)
+            payloads.append(rows.tobytes())
+        handler, comp, frame_id = b"DIB ", 0, b"00db"
+    else:
+        from .jpegcodec import encode_jpeg
+
+        payloads = [encode_jpeg(f[i], quality=quality) for i in range(n)]
+        handler, comp, frame_id = b"MJPG", MJPG_FOURCC, b"00dc"
+    buf_size = max(len(p) for p in payloads)
 
     def chunk(fourcc: bytes, payload: bytes) -> bytes:
         pad = b"\x00" if len(payload) % 2 else b""
@@ -54,30 +85,23 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
 
     avih = struct.pack(
         "<14I",
-        1_000_000 // fps, frame_size * fps, 0, 0x10,  # HASINDEX-free, 0x10=HAS... keep simple flags
-        n, 0, 1, frame_size, w, h, 0, 0, 0, 0,
+        1_000_000 // fps, buf_size * fps, 0, 0x10,  # HASINDEX-free, 0x10=HAS... keep simple flags
+        n, 0, 1, buf_size, w, h, 0, 0, 0, 0,
     )
     strh = (
-        b"vidsDIB " + struct.pack(
-            "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0xFFFFFFFF, 0
+        b"vids" + handler + struct.pack(
+            "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, buf_size, 0xFFFFFFFF, 0
         ) + struct.pack("<4H", 0, 0, w, h)
     )
     strf = struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0
+        "<IiiHHIIiiII", 40, w, h, 1, 24, comp, buf_size, 0, 0, 0, 0
     )
     hdrl = list_chunk(
         b"hdrl",
         chunk(b"avih", avih)
         + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
-    movi_frames = []
-    for i in range(n):
-        # RGB → BGR, bottom-up, padded rows
-        bgr = f[i, ::-1, :, ::-1]
-        rows = np.zeros((h, stride), np.uint8)
-        rows[:, : w * 3] = bgr.reshape(h, w * 3)
-        movi_frames.append(chunk(b"00db", rows.tobytes()))
-    movi = list_chunk(b"movi", b"".join(movi_frames))
+    movi = list_chunk(b"movi", b"".join(chunk(frame_id, p) for p in payloads))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -93,17 +117,20 @@ def _walk(b: bytes, start: int, end: int):
 
 
 def decode_avi(b: bytes) -> tuple[float, np.ndarray]:
-    """Uncompressed AVI bytes → (fps, frames (n, h, w, 3) uint8 RGB)."""
+    """AVI bytes (DIB or MJPG stream) → (fps, frames (n, h, w, 3)
+    uint8 RGB). DIB frames round-trip bit-exact; MJPG frames decode
+    through jpegcodec.decode_jpeg (grayscale JPEGs broadcast to RGB)."""
     if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise VideoDecodeError("not an AVI")
     try:
         w = h = None
         fps = 0.0
         top_down = False
+        mjpg = False
         frames: list[bytes] = []
 
         def walk_list(start: int, end: int) -> None:
-            nonlocal w, h, fps, top_down
+            nonlocal w, h, fps, top_down, mjpg
             for fourcc, ps, pe in _walk(b, start, end):
                 if fourcc == b"LIST":
                     walk_list(ps + 4, pe)
@@ -116,11 +143,13 @@ def decode_avi(b: bytes) -> tuple[float, np.ndarray]:
                     (bw, bh) = struct.unpack_from("<ii", b, ps + 4)
                     (bits,) = struct.unpack_from("<H", b, ps + 14)
                     (comp,) = struct.unpack_from("<I", b, ps + 16)
-                    if comp != 0:
+                    if comp == MJPG_FOURCC:
+                        mjpg = True
+                    elif comp != 0:
                         raise VideoDecodeError(
                             f"compressed AVI (biCompression={comp}) unsupported"
                         )
-                    if bits != 24:
+                    elif bits != 24:
                         raise VideoDecodeError(f"{bits}-bit DIB unsupported")
                     # negative biHeight = spec-valid TOP-DOWN row order:
                     # decode it correctly (no flip), don't mirror it
@@ -131,8 +160,28 @@ def decode_avi(b: bytes) -> tuple[float, np.ndarray]:
         walk_list(12, len(b))
         if w is None or h is None or not frames:
             raise VideoDecodeError("missing stream format or frames")
-        stride = _row_stride(w)
         out = np.empty((len(frames), h, w, 3), np.uint8)
+        if mjpg:
+            from .imagecodec import ImageDecodeError
+            from .jpegcodec import decode_jpeg
+
+            for i, fr in enumerate(frames):
+                try:
+                    px = decode_jpeg(bytes(fr))
+                except ImageDecodeError as exc:
+                    raise VideoDecodeError(
+                        f"MJPG frame {i} undecodable: {exc}"
+                    ) from exc
+                if px.shape[:2] != (h, w):
+                    raise VideoDecodeError(
+                        f"MJPG frame {i} is {px.shape[1]}x{px.shape[0]}, "
+                        f"stream header says {w}x{h}"
+                    )
+                # JPEG frames are top-down by construction; grayscale
+                # broadcasts across RGB
+                out[i] = px if px.shape[2] == 3 else np.repeat(px, 3, axis=2)
+            return fps, out
+        stride = _row_stride(w)
         for i, fr in enumerate(frames):
             if len(fr) < stride * h:
                 raise VideoDecodeError(f"frame {i} truncated")

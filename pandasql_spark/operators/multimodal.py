@@ -278,10 +278,11 @@ def sample_frames(
     every_ms: int = 1000,
 ) -> DataFrame:
     """REAL video frame sampling: one output row per sampled frame,
-    decoded by the native uncompressed-AVI codec
-    (functions/videocodec.py — AVI is RIFF like WAV; compressed codecs
-    are explicitly unsupported, there is no codec library in this
-    container). Frames are sampled on the ``every_ms`` grid (index =
+    decoded by the native AVI codec (functions/videocodec.py — AVI is
+    RIFF like WAV; uncompressed DIB and Motion-JPEG streams decode,
+    other compressed codecs are explicitly unsupported, there is no
+    codec library in this container). Frames are sampled on the
+    ``every_ms`` grid (index =
     floor(t·fps/1000), deduplicated) and each sampled frame is
     re-encoded as PNG (``frame_png``) so it flows straight into the
     image operators (image_meta/extract_image_features). A payload that

@@ -4136,23 +4136,26 @@ ORDER BY 1
 
 
 def q96_video_frames(spark: SparkSession, sf: str) -> SparkDataFrame:
-    """Video pipeline with REAL native uncompressed-AVI decode, end to
-    end (the video analog of q80/q86/q90): each document renders an
-    actual RIFF/AVI payload (functions/videocodec.encode_avi) whose
-    dims and frame count are deterministic functions of len(text) and
-    whose pixel values follow the closed form x + 3y + 17c + 5i (all
-    < 256, so no mod wrap); operators/multimodal.sample_frames then
-    decodes it back — RIFF chunk walk, BGR/bottom-up DIB unpack — and
-    samples the 500 ms grid at fps=4, i.e. exactly the EVEN frame
-    indices; each sampled frame re-encodes as PNG and a second,
-    independent image_meta stage PNG-decodes it for per-frame pixel
-    means. The oracle recomputes the sampled index set and every mean
-    in closed form ((w-1)/2 + 3(h-1)/2 + 17 + 5·idx — exact rational,
-    identical correctly-rounded float64 on both engines): the Spark
-    side can only match by truly decoding AVI frames AND the PNG
-    round-trip. Docs with len(text) % 11 == 0 carry garbage bytes —
-    the corrupt-media contract (one decode_ok=false row, NULL stats,
-    job survives)."""
+    """Video pipeline with REAL native AVI decode in BOTH supported
+    codecs, end to end (the video analog of q80/q86/q90). Odd
+    len(text) docs render uncompressed DIB AVIs whose pixel values
+    follow the closed form x + 3y + 17c + 5i (all < 256, no mod
+    wrap); operators/multimodal.sample_frames decodes them — RIFF
+    chunk walk, BGR/bottom-up DIB unpack — samples the 500 ms grid at
+    fps=4 (exactly the EVEN frame indices), re-encodes each sampled
+    frame as PNG, and an independent image_meta stage PNG-decodes it
+    for per-frame pixel means, which the oracle recomputes exactly
+    ((w-1)/2 + 3(h-1)/2 + 17 + 5·idx). Even len(text) docs render
+    MOTION-JPEG AVIs (videocodec codec="mjpg" — every frame an
+    independent baseline JPEG from the q90-proven encoder) of flat
+    8×8 grey tiles v = (7·doc_id + 83·tile + 29·frame) mod 256 —
+    DC-only content, so decode error is bounded by the DC quant step;
+    the sampled frames round-trip through PNG and a verify stage
+    checks every pixel within ≤1 grey level (the q90 recipe),
+    emitting err_ok which the oracle demands TRUE along with exact
+    dims and the exact sampled index set. Docs with len(text) % 11
+    == 0 carry garbage bytes — the corrupt-media contract (one
+    decode_ok=false row, NULL stats, job survives)."""
     from pandasql_spark.operators.multimodal import image_meta, sample_frames
 
     d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
@@ -4165,12 +4168,25 @@ def q96_video_frames(spark: SparkSession, sf: str) -> SparkDataFrame:
 
         for pdf in it:
             payloads = []
-            for t in pdf["text"]:
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
                 n = len(t)
                 if n % 11 == 0:
                     payloads.append(b"\x00" * 32)
                     continue
-                w, h, nf = 4 + n % 5, 3 + n % 7, 2 + n % 5
+                nf = 2 + n % 5
+                if n % 2 == 0:
+                    bw, bh = 1 + n % 3, 1 + (n // 2) % 2
+                    tv = (
+                        7 * int(did)
+                        + 83 * np.arange(bh * bw).reshape(1, bh, bw)
+                        + 29 * np.arange(nf).reshape(nf, 1, 1)
+                    ) % 256
+                    frames = np.kron(
+                        tv.astype(np.uint8), np.ones((1, 8, 8), np.uint8)
+                    )[..., None].repeat(3, axis=3)
+                    payloads.append(encode_avi(frames, fps=4, codec="mjpg"))
+                    continue
+                w, h = 4 + n % 5, 3 + n % 7
                 x = np.arange(w).reshape(1, 1, w, 1)
                 y = np.arange(h).reshape(1, h, 1, 1)
                 c = np.arange(3).reshape(1, 1, 1, 3)
@@ -4183,15 +4199,21 @@ def q96_video_frames(spark: SparkSession, sf: str) -> SparkDataFrame:
 
     media = d.mapInPandas(render, "media_id long, payload binary")
     frames = sample_frames(media, every_ms=500)
-    ok = frames.filter(F.col("decode_ok")).withColumn(
+    nn = d.select(
+        F.col("doc_id").alias("media_id"), F.length("text").alias("n")
+    )
+    fr = frames.join(F.broadcast(nn), "media_id", "left")
+    okdib = fr.filter(F.col("decode_ok") & (F.col("n") % 2 == 1)).withColumn(
         # composite per-frame id: frame_idx < 16 always (nf <= 6)
         "fid", F.col("media_id") * 16 + F.col("frame_idx")
     )
     meta = image_meta(
-        ok.select(F.col("fid").alias("media_id"), F.col("frame_png").alias("payload")),
+        okdib.select(
+            F.col("fid").alias("media_id"), F.col("frame_png").alias("payload")
+        ),
         decode_pixels=True,
     ).select(F.col("media_id").alias("fid"), "mean_px")
-    good = ok.join(meta, "fid").select(
+    good_dib = okdib.join(meta, "fid").select(
         "media_id",
         "decode_ok",
         "frame_idx",
@@ -4199,6 +4221,58 @@ def q96_video_frames(spark: SparkSession, sf: str) -> SparkDataFrame:
         "width",
         "height",
         F.round("mean_px", 6).alias("mean_px"),
+        F.lit(None).cast("boolean").alias("err_ok"),
+    )
+
+    def verify_mjpg(it):
+        import numpy as np
+        import pandas as pd
+
+        from pandasql_spark.functions.imagecodec import decode_png
+
+        for pdf in it:
+            oks = []
+            for did, n, idx, png in zip(
+                pdf["media_id"], pdf["n"], pdf["frame_idx"], pdf["frame_png"]
+            ):
+                did, n, idx = int(did), int(n), int(idx)
+                bw, bh = 1 + n % 3, 1 + (n // 2) % 2
+                tv = (
+                    7 * did + 83 * np.arange(bh * bw).reshape(bh, bw) + 29 * idx
+                ) % 256
+                exp = np.kron(tv, np.ones((8, 8), np.int64))
+                px = decode_png(bytes(png)).astype(np.int64)
+                oks.append(
+                    bool(
+                        px.shape[:2] == exp.shape
+                        and np.abs(px - exp[:, :, None]).max() <= 1
+                    )
+                )
+            out = pdf[
+                ["media_id", "frame_idx", "frame_ms", "width", "height"]
+            ].copy()
+            out["err_ok"] = oks
+            yield out
+
+    good_mjpg = (
+        fr.filter(F.col("decode_ok") & (F.col("n") % 2 == 0))
+        .select("media_id", "n", "frame_idx", "frame_ms", "width", "height",
+                "frame_png")
+        .mapInPandas(
+            verify_mjpg,
+            "media_id long, frame_idx int, frame_ms long, width int, "
+            "height int, err_ok boolean",
+        )
+        .select(
+            "media_id",
+            F.lit(True).alias("decode_ok"),
+            "frame_idx",
+            "frame_ms",
+            "width",
+            "height",
+            F.lit(None).cast("double").alias("mean_px"),
+            "err_ok",
+        )
     )
     bad = frames.filter(~F.col("decode_ok")).select(
         "media_id",
@@ -4208,8 +4282,9 @@ def q96_video_frames(spark: SparkSession, sf: str) -> SparkDataFrame:
         "width",
         "height",
         F.lit(None).cast("double").alias("mean_px"),
+        F.lit(None).cast("boolean").alias("err_ok"),
     )
-    return good.unionByName(bad)
+    return good_dib.unionByName(good_mjpg).unionByName(bad)
 
 
 Q96_SQL = """
@@ -4218,20 +4293,33 @@ WITH t AS (
 ),
 p AS (
   SELECT doc_id, 4 + n % 5 AS w, 3 + n % 7 AS h, 2 + n % 5 AS nf
-  FROM t WHERE n % 11 <> 0
+  FROM t WHERE n % 11 <> 0 AND n % 2 = 1
 ),
 fr AS (
   SELECT doc_id, w, h, unnest(range((nf + 1) // 2)) AS k FROM p
+),
+mp AS (
+  SELECT doc_id, 8 * (1 + n % 3) AS w, 8 * (1 + (n // 2) % 2) AS h,
+         2 + n % 5 AS nf
+  FROM t WHERE n % 11 <> 0 AND n % 2 = 0
+),
+mfr AS (
+  SELECT doc_id, w, h, unnest(range((nf + 1) // 2)) AS k FROM mp
 )
 SELECT doc_id AS media_id, TRUE AS decode_ok,
        CAST(2 * k AS INT) AS frame_idx,
        CAST(2 * k * 250 AS BIGINT) AS frame_ms,
        CAST(w AS INT) AS width, CAST(h AS INT) AS height,
        round((3 * (w - 1) + 9 * (h - 1) + 102 + 30 * (2 * k))
-             / CAST(6 AS DOUBLE), 6) AS mean_px
+             / CAST(6 AS DOUBLE), 6) AS mean_px,
+       CAST(NULL AS BOOLEAN) AS err_ok
 FROM fr
 UNION ALL
-SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL
+SELECT doc_id, TRUE, CAST(2 * k AS INT), CAST(2 * k * 250 AS BIGINT),
+       CAST(w AS INT), CAST(h AS INT), CAST(NULL AS DOUBLE), TRUE
+FROM mfr
+UNION ALL
+SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL, NULL
 FROM t WHERE n % 11 = 0
 """
 

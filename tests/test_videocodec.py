@@ -45,9 +45,77 @@ def test_compressed_rejected():
     i = bytes(b).find(b"strf")
     # biCompression lives 16 bytes into BITMAPINFOHEADER (after fourcc+size)
     off = i + 8 + 16
-    b[off:off + 4] = b"MJPG"
+    b[off:off + 4] = b"H264"
     with pytest.raises(VideoDecodeError, match="compressed"):
         decode_avi(bytes(b))
+    # an MJPG header whose frames are NOT JPEG streams fails loud
+    b[off:off + 4] = b"MJPG"
+    with pytest.raises(VideoDecodeError, match="undecodable"):
+        decode_avi(bytes(b))
+
+
+def _tiles(n, h, w, seed=0):
+    """Flat-grey 8x8-tile frames: DC-only JPEG content, so MJPEG decode
+    error is bounded by the DC quant step (<=1 grey level; chroma is
+    flat 128 and round-trips exactly)."""
+    rng = np.random.default_rng(seed)
+    t = rng.integers(0, 256, (n, h // 8, w // 8), dtype=np.uint8)
+    return np.kron(t, np.ones((1, 8, 8), np.uint8))[..., None].repeat(3, axis=3)
+
+
+def test_mjpeg_roundtrip_flat_tiles():
+    fr = _tiles(3, 16, 24)
+    fps, got = decode_avi(encode_avi(fr, fps=4, codec="mjpg"))
+    assert fps == 4.0 and got.shape == fr.shape
+    assert np.abs(got.astype(int) - fr.astype(int)).max() <= 1
+
+
+def test_mjpeg_meta_and_smooth_content():
+    fr = np.tile(
+        np.linspace(0, 200, 24).astype(np.uint8), (2, 16, 1)
+    )[..., None].repeat(3, axis=3)
+    b = encode_avi(fr, fps=10, codec="mjpg", quality=95)
+    assert avi_meta(b) == (24, 16, 2, 10.0)
+    _, got = decode_avi(b)
+    assert np.abs(got.astype(int) - fr.astype(int)).max() <= 1
+
+
+def test_mjpeg_grayscale_frames_broadcast(monkeypatch):
+    """Externally-produced MJPEG streams often carry grayscale JPEGs;
+    (h, w, 1) frames must broadcast across RGB."""
+    import pandasql_spark.functions.jpegcodec as jc
+
+    real = jc.encode_jpeg
+    monkeypatch.setattr(
+        jc, "encode_jpeg",
+        lambda a, quality=90: real(a[:, :, 0], quality=quality),
+    )
+    fr = _tiles(2, 8, 16, seed=3)
+    b = encode_avi(fr, fps=5, codec="mjpg")
+    monkeypatch.undo()
+    _, got = decode_avi(b)
+    assert got.shape == fr.shape
+    assert (got[..., 0] == got[..., 1]).all() and (got[..., 1] == got[..., 2]).all()
+    assert np.abs(got.astype(int) - fr.astype(int)).max() <= 1
+
+
+def test_mjpeg_frame_dims_must_match_header(monkeypatch):
+    import pandasql_spark.functions.jpegcodec as jc
+
+    real = jc.encode_jpeg
+    monkeypatch.setattr(
+        jc, "encode_jpeg",
+        lambda a, quality=90: real(a[:4, :8], quality=quality),
+    )
+    b = encode_avi(_tiles(1, 8, 16), fps=5, codec="mjpg")
+    monkeypatch.undo()
+    with pytest.raises(VideoDecodeError, match="stream header says"):
+        decode_avi(b)
+
+
+def test_encode_codec_validation():
+    with pytest.raises(ValueError, match="codec"):
+        encode_avi(_vid(1, 2, 2), codec="h264")
 
 
 def test_corrupt_payloads_raise():
