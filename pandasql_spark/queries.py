@@ -4158,7 +4158,15 @@ def q96_video_frames(spark: SparkSession, sf: str) -> SparkDataFrame:
     decode_ok=false row, NULL stats, job survives)."""
     from pandasql_spark.operators.multimodal import image_meta, sample_frames
 
-    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    # the render/decode below is CPU work per document; a small corpus
+    # arrives as ONE parquet split, which would serialize the whole
+    # codec pipeline on one core — spread it first (at 100 TB the
+    # files are already split and this repartition is the no-op case)
+    d = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def render(it):
         import numpy as np
@@ -4198,7 +4206,15 @@ def q96_video_frames(spark: SparkSession, sf: str) -> SparkDataFrame:
             )
 
     media = d.mapInPandas(render, "media_id long, payload binary")
-    frames = sample_frames(media, every_ms=500)
+    # three consumers below (DIB means, MJPEG verify, corrupt rows):
+    # persist the sampled frames so the render+decode pass runs once —
+    # the production shape too (sampled frames are the pipeline
+    # barrier; ~KBs per frame, MEMORY_AND_DISK never OOMs)
+    from pyspark import StorageLevel
+
+    frames = sample_frames(media, every_ms=500).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     nn = d.select(
         F.col("doc_id").alias("media_id"), F.length("text").alias("n")
     )
