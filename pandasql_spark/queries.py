@@ -2422,6 +2422,28 @@ LIMIT 20
 """
 
 
+def _codec_corpus(spark: SparkSession, sf: str, *cols: str) -> SparkDataFrame:
+    """documents scan spread across the session's cores. The media
+    gates render/decode per row in Python — real CPU work — and a
+    small-SF corpus arrives as ONE parquet split, which would
+    serialize the whole codec pipeline on one core of local[32]
+    (measured: q96 18.1 s -> 2.2 s at sf0.1; see SCALING.md round 9).
+    At 100 TB inputs are already split and this repartition is the
+    no-op case.
+
+    Measured A/B at sf0.1 (min-of-3, warm): the spread wins where the
+    per-row codec is a pure-Python bit loop — q90 JPEG 1.96 -> 0.69 s,
+    q41 PNG-pipeline 2.01 -> 1.02 s, q86 GIF 1.14 -> 0.96 s, q96 AVI
+    18.1 -> 2.2 s — and LOSES where the codec is numpy-fast and the
+    shuffle of the text column dominates (q80 WAV 0.91 -> 1.47 s, q81
+    2.96 -> 5.12 s), so the audio gates keep the direct scan."""
+    return (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select(*cols)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 def q41_multimodal(spark: SparkSession, sf: str) -> SparkDataFrame:
     """Multimodal pipeline with REAL image decode, end-to-end: each
     document is rendered into an actual PNG (dims / fill value / PNG
@@ -2443,7 +2465,7 @@ def q41_multimodal(spark: SparkSession, sf: str) -> SparkDataFrame:
     corrupt-payload contract a 100 TB media job depends on."""
     from pandasql_spark.operators.multimodal import image_meta
 
-    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    d = _codec_corpus(spark, sf, "doc_id", "text")
 
     def render(it):
         import numpy as np
@@ -3536,7 +3558,7 @@ def q86_gif(spark: SparkSession, sf: str) -> SparkDataFrame:
     contract (decode_ok=false, NULL stats, job survives)."""
     from pandasql_spark.operators.multimodal import image_meta
 
-    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    d = _codec_corpus(spark, sf, "doc_id", "text")
 
     def render(it):
         import numpy as np
@@ -3780,7 +3802,7 @@ def q90_jpeg(spark: SparkSession, sf: str) -> SparkDataFrame:
     every well-formed payload: only a genuinely working
     entropy-decode + IDCT chain passes. len(text) % 11 == 0 rows carry garbage — the
     corrupt-media contract (decode_ok=false, NULL stats)."""
-    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    d = _codec_corpus(spark, sf, "doc_id", "text")
 
     def render(it):
         import numpy as np
@@ -4158,15 +4180,7 @@ def q96_video_frames(spark: SparkSession, sf: str) -> SparkDataFrame:
     decode_ok=false row, NULL stats, job survives)."""
     from pandasql_spark.operators.multimodal import image_meta, sample_frames
 
-    # the render/decode below is CPU work per document; a small corpus
-    # arrives as ONE parquet split, which would serialize the whole
-    # codec pipeline on one core — spread it first (at 100 TB the
-    # files are already split and this repartition is the no-op case)
-    d = (
-        spark.read.parquet(f"{sf}/documents.parquet")
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    d = _codec_corpus(spark, sf, "doc_id", "text")
 
     def render(it):
         import numpy as np
