@@ -93,7 +93,7 @@ from tests.conftest import soak_examples
 
 
 @settings(
-    max_examples=soak_examples(25),
+    max_examples=soak_examples(15),
     deadline=None,
     suppress_health_check=[
         HealthCheck.too_slow,

@@ -119,7 +119,7 @@ def test_bigint_items_above_2_53_survive_exactly(spark):
 
 
 @settings(
-    max_examples=soak_examples(30),
+    max_examples=soak_examples(18),
     deadline=None,
     suppress_health_check=[
         HealthCheck.too_slow,

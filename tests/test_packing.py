@@ -109,7 +109,7 @@ def test_chunk_tokens_guard(spark):
 
 
 @settings(
-    max_examples=soak_examples(30),
+    max_examples=soak_examples(18),
     deadline=None,
     suppress_health_check=[
         HealthCheck.too_slow,

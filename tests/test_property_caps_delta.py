@@ -35,7 +35,7 @@ _SETTINGS = dict(
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=soak_examples(20), **_SETTINGS)
+@settings(max_examples=soak_examples(12), **_SETTINGS)
 @given(
     rows=st.lists(
         st.tuples(
@@ -80,7 +80,7 @@ _snapshot = st.dictionaries(
 )
 
 
-@settings(max_examples=soak_examples(20), **_SETTINGS)
+@settings(max_examples=soak_examples(12), **_SETTINGS)
 @given(old=_snapshot, new=_snapshot)
 def test_snapshot_diff_status_partition(spark, old, new):
     """Every key in either snapshot appears EXACTLY once, labeled by

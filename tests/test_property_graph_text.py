@@ -37,7 +37,7 @@ def doc_pairs_with_shared_run(draw):
 
 
 @settings(
-    max_examples=soak_examples(40),
+    max_examples=soak_examples(25),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )
@@ -90,7 +90,7 @@ def _uf_components(edges):
 
 
 @settings(
-    max_examples=soak_examples(25),
+    max_examples=soak_examples(15),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )

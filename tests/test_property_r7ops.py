@@ -54,7 +54,7 @@ def _scd2_case(draw):
     return open_rows, closed_rows, snap
 
 
-@settings(max_examples=soak_examples(15), **_SETTINGS)
+@settings(max_examples=soak_examples(10), **_SETTINGS)
 @given(case=_scd2_case())
 def test_scd2_matches_python_state_machine(spark, case):
     open_rows, closed_rows, snap = case
@@ -104,7 +104,7 @@ def test_scd2_matches_python_state_machine(spark, case):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=soak_examples(15), **_SETTINGS)
+@settings(max_examples=soak_examples(10), **_SETTINGS)
 @given(
     raw=st.lists(st.integers(1, 100), min_size=2, max_size=5),
     keys=st.lists(st.integers(-1000, 1000), unique=True, min_size=1, max_size=40),
@@ -145,7 +145,7 @@ def test_hash_split_total_and_deterministic(spark, raw, keys, salt):
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=soak_examples(15), **_SETTINGS)
+@settings(max_examples=soak_examples(10), **_SETTINGS)
 @given(
     ns=st.lists(st.integers(1, 60), min_size=1, max_size=8),
     w=st.integers(2, 20),

@@ -103,7 +103,7 @@ def _assert_same(got, expected, key=None):
 
 
 @settings(
-    max_examples=soak_examples(8),
+    max_examples=soak_examples(5),
     deadline=None,
     suppress_health_check=[
         HealthCheck.too_slow,
@@ -127,7 +127,7 @@ def test_session_windows_stream_matches_batch(spark, pdf):
 
 
 @settings(
-    max_examples=soak_examples(8),
+    max_examples=soak_examples(5),
     deadline=None,
     suppress_health_check=[
         HealthCheck.too_slow,
@@ -149,7 +149,7 @@ def test_sliding_windows_stream_matches_batch(spark, pdf):
 
 
 @settings(
-    max_examples=soak_examples(8),
+    max_examples=soak_examples(5),
     deadline=None,
     suppress_health_check=[
         HealthCheck.too_slow,

@@ -70,7 +70,7 @@ def _py_lang(s: str, profiles) -> str:
 
 
 @settings(
-    max_examples=soak_examples(40),
+    max_examples=soak_examples(25),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )

@@ -89,7 +89,7 @@ def test_numpy_kernel_string_ids(spark):
 
 
 @settings(
-    max_examples=soak_examples(30),
+    max_examples=soak_examples(18),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )
@@ -209,7 +209,7 @@ def _pii_texts(draw):
 
 
 @settings(
-    max_examples=soak_examples(40),
+    max_examples=soak_examples(25),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )

@@ -155,7 +155,7 @@ def test_property_vs_python_bruteforce(spark):
     quarter = st.integers(-8, 8).map(lambda i: i / 4)
 
     @settings(
-        max_examples=soak_examples(15),
+        max_examples=soak_examples(10),
         deadline=None,
         suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
     )

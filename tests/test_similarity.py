@@ -51,13 +51,21 @@ def test_small_corpus_routes_exact(spark):
     pd.testing.assert_frame_equal(got, exp)
 
 
-def test_routed_lsh_branch_matches_exact(spark, planted):
+@pytest.fixture(scope="module")
+def planted_exact_top20(spark, planted):
+    """The O(n²) exact top-20 over the planted corpus — the oracle for
+    both the LSH-branch and escape-hatch tests; computed ONCE (it was
+    the suite's slowest duplicated work, ~12 s per pass)."""
+    return _pdf(cosine_topk_pairs_exact(planted, k=20))
+
+
+def test_routed_lsh_branch_matches_exact(spark, planted, planted_exact_top20):
     """Force the LSH branch (exact_below=1): on the planted corpus the
     true top-20 pairs are all ~0.996-cosine twins, which multi-table
     sign-bit LSH recalls with per-pair miss probability ~2e-6 — the
     routed top-k must equal the exact top-k."""
     got = _pdf(cosine_topk_pairs(planted, k=20, exact_below=1))
-    exp = _pdf(cosine_topk_pairs_exact(planted, k=20))
+    exp = planted_exact_top20
     pd.testing.assert_frame_equal(got, exp)
     assert (got["cos_sim"] > 0.99).all()  # the twins, not noise pairs
 
@@ -71,14 +79,13 @@ def test_lsh_branch_no_cosine_floor(spark, planted):
     assert out["cos_sim"].min() < 0.95  # sub-threshold pairs included
 
 
-def test_exact_escape_hatch_overrides_routing(spark, planted):
+def test_exact_escape_hatch_overrides_routing(spark, planted, planted_exact_top20):
     """exact=True forces the all-pairs branch on a corpus the size
     routing would send to LSH (exact_below=1), and exact=False forces
     LSH on a corpus that would route exact — both without touching the
     routing threshold."""
     forced_exact = _pdf(cosine_topk_pairs(planted, k=20, exact_below=1, exact=True))
-    exp = _pdf(cosine_topk_pairs_exact(planted, k=20))
-    pd.testing.assert_frame_equal(forced_exact, exp)
+    pd.testing.assert_frame_equal(forced_exact, planted_exact_top20)
 
     e = spark.read.parquet(f"{SF}/embeddings.parquet")
     forced_lsh = cosine_topk_pairs(e, k=5, exact=False)

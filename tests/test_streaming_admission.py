@@ -122,6 +122,53 @@ def test_small_cap_saturates_every_key(spark, staged_single):
         assert sizes.get(k, 0) == min(3, a)
 
 
+@pytest.fixture(scope="module")
+def staged_chrono4(spark):
+    """Four chronological quartile files with ascending mtimes — a
+    finer re-chunking of the same stream than staged_chrono."""
+    import time
+
+    d = tempfile.mkdtemp(prefix="adm_chrono4_")
+    pdf = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .orderBy("ts", "event_id")
+        .toPandas()
+    )
+    bounds = [0, len(pdf) // 4, len(pdf) // 2, 3 * len(pdf) // 4, len(pdf)]
+    for i in range(4):
+        part = pdf.iloc[bounds[i]:bounds[i + 1]]
+        path = os.path.join(d, f"chunk{i}.parquet")
+        spark.createDataFrame(part, schema=EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path + ".dir")
+        f = [x for x in os.listdir(path + ".dir") if x.endswith(".parquet")][0]
+        shutil.move(os.path.join(path + ".dir", f), path)
+        shutil.rmtree(path + ".dir")
+        os.utime(path, (time.time() + i, time.time() + i))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_rechunk_invariance_and_conservation(spark, staged_chrono4):
+    """VERDICT r8 task 8: the admitted set is invariant to how the
+    time-ordered stream is re-chunked into micro-batches (4-way here,
+    2-way in test_chrono_multibatch, 1-way in test_single_batch), and
+    conservation holds — every key admits exactly min(n, arrivals),
+    with caps that saturate MID-chunk for the hot keys (n=25 < the
+    per-quartile arrivals of nothing, so continuation state is what
+    enforces the bound)."""
+    n = 25
+    got = _replay(spark, staged_chrono4, n, max_files=1)
+    exp = _batch_first_n(spark, n).toPandas()
+    got_s = got.sort_values(["event_id"], ignore_index=True)[exp.columns]
+    exp_s = exp.sort_values(["event_id"], ignore_index=True)
+    pd.testing.assert_frame_equal(got_s, exp_s)
+    sizes = got.groupby("event_type").size()
+    avail = pd.read_parquet(f"{SF}/events.parquet").groupby("event_type").size()
+    for k, a in avail.items():
+        assert sizes.get(k, 0) == min(n, a), k
+
+
 def test_validation(spark):
     ev = spark.read.parquet(f"{SF}/events.parquet")
     with pytest.raises(ValueError, match="n must"):
