@@ -149,3 +149,59 @@ def test_wav_mutation_never_garbles_silently(ns, ch, k, seed, data):
         assert out.ndim == 2 and rate > 0
     except AudioDecodeError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# MJPEG AVI (round 9): flat-tile videos round-trip within the DC quant
+# bound through the full container walk, and single-byte mutations
+# normalize to VideoDecodeError or a shape-valid decode
+
+
+@settings(max_examples=soak_examples(20), **_SETTINGS)
+@given(
+    nf=st.integers(1, 4),
+    bh=st.integers(1, 2),
+    bw=st.integers(1, 3),
+    fps=st.integers(1, 30),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_mjpeg_avi_flat_tiles_within_dc_bound(nf, bh, bw, fps, seed):
+    from pandasql_spark.functions.videocodec import decode_avi, encode_avi
+
+    rng = np.random.default_rng(seed)
+    tiles = rng.integers(0, 256, (nf, bh, bw), dtype=np.uint8)
+    frames = np.kron(tiles, np.ones((1, 8, 8), np.uint8))[..., None].repeat(
+        3, axis=3
+    )
+    got_fps, got = decode_avi(encode_avi(frames, fps=fps, codec="mjpg"))
+    assert got_fps == float(fps)
+    assert got.shape == frames.shape
+    assert np.abs(got.astype(int) - frames.astype(int)).max() <= 1
+
+
+@settings(max_examples=soak_examples(20), **_SETTINGS)
+@given(
+    nf=st.integers(1, 3),
+    seed=st.integers(0, 2**31 - 1),
+    data=st.data(),
+)
+def test_mjpeg_avi_mutation_never_garbles_silently(nf, seed, data):
+    from pandasql_spark.functions.videocodec import (
+        VideoDecodeError,
+        decode_avi,
+        encode_avi,
+    )
+
+    rng = np.random.default_rng(seed)
+    tiles = rng.integers(0, 256, (nf, 1, 2), dtype=np.uint8)
+    frames = np.kron(tiles, np.ones((1, 8, 8), np.uint8))[..., None].repeat(
+        3, axis=3
+    )
+    b = bytearray(encode_avi(frames, fps=5, codec="mjpg"))
+    i = data.draw(st.integers(0, len(b) - 1))
+    b[i] = data.draw(st.integers(0, 255))
+    try:
+        _, out = decode_avi(bytes(b))
+        assert out.ndim == 4 and out.shape[3] == 3
+    except VideoDecodeError:
+        pass
