@@ -89,6 +89,7 @@ HEADLINE = [
     "q96_video_frames",
     "q97_stream_admission",
     "q98_bigram_lm",
+    "q99_crawl_ingest_stream",
 ]
 
 #: fixed drift sentinel: timed min-of-3 immediately after warmup and
