@@ -90,6 +90,7 @@ HEADLINE = [
     "q97_stream_admission",
     "q98_bigram_lm",
     "q99_crawl_ingest_stream",
+    "q100_bpe_pair_stats",
 ]
 
 #: fixed drift sentinel: timed min-of-3 immediately after warmup and

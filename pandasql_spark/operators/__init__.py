@@ -10,6 +10,7 @@ per-row bit manipulation genuinely beats expression trees (SimHash).
 from . import (
     ann,
     asof,
+    bpe,
     bucketing,
     caps,
     cluster,
@@ -35,6 +36,7 @@ from . import (
 __all__ = [
     "ann",
     "asof",
+    "bpe",
     "bucketing",
     "caps",
     "cluster",

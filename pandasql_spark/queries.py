@@ -4507,6 +4507,51 @@ WHERE rn = 1 AND len(string_split(extracted, ' ')) >= 40
 """
 
 
+def q100_bpe_pair_stats(spark: SparkSession, sf: str) -> SparkDataFrame:
+    """BPE tokenizer-induction pair statistics (operators/bpe.py:
+    pair_stats) — iteration zero of distributed BPE training: the
+    top-50 adjacent character pairs across the corpus, each word's
+    pairs weighted by its frequency. The scale shape is the point:
+    the corpus collapses to the DISTINCT-WORD table in ONE scan
+    (map-side-combined groupBy; vocabulary is language-bounded), and
+    the pair explode + count runs on that small table, never on the
+    corpus. The post-limit rank window is 50 rows — single-partition
+    by construction. Deterministic total order (count desc, pair asc)
+    makes the k-boundary tie-safe. train_bpe/encode_bpe (the driver-
+    loop merge induction and the Arrow-batched encoder with the
+    fold-expression cross-check) are pytest-covered in test_bpe.py —
+    iterative induction is not SQL-expressible, its seed statistic
+    is."""
+    from pandasql_spark.operators.bpe import pair_stats
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return pair_stats(docs, "text", k=50)
+
+
+Q100_SQL = """
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+wc AS (
+  SELECT w, count(*) AS cnt FROM words WHERE len(w) >= 2 GROUP BY w
+),
+pairs AS (
+  SELECT substr(w, CAST(unnest(generate_series(1, len(w) - 1)) AS INTEGER), 2)
+           AS pair,
+         cnt
+  FROM wc
+),
+pc AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_count
+       FROM pairs GROUP BY pair)
+SELECT pair, pair_count,
+       CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS INTEGER)
+         AS rank
+FROM pc
+ORDER BY pair_count DESC, pair
+LIMIT 50
+"""
+
+
 REGISTRY: dict[str, QueryDef] = {
     "q01_pricing_summary": QueryDef(q01_pricing_summary, Q01_SQL, "TPC-H Q1 flagship"),
     "q02_filter_distinct": QueryDef(
@@ -4727,6 +4772,10 @@ REGISTRY: dict[str, QueryDef] = {
         q99_crawl_ingest_stream, Q99_SQL,
         "streaming crawl ingest (admission + dedup store + idempotent sink)",
     ),
+    "q100_bpe_pair_stats": QueryDef(
+        q100_bpe_pair_stats, Q100_SQL,
+        "BPE induction pair statistics (one corpus scan, vocab-sized rest)",
+    ),
     "q19_dedup_exact": QueryDef(q19_dedup_exact, Q19_SQL, "exact dedup fingerprint"),
     "q20_cosine_topk": QueryDef(q20_cosine_topk, Q20_SQL, "cosine top-k similarity"),
     "q21_events_hourly": QueryDef(q21_events_hourly, Q21_SQL, "hourly event windows"),
@@ -4792,9 +4841,14 @@ REGISTRY: dict[str, QueryDef] = {
 # in r7) gates immediately. Changed-this-round queries never rest:
 # q96 (videocodec gains the MJPEG-in-AVI branch) stays gated. The
 # remaining 49 r8-gated queries rest, all green r8 and none resting
-# two rounds running. Registry holds 99 → active exactly 50.
+# two rounds running. Registry holds 100 → active exactly 50:
+# q100 (BPE pair stats), BORN this round after the roster filled,
+# rests its birth round — the q95-in-r7 / q99-in-r8 precedent — and
+# gates in r10 where the 49 r9-resting returners + q100 fill the 50
+# slots exactly.
 # COVERAGE.md's roster table is the authoritative per-round record.
 _RESTING: tuple[str, ...] = (
+    "q100_bpe_pair_stats",
     "q02_filter_distinct",
     "q03_predicates",
     "q04_topk",
