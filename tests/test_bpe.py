@@ -169,3 +169,43 @@ def test_validation():
         train_bpe(None, n_merges=-1)
     with pytest.raises(ValueError, match="impl"):
         encode_bpe(None, [], impl="nope")
+
+
+# --- pure-Python properties (no Spark; cheap at any example count) --------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import soak_examples
+
+
+@st.composite
+def _word_and_merges(draw):
+    word = draw(st.text(alphabet="abc", min_size=0, max_size=12))
+    n = draw(st.integers(0, 4))
+    merges, alphabet = [], ["a", "b", "c"]
+    for _ in range(n):
+        left = draw(st.sampled_from(alphabet))
+        right = draw(st.sampled_from(alphabet))
+        merges.append((left, right))
+        alphabet.append(left + right)  # later rules may use fused symbols
+    return word, merges
+
+
+@given(_word_and_merges())
+@settings(max_examples=soak_examples(100), deadline=None)
+def test_property_encode_word(case):
+    word, merges = case
+    out = encode_word(word, merges)
+    # lossless reconstruction
+    assert "".join(out) == word
+    # applying one more rule never grows the encoding
+    for k in range(len(merges)):
+        assert len(encode_word(word, merges[: k + 1])) <= len(
+            encode_word(word, merges[:k])
+        )
+    # idempotence: re-encoding the fused sequence symbol-wise via the
+    # reference merge leaves it fixed (every rule already exhausted
+    # in order implies the LAST rule finds nothing left to fuse)
+    if merges:
+        assert _ref_merge(tuple(out), *merges[-1]) == tuple(out)
