@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from ..functions.url import url_host
 from ..operators.crawl import extract_crawl_columns
 from .admission import admit_per_key_stream
+from .events import bounded_replay_shuffle
 from .incremental import _read_or_empty
 
 CRAWL_SCHEMA = "doc_id long, url string, html string"
@@ -208,17 +209,11 @@ def replay_crawl_ingest(
         .option("maxFilesPerTrigger", 1)
         .parquet(os.path.join(stage, "*.parquet"))
     )
-    # the replay's micro-batches are small by construction, and
-    # stateful-streaming cost scales with state-store instances PER
-    # PARTITION PER MICRO-BATCH (the conftest.py lesson) — cap the
-    # shuffle width for the bounded replay only (measured at sf0.1:
-    # 17.6 s -> 6.5 s, identical output). The production entry point
-    # (crawl_ingest_stream) keeps the session's setting.
-    conf = spark.conf
-    prev = conf.get("spark.sql.shuffle.partitions")
-    if int(prev) > 8:
-        conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # bounded replay: cap the shuffle width (state-store instancing;
+    # measured at sf0.1: 17.6 s -> 6.5 s, identical output). The
+    # production entry point (crawl_ingest_stream) keeps the session's
+    # setting.
+    with bounded_replay_shuffle(spark):
         q = crawl_ingest_stream(
             stream,
             store_dir=os.path.join(work, "store"),
@@ -228,6 +223,4 @@ def replay_crawl_ingest(
             min_tokens=min_tokens,
         )
         q.awaitTermination()
-    finally:
-        conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(os.path.join(work, "corpus")).drop("batch_id")

@@ -297,14 +297,17 @@ def replay_incremental_dedup(
         .option("maxFilesPerTrigger", 1)
         .parquet(os.path.join(stage, "*.parquet"))
     )
-    q = incremental_neardup_dedup(
-        spark,
-        stream,
-        store_dir=os.path.join(work, "store"),
-        survivors_dir=os.path.join(work, "survivors"),
-        checkpoint_dir=os.path.join(work, "ckpt"),
-        threshold=threshold,
-        base_hash=base_hash,
-    )
-    q.awaitTermination()
+    from .events import bounded_replay_shuffle
+
+    with bounded_replay_shuffle(spark):
+        q = incremental_neardup_dedup(
+            spark,
+            stream,
+            store_dir=os.path.join(work, "store"),
+            survivors_dir=os.path.join(work, "survivors"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            threshold=threshold,
+            base_hash=base_hash,
+        )
+        q.awaitTermination()
     return spark.read.parquet(os.path.join(work, "survivors")).select("doc_id")
