@@ -175,3 +175,27 @@ def test_validation(spark):
         admit_per_key_stream(ev, "event_type", 0)
     with pytest.raises(ValueError, match="columns"):
         admit_per_key_stream(ev, "nope", 5)
+
+
+def test_bounded_replay_shuffle_restores(spark):
+    from pandasql_spark.streaming.events import bounded_replay_shuffle
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        with bounded_replay_shuffle(spark, n=8):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
+        # restored even when the replay raises
+        with pytest.raises(RuntimeError, match="boom"):
+            with bounded_replay_shuffle(spark, n=8):
+                assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+                raise RuntimeError("boom")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
+        # no-op when already at or under the cap
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        with bounded_replay_shuffle(spark, n=8):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
