@@ -8,6 +8,7 @@ from .crawl_ingest import (
     replay_crawl_ingest,
 )
 from .events import (
+    bounded_replay_shuffle,
     click_purchase_interval_join,
     dedup_event_stream,
     hourly_event_counts,
@@ -42,4 +43,5 @@ __all__ = [
     "admit_per_key_stream",
     "crawl_ingest_stream",
     "replay_crawl_ingest",
+    "bounded_replay_shuffle",
 ]
