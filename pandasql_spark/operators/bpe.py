@@ -162,13 +162,13 @@ def train_bpe(
             break
         left, right = top[0]["left"], top[0]["right"]
         merges.append((left, right))
-        prev = words
         words = words.select(
             _merge_fold(F.col("syms"), left, right).alias("syms"), "cnt"
         )
         if (i + 1) % checkpoint_every == 0:
+            # superseded checkpoints' blocks are reclaimed by the
+            # ContextCleaner once the old frame goes out of scope
             words = words.localCheckpoint()
-            prev.unpersist()
     return merges
 
 
