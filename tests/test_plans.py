@@ -204,3 +204,22 @@ def test_corpus_report_percentiles_use_range_partitioning(spark):
 
     plan = explain_str(_q(spark, "q73_corpus_report"), "formatted")
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_bpe_pair_stats_vocab_sized_tail(spark):
+    """q100: one corpus scan reading ONLY text, partial/final aggregation
+    around each exchange, top-k as TakeOrderedAndProject (never a global
+    sort), and the rank window AFTER the limit — so the single-partition
+    window sees k rows, not the corpus."""
+    df = _q(spark, "q100_bpe_pair_stats")
+    schemas = read_schemas(df)
+    assert len(schemas) == 1 and schemas[0].count(":") == 1, schemas
+    ops = operator_names(df)
+    assert "TakeOrderedAndProject" in ops, ops
+    assert "Sort" not in ops, ops
+    # both the word count and the pair count are map-side combined
+    assert ops.count("HashAggregate") >= 4, ops
+    assert shuffle_count(df) <= 2, ops
+    # leaf-first listing: the window comes after the limit, i.e. it
+    # consumes TakeOrderedAndProject's k rows
+    assert ops.index("Window") > ops.index("TakeOrderedAndProject"), ops
