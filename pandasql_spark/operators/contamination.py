@@ -24,10 +24,29 @@ n-gram set outgrows broadcast range (it should not — even 10k docs ×
 1k n-grams ≈ 80 MB of hashes), drop the broadcast hint and let AQE
 decide. ``hashed=False`` joins on the raw n-gram string instead —
 engine-portable, which is what the q66 gate's DuckDB oracle uses.
+
+Scale path beyond broadcast range — ``prefilter="bloom"``: build a
+bloom filter over the eval n-gram hashes (built distributed, OR-merged
+on the driver — ``m_bits/8`` bytes however large the eval set grows),
+broadcast it, and drop non-member corpus grams BEFORE the confirm
+join, so only bloom hits (true matches + the tuned false-positive
+trickle) ever reach a join. Membership is an Arrow-batched pandas UDF
+doing pure numpy bit-tests on JVM-computed xxhash64 keys — no per-row
+Python, no portability requirement (the bloom path is a prefilter;
+exactness comes from the confirm join either way). Spark's own
+runtime bloom injection (InjectRuntimeFilter) covers the same idea
+only when the application-side scan clears 10 GB and the creation
+side carries a selective predicate — this operator's eval side
+(explode → distinct aggregate) does not qualify, hence the explicit
+variant.
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -42,6 +61,78 @@ def _ngrams(text_col: str, n: int) -> Column:
     return word_ngrams(text_col, n)
 
 
+def _bloom_positions(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions from 64-bit keys via double hashing
+    (pos_i = h_lo + i·h_hi mod m) — one JVM hash per gram feeds all k
+    probes; everything here is vectorized numpy."""
+    h = h.astype(np.int64).view(np.uint64)
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = h >> np.uint64(32)
+    i = np.arange(k, dtype=np.uint64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)
+
+
+def build_eval_bloom(
+    eval_df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    m_bits: int = 1 << 23,
+    k: int = 5,
+) -> bytes:
+    """Bloom bitmap (``m_bits/8`` bytes) over the eval set's n-gram
+    xxhash64 keys: per-partition partial bitmaps built with
+    ``mapInPandas``, OR-merged on the driver — the same partial/final
+    shape as an aggregation, with a fixed-size partial."""
+    if m_bits % 8 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 8, got {m_bits}")
+    grams = eval_df.select(F.explode(_ngrams(text_col, n)).alias("g")).select(
+        F.xxhash64("g").alias("h")
+    )
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bm = np.zeros(m_bits // 8, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            if len(pdf):
+                any_rows = True
+                pos = _bloom_positions(pdf["h"].to_numpy(), m_bits, k).ravel()
+                # bitwise_or.at: duplicate byte indices within one batch
+                # must all land (plain fancy-index |= drops repeats)
+                np.bitwise_or.at(
+                    bm, (pos >> np.uint64(3)).astype(np.int64),
+                    (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)),
+                )
+        if any_rows:
+            yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    out = np.zeros(m_bits // 8, dtype=np.uint8)
+    for row in grams.mapInPandas(_partial, "bm binary").collect():
+        out |= np.frombuffer(row.bm, dtype=np.uint8)
+    return out.tobytes()
+
+
+def bloom_member_column(
+    spark_context, bitmap: bytes, m_bits: int, k: int
+):
+    """Boolean pandas-UDF over an xxhash64 column: all-k-bits-set test
+    against the (SparkContext-broadcast) bitmap, fully vectorized."""
+    bc = spark_context.broadcast(np.frombuffer(bitmap, dtype=np.uint8))
+
+    @F.pandas_udf("boolean")
+    def _member(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        bm = bc.value
+        for hs in it:
+            if not len(hs):
+                yield pd.Series([], dtype=bool)
+                continue
+            pos = _bloom_positions(hs.to_numpy(), m_bits, k)
+            byte = bm[(pos >> np.uint64(3)).astype(np.int64)]
+            bit = (byte >> (pos & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
+            yield pd.Series(bit.all(axis=1))
+
+    return _member
+
+
 def contaminated_docs(
     train_df: DataFrame,
     eval_df: DataFrame,
@@ -49,13 +140,26 @@ def contaminated_docs(
     text_col: str = "text",
     id_col: str = "doc_id",
     hashed: bool = True,
+    prefilter: str | None = None,
+    bloom_bits: int = 1 << 23,
+    bloom_k: int = 5,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """(id_col, n_hits, n_distinct_hits): training docs sharing at least
     one word ``n``-gram with ANY eval document. ``n_hits`` counts
     matching n-gram occurrences in the training doc; ``n_distinct_hits``
-    counts distinct matching n-grams."""
+    counts distinct matching n-grams.
+
+    ``prefilter="bloom"`` inserts the bloom membership test on the
+    corpus gram stream before the confirm join (identical results —
+    false positives die in the join, bloom filters have no false
+    negatives). Pair with ``broadcast_eval=False`` when the eval gram
+    set outgrows broadcast range: the confirm join then shuffles only
+    the bloom hits, not the corpus."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    if prefilter not in (None, "bloom"):
+        raise ValueError(f"prefilter must be None or 'bloom', got {prefilter!r}")
     key = (lambda c: F.xxhash64(c)) if hashed else (lambda c: c)
     eval_grams = (
         eval_df.select(F.explode(_ngrams(text_col, n)).alias("g"))
@@ -65,8 +169,15 @@ def contaminated_docs(
     train_grams = train_df.select(
         id_col, F.explode(_ngrams(text_col, n)).alias("g")
     ).select(id_col, F.col("g"), key(F.col("g")).alias("k"))
+    if prefilter == "bloom":
+        bitmap = build_eval_bloom(eval_df, n, text_col, bloom_bits, bloom_k)
+        member = bloom_member_column(
+            train_df.sparkSession.sparkContext, bitmap, bloom_bits, bloom_k
+        )
+        train_grams = train_grams.filter(member(F.xxhash64("g")))
+    confirm = F.broadcast(eval_grams) if broadcast_eval else eval_grams
     return (
-        train_grams.join(F.broadcast(eval_grams), "k")
+        train_grams.join(confirm, "k")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_hits"),
@@ -82,10 +193,13 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     hashed: bool = True,
+    **kwargs,
 ) -> DataFrame:
     """``train_df`` minus every contaminated document (anti-join on the
-    flagged id list — the tiny side of the join)."""
+    flagged id list — the tiny side of the join). Extra kwargs
+    (``prefilter``, ``bloom_bits``, ``bloom_k``, ``broadcast_eval``)
+    pass through to :func:`contaminated_docs`."""
     flagged = contaminated_docs(
-        train_df, eval_df, n, text_col, id_col, hashed
+        train_df, eval_df, n, text_col, id_col, hashed, **kwargs
     ).select(id_col)
     return train_df.join(flagged, id_col, "anti")

@@ -130,3 +130,95 @@ def test_property_matches_python_oracle(spark, seed, n, n_train, n_eval):
         ).collect()
     }
     assert got == _py_oracle(train_pdf, eval_texts, n)
+
+
+# --- bloom prefilter (the beyond-broadcast scale path) --------------------
+
+
+def test_bloom_prefilter_identical_results(corpora, spark):
+    train, evald, train_pdf = corpora
+    base = sorted(map(tuple, contaminated_docs(train, evald, n=5).collect()))
+    for broadcast_eval in (True, False):
+        bloomed = sorted(
+            map(
+                tuple,
+                contaminated_docs(
+                    train, evald, n=5,
+                    prefilter="bloom", broadcast_eval=broadcast_eval,
+                ).collect(),
+            )
+        )
+        assert bloomed == base
+    assert base  # the fixture plants real contamination
+
+
+def test_bloom_prefilter_on_real_corpus(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    train, evald = docs.limit(80), docs.limit(95).subtract(docs.limit(80))
+    base = sorted(map(tuple, contaminated_docs(train, evald, n=7).collect()))
+    bloomed = sorted(
+        map(tuple, contaminated_docs(train, evald, n=7, prefilter="bloom").collect())
+    )
+    assert bloomed == base
+
+
+def test_bloom_tiny_filter_still_exact(corpora, spark):
+    # a deliberately saturated 64-bit filter: every gram passes the
+    # prefilter, exactness must come from the confirm join alone
+    train, evald, _ = corpora
+    base = sorted(map(tuple, contaminated_docs(train, evald, n=5).collect()))
+    got = sorted(
+        map(
+            tuple,
+            contaminated_docs(
+                train, evald, n=5, prefilter="bloom", bloom_bits=64, bloom_k=2
+            ).collect(),
+        )
+    )
+    assert got == base
+
+
+def test_bloom_empty_eval(corpora, spark):
+    train, evald, _ = corpora
+    empty = evald.filter("doc_id < 0")
+    assert contaminated_docs(train, empty, n=5, prefilter="bloom").count() == 0
+
+
+def test_bloom_validation(corpora, spark):
+    train, evald, _ = corpora
+    with pytest.raises(ValueError, match="prefilter"):
+        contaminated_docs(train, evald, n=5, prefilter="cuckoo")
+    from pandasql_spark.operators.contamination import build_eval_bloom
+
+    with pytest.raises(ValueError, match="m_bits"):
+        build_eval_bloom(evald, n=5, m_bits=12)
+
+
+def test_bloom_bitmap_selectivity(corpora, spark):
+    # the bitmap rejects unrelated grams: membership of train grams that
+    # are NOT in eval should be (nearly always) false at 1M bits
+    from pyspark.sql import functions as F
+
+    from pandasql_spark.operators.contamination import (
+        bloom_member_column,
+        build_eval_bloom,
+    )
+
+    train, evald, _ = corpora
+    bm = build_eval_bloom(evald, n=5, m_bits=1 << 20, k=5)
+    member = bloom_member_column(spark.sparkContext, bm, 1 << 20, 5)
+    from pandasql_spark.operators.contamination import _ngrams
+
+    grams = train.select(F.explode(_ngrams("text", 5)).alias("g")).select(
+        "g", member(F.xxhash64("g")).alias("m")
+    )
+    got = {r.g: r.m for r in grams.collect()}
+    eval_grams = {
+        r.g
+        for r in evald.select(F.explode(_ngrams("text", 5)).alias("g")).collect()
+    }
+    for g, m in got.items():
+        if g in eval_grams:
+            assert m  # no false negatives, ever
+    # at 2^20 bits for ~10 grams, a false positive is ~impossible
+    assert sum(m for g, m in got.items() if g not in eval_grams) == 0
