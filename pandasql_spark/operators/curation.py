@@ -55,6 +55,7 @@ def curate_corpus(
     stratum_col: str = "lang",
     text_col: str = "text",
     id_col: str = "doc_id",
+    contamination_prefilter: str | None = None,
 ) -> DataFrame:
     """Quality-gate, dedup, decontaminate, and (optionally) redact and
     resample a document corpus; returns surviving rows with the input
@@ -117,7 +118,7 @@ def curate_corpus(
     if eval_df is not None:
         flagged = contaminated_docs(
             out, eval_df, n=ngram_n, text_col=text_col, id_col=id_col,
-            hashed=hashed,
+            hashed=hashed, prefilter=contamination_prefilter,
         ).select(id_col)
         out = out.join(flagged, on=id_col, how="anti")
 

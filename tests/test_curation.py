@@ -163,3 +163,18 @@ def test_half_specified_mixture_raises(spark):
         curate_corpus(df, mixture={"en": 1})
     with pytest.raises(ValueError, match="together"):
         curate_corpus(df, total_n=10)
+
+
+def test_bloom_prefiltered_decontamination_stage(spark):
+    base = curate_corpus(
+        _corpus(spark), eval_df=_eval(spark),
+        min_tokens=4, max_tokens=10, ngram_n=3, hashed=False,
+    )
+    bloomed = curate_corpus(
+        _corpus(spark), eval_df=_eval(spark),
+        min_tokens=4, max_tokens=10, ngram_n=3, hashed=False,
+        contamination_prefilter="bloom",
+    )
+    assert sorted(r.doc_id for r in bloomed.collect()) == sorted(
+        r.doc_id for r in base.collect()
+    )
