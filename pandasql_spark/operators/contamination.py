@@ -67,7 +67,9 @@ def _bloom_positions(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
     probes; everything here is vectorized numpy."""
     h = h.astype(np.int64).view(np.uint64)
     h1 = h & np.uint64(0xFFFFFFFF)
-    h2 = h >> np.uint64(32)
+    # odd stride: never 0, coprime with the power-of-two default m —
+    # a zero/even h_hi would collapse all k probes onto few positions
+    h2 = (h >> np.uint64(32)) | np.uint64(1)
     i = np.arange(k, dtype=np.uint64)
     return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)
 
