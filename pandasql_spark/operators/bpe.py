@@ -211,7 +211,10 @@ def encode_bpe(
     the right choice for short merge tables."""
     merges = [tuple(m) for m in merges]
     if impl == "expr":
-        syms = F.transform(tokens(text_col), lambda w: F.split(w, ""))
+        # drop empty words (leading/trailing/double spaces) — the
+        # pandas path's `if not w: continue`, kept in lockstep
+        words = F.filter(tokens(text_col), lambda w: F.length(w) > 0)
+        syms = F.transform(words, lambda w: F.split(w, ""))
         for left, right in merges:
             syms = F.transform(syms, lambda s: _merge_fold(s, left, right))
         return df.withColumn(out_col, F.flatten(syms))

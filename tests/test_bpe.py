@@ -209,3 +209,14 @@ def test_property_encode_word(case):
     # in order implies the LAST rule finds nothing left to fuse)
     if merges:
         assert _ref_merge(tuple(out), *merges[-1]) == tuple(out)
+
+
+def test_encoder_paths_agree_on_messy_whitespace(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, "a  b"), (2, " ab "), (3, "ab  ab")],
+        "doc_id long, text string",
+    )
+    m = [("a", "b")]
+    a = {r.doc_id: r.bpe_tokens for r in encode_bpe(df, m).collect()}
+    b = {r.doc_id: r.bpe_tokens for r in encode_bpe(df, m, impl="expr").collect()}
+    assert a == b == {0: [], 1: ["a", "b"], 2: ["ab"], 3: ["ab", "ab"]}
