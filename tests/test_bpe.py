@@ -220,3 +220,17 @@ def test_encoder_paths_agree_on_messy_whitespace(spark):
     a = {r.doc_id: r.bpe_tokens for r in encode_bpe(df, m).collect()}
     b = {r.doc_id: r.bpe_tokens for r in encode_bpe(df, m, impl="expr").collect()}
     assert a == b == {0: [], 1: ["a", "b"], 2: ["ab"], 3: ["ab", "ab"]}
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["ab", "aab", "ba", "abc", "ca", "a"]), min_size=1, max_size=6).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(0, 5),
+)
+@settings(max_examples=soak_examples(5), deadline=None)
+def test_property_train_matches_reference(spark, texts, n_merges):
+    got = train_bpe(_docs(spark, texts), n_merges=n_merges, checkpoint_every=2)
+    assert got == _ref_train_full(texts, n_merges)
