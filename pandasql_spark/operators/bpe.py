@@ -98,6 +98,8 @@ def pair_stats(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
     language-ID and gibberish heuristics). Deterministic total order:
     count desc, then pair asc. One corpus scan; everything after the
     word_freq groupBy runs on the vocabulary-sized table (q100)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     chars = word_freq(df, text_col).select(
         F.split(F.col("w"), "").alias("syms"), "cnt"
     )

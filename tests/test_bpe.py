@@ -234,3 +234,8 @@ def test_encoder_paths_agree_on_messy_whitespace(spark):
 def test_property_train_matches_reference(spark, texts, n_merges):
     got = train_bpe(_docs(spark, texts), n_merges=n_merges, checkpoint_every=2)
     assert got == _ref_train_full(texts, n_merges)
+
+
+def test_pair_stats_k_guard(spark):
+    with pytest.raises(ValueError, match="k must be"):
+        pair_stats(_docs(spark, ["ab"]), k=0)
