@@ -36,6 +36,7 @@ surface (see SURVEY.md §2 addenda).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -208,3 +209,33 @@ def repetition_filter(
         )
     ).select(id_col)
     return df.join(bad, on=id_col, how="left_anti")
+
+
+def compression_ratio(text_col: Column | str = "text", level: int = 6) -> Column:
+    """deflate(text) size / utf-8 size — the classic cheap proxy for
+    templated/repetitive/boilerplate text (low ratio ≈ redundant;
+    near-or-above 1.0 ≈ high-entropy or too short to compress): the
+    document-level complement of the n-gram signals above, catching
+    long-range redundancy n-grams miss. Arrow-batched pandas UDF over
+    stdlib zlib at a FIXED level (deterministic bytes → deterministic
+    ratio); ~100 MB/s/core, embarrassingly parallel, no shuffle. NULL
+    text stays NULL; empty text reports ratio 0.0 (nothing to claim
+    entropy for). Not SQL-oracle-expressible (no deflate in DuckDB) —
+    pytest-differential coverage only, by design."""
+    import zlib
+
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _ratio(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return 0.0
+            return len(zlib.compress(raw, level)) / len(raw)
+
+        return texts.map(one)
+
+    return _ratio(F.col(text_col) if isinstance(text_col, str) else text_col)

@@ -241,3 +241,58 @@ def test_pii_property_vs_python_re(spark, texts):
         red = re.sub(pii.PHONE_RE, "[PHONE]", red)
         red = re.sub(pii.IPV4_RE, "[IP]", red)
         assert got[i] == (exp_e, exp_p, exp_ip, red), (t, got[i])
+
+
+# --- compression-ratio quality signal -------------------------------------
+
+
+def test_compression_ratio_known_and_nulls(spark):
+    from pandasql_spark.operators.repetition import compression_ratio
+
+    df = spark.createDataFrame(
+        [(0, "abc " * 50), (1, None), (2, "")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.r
+        for r in df.select("doc_id", compression_ratio("text").alias("r")).collect()
+    }
+    import zlib
+
+    raw = ("abc " * 50).encode()
+    assert got[0] == len(zlib.compress(raw, 6)) / len(raw)
+    assert got[1] is None and got[2] == 0.0
+
+
+def test_compression_ratio_differential_on_corpus(spark):
+    import zlib
+
+    from pandasql_spark.operators.repetition import compression_ratio
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    got = {
+        r.doc_id: r.r
+        for r in docs.repartition(7)
+        .select("doc_id", compression_ratio("text").alias("r"))
+        .collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        raw = row.text.encode("utf-8")
+        assert got[row.doc_id] == len(zlib.compress(raw, 6)) / len(raw)
+
+
+def test_compression_ratio_orders_redundancy(spark):
+    from pandasql_spark.operators.repetition import compression_ratio
+
+    df = spark.createDataFrame(
+        [
+            (0, "spam " * 200),                          # templated
+            (1, ("the quick brown fox jumps over the lazy dog and "
+                 "then discusses query engines at length ") * 10),  # prose-ish
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.r
+        for r in df.select("doc_id", compression_ratio("text").alias("r")).collect()
+    }
+    assert got[0] < got[1] < 1.0
