@@ -68,6 +68,19 @@ def word_freq(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _codepoints(col: Column) -> Column:
+    """Split a string into an array of CODEPOINT characters.
+
+    ``F.split(col, "")`` splits between Java UTF-16 code *units*, so a
+    non-BMP codepoint (emoji, astral CJK) shatters into surrogate
+    halves — diverging from DuckDB's codepoint-based ``substr`` (the
+    q100 oracle) and Python's ``list(word)`` (``encode_word``). Java
+    regex ``.`` matches one code *point* (surrogate pairs included), so
+    a dotall extract-all is the codepoint-safe split, still JVM-side.
+    """
+    return F.regexp_extract_all(col, F.lit("(?s)."), 0)
+
+
 def _adjacent_pairs(syms: Column) -> Column:
     """array of adjacent symbol pairs as (left, right) structs."""
     return F.transform(
@@ -101,7 +114,7 @@ def pair_stats(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     chars = word_freq(df, text_col).select(
-        F.split(F.col("w"), "").alias("syms"), "cnt"
+        _codepoints(F.col("w")).alias("syms"), "cnt"
     )
     pairs = _pair_counts(chars).select(
         F.concat("left", "right").alias("pair"), "pair_count"
@@ -149,7 +162,7 @@ def train_bpe(
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
     words = (
         word_freq(df, text_col)
-        .select(F.split(F.col("w"), "").alias("syms"), "cnt")
+        .select(_codepoints(F.col("w")).alias("syms"), "cnt")
         .localCheckpoint()  # eager: corpus scanned once, here
     )
     merges: list[tuple[str, str]] = []
@@ -216,7 +229,7 @@ def encode_bpe(
         # drop empty words (leading/trailing/double spaces) — the
         # pandas path's `if not w: continue`, kept in lockstep
         words = F.filter(tokens(text_col), lambda w: F.length(w) > 0)
-        syms = F.transform(words, lambda w: F.split(w, ""))
+        syms = F.transform(words, lambda w: _codepoints(w))
         for left, right in merges:
             syms = F.transform(syms, lambda s: _merge_fold(s, left, right))
         return df.withColumn(out_col, F.flatten(syms))

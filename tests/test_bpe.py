@@ -91,6 +91,25 @@ def test_pair_stats_known(spark):
     assert got == [("lo", 3, 1), ("ow", 3, 2), ("er", 2, 3)]
 
 
+def test_non_bmp_codepoints(spark):
+    # astral-plane chars (surrogate PAIRS in UTF-16) must split as ONE
+    # symbol each — F.split(w, "") would shatter them into surrogate
+    # halves and diverge from DuckDB substr / Python list(word)
+    # (ADVICE r9; _codepoints is the fix). "🌊🌊x" words: pairs are
+    # (🌊,🌊) and (🌊,x), never lone surrogates.
+    texts = ["🌊🌊x 🌊🌊x", "🌊🌊x"]
+    got = [(r.pair, r.pair_count, r.rank) for r in pair_stats(_docs(spark, texts), k=5).collect()]
+    # tiebreak: pair ASC in UTF-8 byte order == codepoint order, on
+    # which Spark (UTF8String), DuckDB, and Python all agree
+    assert got == [("🌊x", 3, 1), ("🌊🌊", 3, 2)]
+    assert train_bpe(_docs(spark, texts), n_merges=2) == _ref_train_full(texts, 2)
+    m = [("🌊", "🌊")]
+    a = {r.doc_id: r.bpe_tokens for r in encode_bpe(_docs(spark, texts), m).collect()}
+    b = {r.doc_id: r.bpe_tokens for r in encode_bpe(_docs(spark, texts), m, impl="expr").collect()}
+    assert a == b
+    assert a[1] == ["🌊🌊", "x"]
+
+
 def test_train_matches_reference_trainer(spark):
     texts = ["low lower lowest newest new", "wider wide new lower", "low low"]
     got = train_bpe(_docs(spark, texts), n_merges=8)
