@@ -30,7 +30,7 @@ this module is part of the beyond-reference pipeline operators.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+from typing import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
@@ -276,6 +276,7 @@ def sample_frames(
     payload_col: str = "payload",
     id_col: str = "media_id",
     every_ms: int = 1000,
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """REAL video frame sampling: one output row per sampled frame,
     decoded by the native AVI codec (functions/videocodec.py — AVI is
@@ -287,9 +288,29 @@ def sample_frames(
     re-encoded as PNG (``frame_png``) so it flows straight into the
     image operators (image_meta/extract_image_features). A payload that
     is not a decodable AVI survives as ONE decode_ok=false row — the
-    corrupt-media contract, never a poisoned job."""
+    corrupt-media contract, never a poisoned job.
+
+    ``keep_cols`` carries the named input columns (typed metadata —
+    codec flags, source tags, lengths) onto every output row of their
+    video, replicated per sampled frame inside the Arrow batch. At
+    scale this is the ONLY sane way to keep metadata with frames: the
+    alternative is a second corpus scan joined back on media_id — a
+    full extra shuffle (or a corpus-sized broadcast) that this
+    parameter exists to delete."""
     if every_ms < 1:
         raise ValueError(f"every_ms must be >= 1, got {every_ms}")
+    keep_cols = list(keep_cols)
+    reserved = {
+        "media_id", "decode_ok", "frame_idx", "frame_ms", "width",
+        "height", "frame_png", payload_col, id_col,
+    }
+    clash = sorted(set(keep_cols) & reserved)
+    if clash:
+        raise ValueError(f"keep_cols clash with output columns: {clash}")
+    in_fields = {f.name: f for f in df.schema.fields}
+    missing = [c for c in keep_cols if c not in in_fields]
+    if missing:
+        raise KeyError(f"keep_cols not in input: {missing}")
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -300,6 +321,7 @@ def sample_frames(
             T.StructField("height", T.IntegerType()),
             T.StructField("frame_png", T.BinaryType()),
         ]
+        + [T.StructField(c, in_fields[c].dataType) for c in keep_cols]
     )
 
     def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -307,8 +329,11 @@ def sample_frames(
         from ..functions.videocodec import VideoDecodeError, decode_avi
 
         for pdf in it:
-            rows = {k.name: [] for k in out_schema.fields}
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+            rows: dict[str, list] = {k.name: [] for k in out_schema.fields}
+            kept = [pdf[c] for c in keep_cols]
+            for j, (mid, payload) in enumerate(
+                zip(pdf[id_col], pdf[payload_col])
+            ):
                 mid = int(mid)
                 try:
                     fps, frames = decode_avi(bytes(payload))
@@ -318,6 +343,8 @@ def sample_frames(
                     for c in ("frame_idx", "frame_ms", "width", "height",
                               "frame_png"):
                         rows[c].append(None)
+                    for c, col in zip(keep_cols, kept):
+                        rows[c].append(col.iloc[j])
                     continue
                 n, h, w, _ = frames.shape
                 if fps <= 0:  # degenerate header: treat as 1 fps
@@ -336,20 +363,25 @@ def sample_frames(
                         rows["width"].append(w)
                         rows["height"].append(h)
                         rows["frame_png"].append(encode_png(frames[idx]))
+                        for c, col in zip(keep_cols, kept):
+                            rows[c].append(col.iloc[j])
                     t += every_ms
-            yield pd.DataFrame(
-                {
-                    "media_id": rows["media_id"],
-                    "decode_ok": rows["decode_ok"],
-                    "frame_idx": pd.array(rows["frame_idx"], dtype="Int32"),
-                    "frame_ms": pd.array(rows["frame_ms"], dtype="Int64"),
-                    "width": pd.array(rows["width"], dtype="Int32"),
-                    "height": pd.array(rows["height"], dtype="Int32"),
-                    "frame_png": rows["frame_png"],
-                }
-            )
+            out = {
+                "media_id": rows["media_id"],
+                "decode_ok": rows["decode_ok"],
+                "frame_idx": pd.array(rows["frame_idx"], dtype="Int32"),
+                "frame_ms": pd.array(rows["frame_ms"], dtype="Int64"),
+                "width": pd.array(rows["width"], dtype="Int32"),
+                "height": pd.array(rows["height"], dtype="Int32"),
+                "frame_png": rows["frame_png"],
+            }
+            for c in keep_cols:
+                out[c] = rows[c]
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(_batch, out_schema)
+    return df.select(id_col, payload_col, *keep_cols).mapInPandas(
+        _batch, out_schema
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -164,6 +164,38 @@ def test_sample_frames_real_decode(spark):
     assert list(m1["frame_idx"]) == [0, 1, 2]
 
 
+def test_sample_frames_keep_cols(spark):
+    """keep_cols rides typed metadata onto every frame row — including
+    the decode_ok=false row — with no join back to the corpus."""
+    import pytest
+
+    from pandasql_spark.operators import multimodal
+
+    pdf = pd.DataFrame(
+        {
+            "media_id": [0, 2],
+            "payload": [encode_avi(_vid(3, 4, 4, seed=5), fps=1),
+                        b"not a video"],
+            "src": ["cc", "books"],
+            "n": [11, 22],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    out = multimodal.sample_frames(
+        sdf, every_ms=1000, keep_cols=["src", "n"]
+    ).toPandas()
+    assert list(out.columns)[-2:] == ["src", "n"]
+    ok = out[out["decode_ok"]]
+    assert set(ok["src"]) == {"cc"} and set(ok["n"]) == {11}
+    assert len(ok) == 3  # metadata replicated per sampled frame
+    bad = out[~out["decode_ok"]]
+    assert list(bad["src"]) == ["books"] and list(bad["n"]) == [22]
+    with pytest.raises(ValueError, match="clash"):
+        multimodal.sample_frames(sdf, keep_cols=["payload"])
+    with pytest.raises(KeyError, match="missing_col"):
+        multimodal.sample_frames(sdf, keep_cols=["missing_col"])
+
+
 def test_sample_frames_composes_with_image_ops(spark):
     from pandasql_spark.operators import multimodal
 
