@@ -113,12 +113,31 @@ def build_eval_bloom(
     return out.tobytes()
 
 
+# most recent bloom broadcast: each bloom_member_column call unpersists
+# its predecessor's executor copies, so repeated calls in one session
+# hold at most one resident bitmap instead of accumulating broadcast
+# blocks (ADVICE r9). unpersist (not destroy) is safe for an earlier
+# member column still in use — executors lazily re-fetch from the
+# driver on next task use.
+_PREV_BLOOM_BC = None
+
+
 def bloom_member_column(
     spark_context, bitmap: bytes, m_bits: int, k: int
 ):
     """Boolean pandas-UDF over an xxhash64 column: all-k-bits-set test
-    against the (SparkContext-broadcast) bitmap, fully vectorized."""
+    against the (SparkContext-broadcast) bitmap, fully vectorized.
+
+    The bitmap broadcast from the *previous* call is unpersisted here
+    (bounded residency — see ``_PREV_BLOOM_BC``)."""
+    global _PREV_BLOOM_BC
+    if _PREV_BLOOM_BC is not None:
+        try:
+            _PREV_BLOOM_BC.unpersist()
+        except Exception:
+            pass  # owning context may already be stopped
     bc = spark_context.broadcast(np.frombuffer(bitmap, dtype=np.uint8))
+    _PREV_BLOOM_BC = bc
 
     @F.pandas_udf("boolean")
     def _member(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -157,7 +176,12 @@ def contaminated_docs(
     false positives die in the join, bloom filters have no false
     negatives). Pair with ``broadcast_eval=False`` when the eval gram
     set outgrows broadcast range: the confirm join then shuffles only
-    the bloom hits, not the corpus."""
+    the bloom hits, not the corpus. NOTE: the bloom path is EAGER at
+    DataFrame-construction time — ``build_eval_bloom`` runs a Spark
+    job over ``eval_df`` right here to materialize the bitmap (unlike
+    every other path, which stays lazy until the caller acts). The
+    eval set is the small side by contract, so the job is cheap, but
+    construction is no longer free."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if prefilter not in (None, "bloom"):

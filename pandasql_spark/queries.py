@@ -1323,13 +1323,20 @@ def q66_contamination(spark: SparkSession, sf: str) -> SparkDataFrame:
     shuffle. Gate uses n=3 (the synthetic 31-word vocabulary makes
     longer n-grams vanishingly rare) and the raw-string join
     (hashed=False) so the DuckDB oracle reproduces it verbatim;
-    production default is n=13 over xxhash64 keys."""
+    production default is n=13 over xxhash64 keys.
+
+    The gate exercises the BLOOM PREFILTER — the 100 TB path (bitmap
+    membership drops non-member grams before the confirm join;
+    measured 11× confirm-join shuffle-byte cut, SCALING.md). The
+    result is exact either way (bloom false positives die in the
+    confirm join, no false negatives), so the same oracle pins both
+    the prefilter and the join."""
     from pandasql_spark.operators.contamination import contaminated_docs
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     ev = docs.filter(F.col("doc_id") % 50 == 0)
     tr = docs.filter(F.col("doc_id") % 50 != 0)
-    return contaminated_docs(tr, ev, n=3, hashed=False)
+    return contaminated_docs(tr, ev, n=3, hashed=False, prefilter="bloom")
 
 
 Q66_SQL = """

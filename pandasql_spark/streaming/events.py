@@ -40,7 +40,15 @@ def bounded_replay_shuffle(spark: SparkSession, n: int = 8):
     Production entry points never pass through here — an unbounded
     stream keeps the session's width, where real state wants the
     shards. No-op when the session is already at or under ``n``
-    (e.g. the test session's pinned 4)."""
+    (e.g. the test session's pinned 4).
+
+    NOT REENTRANT / NOT THREAD-SAFE: the cap mutates the session-global
+    conf for the replay's duration, so any query PLANNED concurrently
+    on the same session silently picks up the capped width, and nested
+    use restores the inner value. The replay gates run single-threaded
+    by construction; a caller who needs concurrent planning should run
+    the replay on a cloned session (``spark.newSession()`` shares the
+    SparkContext but isolates the conf) and pass the clone here."""
     conf = spark.conf
     prev = conf.get("spark.sql.shuffle.partitions")
     try:
