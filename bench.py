@@ -255,6 +255,32 @@ def main() -> None:
     except OSError:
         pass  # read-only checkout must not kill the bench line
     print(json.dumps(out))
+    # The driver records only the LAST ~2000 chars of stdout, and the
+    # full line above is ~3.5k — three rounds of BENCH_rN.json carried
+    # "parsed": null because the tail starts mid-"queries". Emit a
+    # compact self-contained summary as the FINAL line (total,
+    # sentinel, ingest, five slowest queries — always well under the
+    # tail window) so whatever capture policy applies, the last line
+    # parses standalone. Full per-query history lives in the committed
+    # BENCH_LOCAL.json twin.
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "n_queries": len(timings),
+        "slowest": dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+        ),
+        "sentinel": out["sentinel"],
+        "load_avg": out["load_avg"],
+    }
+    if "ingest" in out:
+        compact["ingest"] = out["ingest"]
+    if errors:
+        compact["partial"] = True
+        compact["n_errors"] = len(errors)
+    print(json.dumps(compact))
 
 
 def bench_ingest(spark) -> dict:
