@@ -29,9 +29,18 @@ import struct
 
 import numpy as np
 
+try:  # optional compressed-codec support (H.264/VP9/MP4/WebM via libav)
+    import av as _av  # type: ignore
+
+    HAVE_PYAV = True
+except Exception:  # pragma: no cover - PyAV absent in this container
+    _av = None
+    HAVE_PYAV = False
+
 
 class VideoDecodeError(ValueError):
-    """Payload is not a decodable (DIB- or MJPG-AVI) video."""
+    """Payload is not a decodable video (DIB-/MJPG-AVI natively, plus
+    whatever libav decodes when PyAV is installed)."""
 
 
 #: biCompression value for Motion JPEG ('MJPG' as a little-endian u32)
@@ -116,10 +125,57 @@ def _walk(b: bytes, start: int, end: int):
         pos = payload_start + size + (size & 1)
 
 
+def _pyav_decode(b: bytes) -> tuple[float, np.ndarray]:
+    """Decode any libav-supported container/codec (H.264/VP9 in
+    MP4/WebM/AVI/…) → (fps, frames (n, h, w, 3) uint8 RGB). Only
+    reachable when PyAV is installed; callers go through decode_avi,
+    which routes here exactly when the native path rejects the
+    payload."""
+    import io
+
+    try:
+        with _av.open(io.BytesIO(b)) as container:
+            vs = next(
+                (s for s in container.streams if s.type == "video"), None
+            )
+            if vs is None:
+                raise VideoDecodeError("no video stream in container")
+            rate = vs.average_rate or getattr(vs, "base_rate", None)
+            fps = float(rate) if rate else 0.0
+            frames = [
+                f.to_ndarray(format="rgb24") for f in container.decode(vs)
+            ]
+    except VideoDecodeError:
+        raise
+    except Exception as exc:  # av.AVError and friends — one error type out
+        raise VideoDecodeError(f"libav: {exc}") from exc
+    if not frames:
+        raise VideoDecodeError("libav container held no decodable frames")
+    return fps, np.stack(frames).astype(np.uint8, copy=False)
+
+
 def decode_avi(b: bytes) -> tuple[float, np.ndarray]:
-    """AVI bytes (DIB or MJPG stream) → (fps, frames (n, h, w, 3)
-    uint8 RGB). DIB frames round-trip bit-exact; MJPG frames decode
-    through jpegcodec.decode_jpeg (grayscale JPEGs broadcast to RGB)."""
+    """Video bytes → (fps, frames (n, h, w, 3) uint8 RGB).
+
+    The NATIVE path decodes DIB-AVI (bit-exact round-trip) and
+    MJPG-AVI (through jpegcodec.decode_jpeg; grayscale broadcast to
+    RGB) and is always tried first — the two oracle-gated codecs
+    (q90/q96) decode through the same code path in every environment,
+    so the gate numbers are deterministic whether or not PyAV is
+    installed. A payload the native path REJECTS (H.264/VP9
+    biCompression, or a non-AVI container like MP4/WebM) falls
+    through to libav when PyAV is present (``HAVE_PYAV``) — the
+    mechanical swap SCALING.md's codec table budgets for — and stays
+    a VideoDecodeError when it is not."""
+    try:
+        return _decode_avi_native(b)
+    except VideoDecodeError:
+        if not HAVE_PYAV:
+            raise
+    return _pyav_decode(b)
+
+
+def _decode_avi_native(b: bytes) -> tuple[float, np.ndarray]:
     if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise VideoDecodeError("not an AVI")
     try:

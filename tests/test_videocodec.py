@@ -4,6 +4,8 @@ and the frames->PNG->image-operator composition."""
 
 from __future__ import annotations
 
+import importlib.util
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -52,6 +54,97 @@ def test_compressed_rejected():
     b[off:off + 4] = b"MJPG"
     with pytest.raises(VideoDecodeError, match="undecodable"):
         decode_avi(bytes(b))
+
+
+def test_pyav_routing_stub(monkeypatch):
+    """The H.264 swap path without PyAV in the container: native-
+    rejected payloads route to _pyav_decode iff HAVE_PYAV; native
+    codecs NEVER route there (oracle determinism)."""
+    import io
+
+    from pandasql_spark.functions import videocodec as vc
+
+    h264 = bytearray(encode_avi(_vid(2, 4, 4)))
+    off = bytes(h264).find(b"strf") + 8 + 16
+    h264[off:off + 4] = b"H264"
+    h264 = bytes(h264)
+    want = _vid(2, 4, 4, seed=9)
+
+    class _FakeStream:
+        type = "video"
+        average_rate = 30
+
+    class _FakeContainer:
+        streams = [_FakeStream()]
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def decode(self, vs):
+            class _F:
+                def __init__(self, arr):
+                    self._a = arr
+
+                def to_ndarray(self, format):
+                    assert format == "rgb24"
+                    return self._a
+
+            return [_F(a) for a in want]
+
+    class _FakeAV:
+        @staticmethod
+        def open(buf):
+            assert isinstance(buf, io.BytesIO)
+            return _FakeContainer()
+
+    # PyAV absent (this container): native rejection stays the error
+    assert not vc.HAVE_PYAV
+    with pytest.raises(VideoDecodeError, match="compressed"):
+        vc.decode_avi(h264)
+    # PyAV "installed": the same payload decodes through libav
+    monkeypatch.setattr(vc, "HAVE_PYAV", True)
+    monkeypatch.setattr(vc, "_av", _FakeAV)
+    fps, got = vc.decode_avi(h264)
+    assert fps == 30.0 and (got == want).all()
+    # native codecs still decode natively (stub would return `want`)
+    dib = _vid(1, 3, 3, seed=4)
+    _, got_dib = vc.decode_avi(encode_avi(dib))
+    assert (got_dib == dib).all()
+    # an empty libav container is a loud VideoDecodeError
+    monkeypatch.setattr(
+        _FakeContainer, "decode", lambda self, vs: [], raising=True
+    )
+    with pytest.raises(VideoDecodeError, match="no decodable frames"):
+        vc.decode_avi(h264)
+
+
+@pytest.mark.skipif(
+    importlib.util.find_spec("av") is None, reason="PyAV not installed"
+)
+def test_pyav_real_h264_roundtrip():  # pragma: no cover - needs PyAV
+    """With real PyAV: encode H.264 via libav, decode through the
+    public decode_avi surface."""
+    import io
+
+    import av
+
+    from pandasql_spark.functions import videocodec as vc
+
+    want = _tiles(4, 16, 16, seed=3)
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as out:
+        vs = out.add_stream("h264", rate=8)
+        vs.width, vs.height, vs.pix_fmt = 16, 16, "yuv420p"
+        for fr in want:
+            out.mux(vs.encode(av.VideoFrame.from_ndarray(fr, format="rgb24")))
+        out.mux(vs.encode())
+    fps, got = vc.decode_avi(buf.getvalue())
+    assert got.shape == want.shape
+    # lossy codec: flat-tile content must stay within a few levels
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 4
 
 
 def _tiles(n, h, w, seed=0):
