@@ -166,7 +166,7 @@ def replay_crawl_ingest(
     oracle recomputes."""
     import tempfile
 
-    from ..operators.ranking import exact_ntile
+    from .events import stage_ordered_chunks
 
     n_rows = crawl_df.count()
     if n_rows < n_batches:
@@ -176,34 +176,11 @@ def replay_crawl_ingest(
         )
     work = tempfile.mkdtemp(prefix="crawl_ingest_")
     stage = os.path.join(work, "stage")
-    # persist across the per-chunk writes: each filtered write would
-    # otherwise recompute the ntile window (and whatever rendered the
-    # crawl frame) over the FULL corpus, n_batches times over
-    chunked = exact_ntile(
-        crawl_df.select("doc_id", "url", "html"),
-        n_batches,
-        ["doc_id"],
-        bucket_col="chunk",
-    ).persist()
-    for i in range(1, n_batches + 1):
-        d = os.path.join(stage, f"chunk_{i:02d}")
-        chunked.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(d)
-        part = next(
-            (p for p in os.listdir(d) if p.startswith("part-")), None
-        )
-        if part is None:
-            raise ValueError(
-                f"staging chunk {i}/{n_batches} wrote no rows — "
-                f"n_batches exceeds the crawl frame's row count?"
-            )
-        dest = os.path.join(stage, f"{i:02d}.parquet")
-        os.replace(os.path.join(d, part), dest)
-        # the file source orders micro-batches by modification time;
-        # pin strictly-increasing mtimes so chunk i replays as batch i-1
-        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
-    chunked.unpersist()
+    # ONE chunk-partitioned write (whatever rendered the crawl frame
+    # runs once — no persist, no per-chunk filtered jobs)
+    stage_ordered_chunks(
+        crawl_df.select("doc_id", "url", "html"), n_batches, ["doc_id"], stage
+    )
     stream = (
         spark.readStream.schema(CRAWL_SCHEMA)
         .option("maxFilesPerTrigger", 1)

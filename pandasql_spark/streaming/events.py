@@ -64,6 +64,50 @@ def bounded_replay_shuffle(spark: SparkSession, n: int = 8):
     finally:
         conf.set("spark.sql.shuffle.partitions", prev)
 
+def stage_ordered_chunks(
+    df: DataFrame,
+    n_batches: int,
+    order_cols: list[str],
+    stage_dir: str,
+) -> None:
+    """Stage a bounded frame as ``n_batches`` single-file parquet
+    chunks (``01.parquet`` … ``NN.parquet``) with strictly increasing
+    mtimes, so a ``maxFilesPerTrigger=1`` file source replays chunk i
+    as micro-batch i-1 in ``order_cols`` order (the file source orders
+    micro-batches by modification time).
+
+    Chunking is the distributed ``exact_ntile`` (no single-reducer
+    window — the q52 operator); the write is ONE chunk-partitioned job
+    instead of ``n_batches`` filtered writes, which previously
+    recomputed (or persisted) the upstream frame once per chunk — on
+    the crawl-ingest replay the per-chunk jobs were pure fixed
+    overhead. ``repartition(n, "chunk")`` lands every chunk's rows in
+    one task, so each partition dir holds exactly one part file."""
+    import os
+
+    from ..operators.ranking import exact_ntile
+
+    chunked = exact_ntile(df, n_batches, order_cols, bucket_col="chunk")
+    chunked.repartition(n_batches, "chunk").write.partitionBy("chunk").mode(
+        "overwrite"
+    ).parquet(stage_dir)
+    for i in range(1, n_batches + 1):
+        d = os.path.join(stage_dir, f"chunk={i}")
+        part = (
+            next((p for p in os.listdir(d) if p.startswith("part-")), None)
+            if os.path.isdir(d)
+            else None
+        )
+        if part is None:
+            raise ValueError(
+                f"staging chunk {i}/{n_batches} wrote no rows — "
+                f"n_batches exceeds the frame's row count?"
+            )
+        dest = os.path.join(stage_dir, f"{i:02d}.parquet")
+        os.replace(os.path.join(d, part), dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),

@@ -274,24 +274,12 @@ def replay_incremental_dedup(
     work = tempfile.mkdtemp(prefix="inc_dedup_")
     stage = os.path.join(work, "stage")
     docs = spark.read.parquet(documents_path).select("doc_id", "text")
-    # ntile over doc_id order → equal-size, id-ordered chunks; each
-    # chunk written as ONE file so file order == id order
-    from pandasql_spark.operators.ranking import exact_ntile
+    # ntile over doc_id order → equal-size, id-ordered chunks, staged
+    # as one single-file parquet per chunk with ascending mtimes in ONE
+    # chunk-partitioned write (events.stage_ordered_chunks)
+    from .events import stage_ordered_chunks
 
-    # distributed ntile (no single-reducer window) — same operator the
-    # q52 gate uses
-    chunked = exact_ntile(docs, n_batches, ["doc_id"], bucket_col="chunk")
-    for i in range(1, n_batches + 1):
-        chunked.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(stage, f"chunk_{i:02d}"))
-        d = os.path.join(stage, f"chunk_{i:02d}")
-        part = next(p for p in os.listdir(d) if p.startswith("part-"))
-        dest = os.path.join(stage, f"{i:02d}.parquet")
-        os.replace(os.path.join(d, part), dest)
-        # the file source orders micro-batches by modification time;
-        # pin strictly-increasing mtimes so chunk i replays as batch i-1
-        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    stage_ordered_chunks(docs, n_batches, ["doc_id"], stage)
     stream = (
         spark.readStream.schema(DOC_SCHEMA)
         .option("maxFilesPerTrigger", 1)
