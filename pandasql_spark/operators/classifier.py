@@ -1,0 +1,130 @@
+"""Hashed-feature linear text classifier — the learned quality filter.
+
+The repo's other quality signals (functions/text.py quality_score,
+operators/repetition.py, operators/lm.py) are heuristics or count
+models; production pretraining pipelines (CCNet, fineweb, fasttext
+quality filters) additionally run a LEARNED linear classifier over
+hashed bag-of-words features: bucket = hash(token) % m, score = bias +
+Σ w[bucket], prob = sigmoid(score). This module is that scorer,
+Spark-native. (Beyond-reference surface: the reference —
+/root/reference/pandasql/core.py — ships no text operators at all.)
+
+Two paths, cross-checked in tests:
+
+- **Expression path** (``weights=None`` → deterministic seeded weights,
+  or any weight FUNCTION of the bucket): the whole scorer is one
+  codegen column expression — md5-bucket each token, map to its weight,
+  left-to-right ``F.aggregate`` fold, sigmoid. ZERO shuffles, zero
+  Python; at 100 TB it costs what a projection costs. The md5 recipe
+  (first 13 hex chars = exact 52-bit integer) is engine-portable, so a
+  DuckDB oracle recomputes scores bit-for-bit up to the documented
+  round-to-6 on the folded sum (q16 gates this).
+- **Weight-table path** (``weights`` = a (bucket, weight) DataFrame —
+  the real learned model): explode tokens → broadcast-join the
+  model-sized weight table (≤ n_buckets rows — broadcast range by
+  construction) → per-doc map-side-combined sum → sigmoid. ONE shuffle
+  keyed by the document id, plus the join back onto the input frame.
+
+The seeded weights are NOT a trained model — they make the scorer's
+plumbing oracle-checkable end-to-end. A real model drops in as the
+weight table (or as a weight function if it is representable)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Knuth's multiplicative-hash constant; the seeded pseudo-weights are
+#: ((bucket + seed) * _MIX) % _MOD mapped affinely onto [-1, 1). All
+#: intermediates stay exact: bucket < 2^20, so the product < 2^52 fits
+#: both BIGINT and the double mantissa on every engine.
+_MIX = 2654435761
+_MOD = 2000001
+
+
+def token_bucket(tok: Column, n_buckets: int) -> Column:
+    """md5(token) → first 13 hex chars (exact 52-bit integer,
+    engine-portable — the hash_split/KMV recipe) → % n_buckets."""
+    return F.conv(F.substring(F.md5(tok), 1, 13), 16, 10).cast("long") % F.lit(
+        int(n_buckets)
+    )
+
+
+def seeded_weight(bucket: Column, seed: int = 0) -> Column:
+    """Deterministic pseudo-weight in [-1, 1) as a pure expression of
+    the bucket id — recomputable in ANSI SQL, which is what lets the
+    q16 oracle pin the whole scorer."""
+    return ((bucket + F.lit(int(seed))) * F.lit(_MIX) % F.lit(_MOD)) / F.lit(
+        1_000_000.0
+    ) - F.lit(1.0)
+
+
+def score_column(
+    text_col: Column | str,
+    n_buckets: int = 1 << 18,
+    seed: int = 0,
+    bias: float = 0.0,
+    weight_fn=None,
+) -> Column:
+    """The expression-path score: bias + Σ weight(bucket(token)) as a
+    single left-to-right ``F.aggregate`` fold over the whitespace
+    tokens (fold order pinned so a list_reduce oracle matches
+    bit-for-bit). ``weight_fn`` defaults to the seeded weights; pass
+    any Column→Column function of the bucket to swap the model."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    wf = weight_fn or (lambda b: seeded_weight(b, seed))
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.aggregate(
+        F.split(col, " "),
+        F.lit(float(bias)),
+        lambda acc, t: acc + wf(token_bucket(t, n_buckets)),
+    )
+
+
+def sigmoid(score: Column) -> Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-score))
+
+
+def linear_quality_score(
+    df: DataFrame,
+    weights: DataFrame | None = None,
+    *,
+    n_buckets: int = 1 << 18,
+    seed: int = 0,
+    bias: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_col: str = "clf_score",
+    prob_col: str = "clf_prob",
+) -> DataFrame:
+    """``df`` + (score_col, prob_col).
+
+    ``weights=None``: the zero-shuffle expression path (seeded
+    weights). ``weights`` = a (bucket, weight) DataFrame: the learned-
+    model path — explode → broadcast weight join (weight 0 for absent
+    buckets) → per-doc sum → join back on ``id_col``. Documents whose
+    every token misses the table still score ``bias`` (left joins
+    throughout, never dropped rows)."""
+    if weights is None:
+        s = score_column(text_col, n_buckets, seed, bias)
+        return df.withColumn(score_col, s).withColumn(prob_col, sigmoid(F.col(score_col)))
+    tok = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("__tok")
+    ).select(id_col, token_bucket(F.col("__tok"), n_buckets).alias("bucket"))
+    sums = (
+        tok.join(F.broadcast(weights.select("bucket", "weight")), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            (F.sum(F.coalesce(F.col("weight"), F.lit(0.0))) + F.lit(float(bias))).alias(
+                score_col
+            )
+        )
+    )
+    out = df.join(sums, id_col, "left").withColumn(
+        # a doc with no tokens at all cannot occur (split('')==['']),
+        # but a left join keeps the contract obvious: never drop rows
+        score_col,
+        F.coalesce(F.col(score_col), F.lit(float(bias))),
+    )
+    return out.withColumn(prob_col, sigmoid(F.col(score_col)))

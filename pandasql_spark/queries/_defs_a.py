@@ -369,9 +369,16 @@ def q16_doc_profile(spark: SparkSession, sf: str) -> SparkDataFrame:
     """Per-doc text profile in ONE pass over documents: token/char/
     lexical stats + stopword/quality scoring + marker-word language ID
     (functions/text.py; formerly gated separately as q16/q17/q18 — same
-    grain, so one scan now covers all three function families). All
+    grain, so one scan now covers all three function families), plus
+    the LEARNED quality filter (operators/classifier.py, folded in
+    round 10 per the registry-ceiling policy): hashed-bag-of-words
+    linear score + sigmoid probability, seeded weights so the oracle
+    recomputes the fold bit-for-bit (rounded at output only). All
     JVM-side expressions, no Python in the hot path."""
+    from pandasql_spark.operators.classifier import score_column, sigmoid
+
     d = spark.read.parquet(f"{sf}/documents.parquet")
+    clf = score_column("text", n_buckets=1 << 18, seed=0, bias=0.0)
     return d.select(
         "doc_id",
         text.char_count("text").cast("long").alias("n_chars_calc"),
@@ -381,6 +388,8 @@ def q16_doc_profile(spark: SparkSession, sf: str) -> SparkDataFrame:
         text.stopword_count("text").cast("long").alias("n_stopwords"),
         text.stopword_ratio("text").alias("stop_ratio"),
         text.quality_score("text").alias("quality"),
+        F.round(clf, 6).alias("clf_score"),
+        F.round(sigmoid(clf), 6).alias("clf_prob"),
         "lang",
         text.lang_id("text").alias("lang_pred"),
     )
@@ -398,6 +407,16 @@ _S_EN = _lang_score(("the", "and", "is", "of"))
 _S_ES = _lang_score(("el", "la", "de", "que"))
 _S_FR = _lang_score(("le", "la", "et", "les"))
 _S_DE = _lang_score(("der", "die", "und", "das"))
+# the classifier fold, mirrored from operators/classifier.py: md5 13-hex
+# bucket (exact 52-bit), seeded weight ((b*2654435761) % 2000001)/1e6 - 1,
+# left-to-right sum (list_reduce's first-element seed equals the Spark
+# fold's 0.0 init for '+': 0.0 + w1 == w1 in IEEE)
+_CLF = (
+    "list_reduce(list_transform(string_split(text, ' '), "
+    "t -> ((('0x' || substr(md5(t), 1, 13))::BIGINT % 262144) "
+    "* 2654435761 % 2000001) / 1000000.0 - 1.0), (a, b) -> a + b)"
+)
+
 Q16_SQL = f"""
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars_calc,
@@ -411,6 +430,8 @@ SELECT doc_id,
            + 0.4 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))
            + 0.2 * (least(len(list_filter(string_split(text, ' '), x -> x IN ({_SW}))), 10) / 10.0),
              6) AS quality,
+       round({_CLF}, 6) AS clf_score,
+       round(1.0 / (1.0 + exp(-({_CLF}))), 6) AS clf_prob,
        lang,
   CASE
     WHEN {_S_EN} >= 1 AND {_S_EN} >= {_S_ES} AND {_S_EN} >= {_S_FR} AND {_S_EN} >= {_S_DE} THEN 'en'
