@@ -31,6 +31,10 @@ weight table (or as a weight function if it is representable)."""
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -97,6 +101,7 @@ def linear_quality_score(
     id_col: str = "doc_id",
     score_col: str = "clf_score",
     prob_col: str = "clf_prob",
+    normalize: bool = False,
 ) -> DataFrame:
     """``df`` + (score_col, prob_col).
 
@@ -105,21 +110,27 @@ def linear_quality_score(
     model path — explode → broadcast weight join (weight 0 for absent
     buckets) → per-doc sum → join back on ``id_col``. Documents whose
     every token misses the table still score ``bias`` (left joins
-    throughout, never dropped rows)."""
+    throughout, never dropped rows). ``normalize=True`` scores the MEAN
+    bag (per-token average instead of sum) — pair it with a model
+    trained under the trainer's ``normalize=True`` default."""
     if weights is None:
         s = score_column(text_col, n_buckets, seed, bias)
+        if normalize:
+            s = (s - F.lit(float(bias))) / F.size(
+                F.split(F.col(text_col), " ")
+            ) + F.lit(float(bias))
         return df.withColumn(score_col, s).withColumn(prob_col, sigmoid(F.col(score_col)))
     tok = df.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("__tok")
     ).select(id_col, token_bucket(F.col("__tok"), n_buckets).alias("bucket"))
-    sums = (
-        tok.join(F.broadcast(weights.select("bucket", "weight")), "bucket", "left")
-        .groupBy(id_col)
-        .agg(
-            (F.sum(F.coalesce(F.col("weight"), F.lit(0.0))) + F.lit(float(bias))).alias(
-                score_col
-            )
-        )
+    joined = tok.join(
+        F.broadcast(weights.select("bucket", "weight")), "bucket", "left"
+    )
+    wsum = F.sum(F.coalesce(F.col("weight"), F.lit(0.0)))
+    if normalize:
+        wsum = wsum / F.count(F.lit(1))
+    sums = joined.groupBy(id_col).agg(
+        (wsum + F.lit(float(bias))).alias(score_col)
     )
     out = df.join(sums, id_col, "left").withColumn(
         # a doc with no tokens at all cannot occur (split('')==['']),
@@ -128,3 +139,128 @@ def linear_quality_score(
         F.coalesce(F.col(score_col), F.lit(float(bias))),
     )
     return out.withColumn(prob_col, sigmoid(F.col(score_col)))
+
+
+def doc_features(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    n_buckets: int = 1 << 18,
+) -> DataFrame:
+    """(label, buckets array<long>) — the per-doc feature rows the
+    trainer iterates over. Hashing runs ONCE here (JVM md5, a pure
+    projection, no shuffle); every training epoch re-reads this frame
+    instead of re-hashing the corpus text. Callers should
+    ``localCheckpoint()`` the result before a multi-epoch loop —
+    exactly the BPE ``train_bpe`` recipe. Per-doc bucket→count
+    aggregation happens inside the epoch's Arrow batch
+    (``np.unique(…, return_counts=True)``) where it is one vectorized
+    call."""
+    return df.select(
+        F.col(label_col).cast("double").alias("label"),
+        F.transform(
+            F.split(F.col(text_col), " "),
+            lambda t: token_bucket(t, n_buckets),
+        ).alias("buckets"),
+    )
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    *,
+    n_buckets: int = 1 << 18,
+    epochs: int = 5,
+    lr: float = 0.5,
+    l2: float = 0.0,
+    normalize: bool = True,
+) -> tuple[np.ndarray, float]:
+    """Full-batch logistic regression over hashed bag-of-words features
+    → (weight vector of len n_buckets, bias). ``label_col`` is 0/1
+    (e.g. curated-source vs crawl — the fasttext quality-filter setup).
+    ``normalize=True`` (default) trains on the MEAN bag (counts divided
+    by the doc's token total — the fasttext input shape): every feature
+    vector has unit L1 mass, which conditions full-batch GD far better
+    than raw counts on length-skewed corpora; score with
+    ``linear_quality_score(..., normalize=True)``.
+
+    Distributed shape (the BPE/Misra-Gries discipline — the MODEL is
+    driver state, the DATA never is): features are hashed once
+    (:func:`doc_features`, localCheckpoint'ed); each epoch is one
+    mapInPandas pass with the broadcast weight vector computing sparse
+    per-partition gradient partials, reduced by a bucket-keyed
+    map-side-combined sum whose output is MODEL-bounded (≤ distinct
+    buckets ≤ n_buckets rows — 2^18 doubles ≈ 2 MB), collected to the
+    driver for the update step. Per-epoch cost: one scan of the
+    feature frame + one model-sized shuffle; corpus size never reaches
+    the driver. The returned vector drops into
+    :func:`linear_quality_score` via :func:`weights_to_df` (sparse) or
+    a ``weight_fn`` closure."""
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    feats = doc_features(df, text_col, label_col, n_buckets).localCheckpoint()
+    n_docs = feats.count()
+    if n_docs == 0:
+        raise ValueError("cannot train on an empty frame")
+    spark = df.sparkSession
+    w = np.zeros(n_buckets, dtype=np.float64)
+    b = 0.0
+    for _ in range(epochs):
+        bc = spark.sparkContext.broadcast((w, b))
+
+        def _partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            wv, bv = bc.value
+            grad: dict[int, float] = {}
+            gb = 0.0
+            for pdf in it:
+                for y, raw in zip(pdf["label"], pdf["buckets"]):
+                    bks, cts = np.unique(
+                        np.asarray(raw, dtype=np.int64), return_counts=True
+                    )
+                    cts = cts.astype(np.float64)
+                    if normalize:
+                        cts /= cts.sum()
+                    z = bv + float(wv[bks] @ cts)
+                    err = 1.0 / (1.0 + np.exp(-z)) - float(y)
+                    gb += err
+                    for k, c in zip(bks, err * cts):
+                        grad[int(k)] = grad.get(int(k), 0.0) + float(c)
+            yield pd.DataFrame(
+                {
+                    # bucket -1 carries the bias gradient
+                    "bucket": pd.Series(
+                        list(grad) + [-1], dtype="int64"
+                    ),
+                    "g": pd.Series(list(grad.values()) + [gb]),
+                }
+            )
+
+        agg = (
+            feats.mapInPandas(_partials, "bucket long, g double")
+            .groupBy("bucket")
+            .agg(F.sum("g").alias("g"))
+            .collect()
+        )
+        bc.unpersist()
+        gvec = np.zeros(n_buckets, dtype=np.float64)
+        gbias = 0.0
+        for r in agg:
+            if r.bucket == -1:
+                gbias = r.g
+            else:
+                gvec[r.bucket] = r.g
+        w -= lr * (gvec / n_docs + l2 * w)
+        b -= lr * (gbias / n_docs)
+    return w, b
+
+
+def weights_to_df(spark, w: np.ndarray) -> DataFrame:
+    """Non-zero entries of a trained weight vector as the (bucket,
+    weight) frame :func:`linear_quality_score` consumes."""
+    nz = np.flatnonzero(w)
+    return spark.createDataFrame(
+        pd.DataFrame({"bucket": nz.astype("int64"), "weight": w[nz]})
+    )

@@ -113,6 +113,110 @@ def test_custom_weight_fn_and_validation(spark):
         score_column("text", n_buckets=0)
 
 
+def _py_train(texts, ys, n_buckets, epochs, lr, l2=0.0, normalize=True):
+    """Pure-numpy full-batch logistic GD reference (same math, same
+    hashing) — the trainer differential."""
+    import numpy as np
+
+    feats = []
+    for t in texts:
+        bks = np.array([_py_bucket(x) % n_buckets for x in t.split(" ")])
+        b, c = np.unique(bks, return_counts=True)
+        c = c.astype(float)
+        if normalize:
+            c /= c.sum()
+        feats.append((b, c))
+    w = np.zeros(n_buckets)
+    bias = 0.0
+    n = len(texts)
+    for _ in range(epochs):
+        g = np.zeros(n_buckets)
+        gb = 0.0
+        for (bks, cts), y in zip(feats, ys):
+            z = bias + w[bks] @ cts
+            err = 1.0 / (1.0 + np.exp(-z)) - y
+            np.add.at(g, bks, err * cts)
+            gb += err
+        w -= lr * (g / n + l2 * w)
+        bias -= lr * (gb / n)
+    return w, bias
+
+
+def test_trainer_matches_numpy_reference(spark):
+    import numpy as np
+
+    from pandasql_spark.operators.classifier import train_quality_classifier
+
+    texts = [
+        "great clean prose with varied words",
+        "spam spam spam buy now buy now",
+        "thoughtful essay about the sea",
+        "click here click here free free",
+        "measured careful analysis of data",
+    ]
+    ys = [1.0, 0.0, 1.0, 0.0, 1.0]
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": texts, "label": ys})
+    )
+    m = 1 << 10
+    for norm in (True, False):
+        w, b = train_quality_classifier(
+            df, n_buckets=m, epochs=4, lr=0.7, l2=0.01, normalize=norm
+        )
+        w_ref, b_ref = _py_train(
+            texts, ys, m, epochs=4, lr=0.7, l2=0.01, normalize=norm
+        )
+        # groupBy float-sum order differs from np.add.at → tolerance
+        assert abs(b - b_ref) < 1e-9
+        assert float(abs(w - w_ref).max()) < 1e-9
+
+
+def test_trained_model_separates_planted_signal(spark):
+    import numpy as np
+
+    from pandasql_spark.operators.classifier import (
+        train_quality_classifier,
+        weights_to_df,
+    )
+
+    rng = np.random.default_rng(5)
+    filler = ["w%d" % i for i in range(40)]
+    rows = []
+    for i in range(120):
+        body = " ".join(rng.choice(filler, 8))
+        if i % 2:
+            rows.append((f"signal {body}", 1.0))
+        else:
+            rows.append((f"noise {body}", 0.0))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["text", "label"]).assign(
+            doc_id=range(len(rows))
+        )
+    )
+    m = 1 << 12
+    w, b = train_quality_classifier(df, n_buckets=m, epochs=8, lr=1.0)
+    scored = linear_quality_score(
+        df, weights_to_df(spark, w), n_buckets=m, bias=b, normalize=True
+    )
+    got = scored.select("label", "clf_prob").collect()
+    pos = [r.clf_prob for r in got if r.label == 1.0]
+    neg = [r.clf_prob for r in got if r.label == 0.0]
+    assert min(pos) > max(neg)  # perfectly separable planted token
+    assert min(pos) > 0.5 > max(neg)
+
+
+def test_trainer_validation(spark):
+    from pandasql_spark.operators.classifier import train_quality_classifier
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["a"], "label": [1.0]})
+    )
+    with pytest.raises(ValueError, match="epochs"):
+        train_quality_classifier(df, epochs=0)
+    with pytest.raises(ValueError, match="empty"):
+        train_quality_classifier(df.filter("label < 0"), n_buckets=8)
+
+
 def test_seeded_weight_range_and_bucket_domain(spark):
     row = (
         _docs(spark)
