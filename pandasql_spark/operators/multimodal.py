@@ -271,6 +271,109 @@ def extract_image_features(
     return df.select(id_col, payload_col).mapInPandas(_batch, IMAGE_FEATURES_SCHEMA)
 
 
+def _resize_np(px: np.ndarray, h: int, w: int, method: str) -> np.ndarray:
+    """uint8 (ih, iw, c) → (h, w, c); vectorized numpy, deterministic.
+    Sampling uses half-pixel centers (align_corners=False — the
+    convention of every training-data pipeline resizer)."""
+    ih, iw = px.shape[:2]
+    if method == "nearest":
+        yi = np.minimum(((np.arange(h) + 0.5) * ih / h).astype(np.int64), ih - 1)
+        xi = np.minimum(((np.arange(w) + 0.5) * iw / w).astype(np.int64), iw - 1)
+        return px[yi][:, xi]
+    # bilinear: gather the 4 neighbours, lerp in float64, round half-up
+    fy = (np.arange(h) + 0.5) * ih / h - 0.5
+    fx = (np.arange(w) + 0.5) * iw / w - 0.5
+    y0 = np.clip(np.floor(fy).astype(np.int64), 0, ih - 1)
+    x0 = np.clip(np.floor(fx).astype(np.int64), 0, iw - 1)
+    y1 = np.minimum(y0 + 1, ih - 1)
+    x1 = np.minimum(x0 + 1, iw - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+    p = px.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.floor(out + 0.5).astype(np.uint8)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("decode_ok", T.BooleanType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized_png", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    height: int,
+    width: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    method: str = "bilinear",
+) -> DataFrame:
+    """REAL image resize to a fixed (height, width) — the
+    normalize-before-training step of a multimodal pipeline: decode
+    (PNG/GIF/JPEG via the native codecs, all formats under PIL),
+    vectorized numpy nearest/bilinear resample at half-pixel centers,
+    re-encode PNG so the result flows back into image_meta /
+    extract_image_features. One Arrow-batched ``mapInPandas`` pass —
+    no shuffle, scales with cores exactly like the decode benchmarks
+    in SCALING.md's per-core codec table. A payload that does not
+    decode survives as ONE decode_ok=false row (the corrupt-media
+    contract)."""
+    if height < 1 or width < 1:
+        raise ValueError(f"target dims must be >= 1, got {height}x{width}")
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(f"method must be nearest|bilinear, got {method!r}")
+
+    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.imagecodec import (
+            ImageDecodeError,
+            decode_image,
+            encode_png,
+        )
+
+        for pdf in it:
+            rows: dict[str, list] = {f.name: [] for f in RESIZED_SCHEMA.fields}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["media_id"].append(int(mid))
+                try:
+                    px = decode_image(bytes(payload))
+                except ImageDecodeError:
+                    rows["decode_ok"].append(False)
+                    for c in ("src_width", "src_height", "width", "height",
+                              "resized_png"):
+                        rows[c].append(None)
+                    continue
+                rows["decode_ok"].append(True)
+                rows["src_height"].append(px.shape[0])
+                rows["src_width"].append(px.shape[1])
+                rows["height"].append(height)
+                rows["width"].append(width)
+                rows["resized_png"].append(
+                    encode_png(_resize_np(px, height, width, method))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": rows["media_id"],
+                    "decode_ok": rows["decode_ok"],
+                    "src_width": pd.array(rows["src_width"], dtype="Int32"),
+                    "src_height": pd.array(rows["src_height"], dtype="Int32"),
+                    "width": pd.array(rows["width"], dtype="Int32"),
+                    "height": pd.array(rows["height"], dtype="Int32"),
+                    "resized_png": rows["resized_png"],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_batch, RESIZED_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame,
     payload_col: str = "payload",
