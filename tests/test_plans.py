@@ -223,3 +223,14 @@ def test_bpe_pair_stats_vocab_sized_tail(spark):
     # leaf-first listing: the window comes after the limit, i.e. it
     # consumes TakeOrderedAndProject's k rows
     assert ops.index("Window") > ops.index("TakeOrderedAndProject"), ops
+
+
+def test_doc_profile_with_classifier_stays_zero_shuffle(spark):
+    """q16 + the folded classifier: still ONE scan of documents reading
+    only (doc_id, text, lang), zero exchanges — the learned scorer is a
+    pure codegen projection, exactly the 100 TB contract
+    (operators/classifier.py score_column)."""
+    df = _q(spark, "q16_doc_profile")
+    assert shuffle_count(df) == 0, operator_names(df)
+    schemas = read_schemas(df)
+    assert len(schemas) == 1 and schemas[0].count(":") == 3, schemas
