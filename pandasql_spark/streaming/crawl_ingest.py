@@ -49,6 +49,11 @@ from .events import bounded_replay_shuffle
 from .incremental import _read_or_empty
 
 CRAWL_SCHEMA = "doc_id long, url string, html string"
+#: extract_crawl_columns' output (the corpus sink's data columns)
+CORPUS_SCHEMA = (
+    "doc_id long, url_norm string, host string, title string, "
+    "text string, n_tokens long"
+)
 
 
 def process_crawl_batch(
@@ -200,4 +205,13 @@ def replay_crawl_ingest(
             min_tokens=min_tokens,
         )
         q.awaitTermination()
-    return spark.read.parquet(os.path.join(work, "corpus")).drop("batch_id")
+    # explicit schema: a fully-filtered crawl (every page capped out,
+    # deduped, or under the token gate) leaves a corpus dir with zero
+    # part files, which schema INFERENCE rejects (UNABLE_TO_INFER_SCHEMA
+    # — found by the SOAK property run) while an empty corpus is a
+    # legitimate outcome. With no partition dirs there is also no
+    # batch_id column, so the drop must tolerate its absence (it does —
+    # drop of a missing column is a no-op).
+    return spark.read.schema(CORPUS_SCHEMA).parquet(
+        os.path.join(work, "corpus")
+    ).drop("batch_id")

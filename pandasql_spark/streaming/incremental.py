@@ -298,4 +298,9 @@ def replay_incremental_dedup(
             base_hash=base_hash,
         )
         q.awaitTermination()
-    return spark.read.parquet(os.path.join(work, "survivors")).select("doc_id")
+    # explicit schema (a subset projection is valid against parquet):
+    # an all-duplicates corpus leaves zero part files, which schema
+    # inference rejects while an empty survivor set is legitimate
+    return spark.read.schema("doc_id long").parquet(
+        os.path.join(work, "survivors")
+    ).select("doc_id")

@@ -205,3 +205,30 @@ def test_replay_too_many_batches_raises(spark):
     )
     with pytest.raises(ValueError, match="non-empty micro-batches"):
         replay_crawl_ingest(spark, tiny, n_batches=5, host_cap=3)
+
+
+def test_fully_filtered_crawl_yields_empty_corpus(spark):
+    """SOAK-found regression: when every page is capped out, deduped,
+    or under the token gate, the corpus sink holds zero part files —
+    the replay must return an EMPTY frame with the corpus schema, not
+    die in schema inference (UNABLE_TO_INFER_SCHEMA)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "url": ["http://A.com/p"] * 4,
+            "html": ["<html><head><title>t</title></head>"
+                     "<body><p>w</p></body></html>"] * 4,
+        }
+    )
+    crawl = spark.createDataFrame(
+        pdf, schema="doc_id long, url string, html string"
+    )
+    out = replay_crawl_ingest(
+        spark, crawl, n_batches=2, host_cap=1, min_tokens=100
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "doc_id", "url_norm", "host", "title", "text", "n_tokens",
+    }
