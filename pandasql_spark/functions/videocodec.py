@@ -43,6 +43,17 @@ class VideoDecodeError(ValueError):
     whatever libav decodes when PyAV is installed)."""
 
 
+class UnsupportedCodecError(VideoDecodeError):
+    """The payload's codec or container is outside the native decoder's
+    contract (H.264/VP9 biCompression, non-24-bit DIB, or a non-AVI
+    container like MP4/WebM) — the ONLY rejections ``decode_avi`` may
+    route to libav. Corrupt/truncated payloads of the two native codecs
+    raise plain VideoDecodeError and stay terminal even with PyAV
+    installed (ADVICE r10: a malformed-but-libav-tolerant AVI must
+    surface as decode_ok=false in every environment, or the q90/q96
+    corrupt-media rows become environment-dependent)."""
+
+
 #: biCompression value for Motion JPEG ('MJPG' as a little-endian u32)
 MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
 
@@ -166,10 +177,12 @@ def decode_avi(b: bytes) -> tuple[float, np.ndarray]:
     biCompression, or a non-AVI container like MP4/WebM) falls
     through to libav when PyAV is present (``HAVE_PYAV``) — the
     mechanical swap SCALING.md's codec table budgets for — and stays
-    a VideoDecodeError when it is not."""
+    a VideoDecodeError when it is not. Only UnsupportedCodecError
+    rejections route to libav; corrupt/truncated DIB/MJPG payloads are
+    terminal in every environment (ADVICE r10)."""
     try:
         return _decode_avi_native(b)
-    except VideoDecodeError:
+    except UnsupportedCodecError:
         if not HAVE_PYAV:
             raise
     return _pyav_decode(b)
@@ -177,7 +190,7 @@ def decode_avi(b: bytes) -> tuple[float, np.ndarray]:
 
 def _decode_avi_native(b: bytes) -> tuple[float, np.ndarray]:
     if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
-        raise VideoDecodeError("not an AVI")
+        raise UnsupportedCodecError("not an AVI")
     try:
         w = h = None
         fps = 0.0
@@ -202,11 +215,11 @@ def _decode_avi_native(b: bytes) -> tuple[float, np.ndarray]:
                     if comp == MJPG_FOURCC:
                         mjpg = True
                     elif comp != 0:
-                        raise VideoDecodeError(
+                        raise UnsupportedCodecError(
                             f"compressed AVI (biCompression={comp}) unsupported"
                         )
                     elif bits != 24:
-                        raise VideoDecodeError(f"{bits}-bit DIB unsupported")
+                        raise UnsupportedCodecError(f"{bits}-bit DIB unsupported")
                     # negative biHeight = spec-valid TOP-DOWN row order:
                     # decode it correctly (no flip), don't mirror it
                     w, h, top_down = bw, abs(bh), bh < 0

@@ -39,7 +39,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: Knuth's multiplicative-hash constant; the seeded pseudo-weights are
-#: ((bucket + seed) * _MIX) % _MOD mapped affinely onto [-1, 1). All
+#: ((bucket + seed) * _MIX) % _MOD mapped affinely onto [-1, 1] — the
+#: CLOSED interval: gcd(_MIX, _MOD) = 1, so the remainder 2_000_000
+#: (hence weight exactly 1.0) occurs for some bucket/seed pairs. All
 #: intermediates stay exact: bucket < 2^20, so the product < 2^52 fits
 #: both BIGINT and the double mantissa on every engine.
 _MIX = 2654435761
@@ -55,7 +57,8 @@ def token_bucket(tok: Column, n_buckets: int) -> Column:
 
 
 def seeded_weight(bucket: Column, seed: int = 0) -> Column:
-    """Deterministic pseudo-weight in [-1, 1) as a pure expression of
+    """Deterministic pseudo-weight in [-1, 1] (closed — the remainder
+    can hit _MOD - 1 exactly, ADVICE r10) as a pure expression of
     the bucket id — recomputable in ANSI SQL, which is what lets the
     q16 oracle pin the whole scorer."""
     return ((bucket + F.lit(int(seed))) * F.lit(_MIX) % F.lit(_MOD)) / F.lit(

@@ -45,6 +45,9 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import threading
+import weakref
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -113,13 +116,17 @@ def build_eval_bloom(
     return out.tobytes()
 
 
-# most recent bloom broadcast: each bloom_member_column call unpersists
-# its predecessor's executor copies, so repeated calls in one session
-# hold at most one resident bitmap instead of accumulating broadcast
-# blocks (ADVICE r9). unpersist (not destroy) is safe for an earlier
-# member column still in use — executors lazily re-fetch from the
-# driver on next task use.
-_PREV_BLOOM_BC = None
+# most recent bloom broadcast PER SparkContext: each
+# bloom_member_column call unpersists its predecessor's executor
+# copies, so repeated calls against one context hold at most one
+# resident bitmap instead of accumulating broadcast blocks (ADVICE
+# r9). unpersist (not destroy) is safe for an earlier member column
+# still in use — executors lazily re-fetch from the driver on next
+# task use. Keyed weakly by the owning SparkContext and guarded by a
+# lock (ADVICE r10): concurrent or interleaved sessions no longer race
+# on a shared slot and unpersist each other's live bitmap.
+_PREV_BLOOM_BC: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_PREV_BLOOM_LOCK = threading.Lock()
 
 
 def bloom_member_column(
@@ -128,16 +135,18 @@ def bloom_member_column(
     """Boolean pandas-UDF over an xxhash64 column: all-k-bits-set test
     against the (SparkContext-broadcast) bitmap, fully vectorized.
 
-    The bitmap broadcast from the *previous* call is unpersisted here
-    (bounded residency — see ``_PREV_BLOOM_BC``)."""
-    global _PREV_BLOOM_BC
-    if _PREV_BLOOM_BC is not None:
-        try:
-            _PREV_BLOOM_BC.unpersist()
-        except Exception:
-            pass  # owning context may already be stopped
-    bc = spark_context.broadcast(np.frombuffer(bitmap, dtype=np.uint8))
-    _PREV_BLOOM_BC = bc
+    The bitmap broadcast from the *previous* call on the SAME
+    SparkContext is unpersisted here (bounded residency — see
+    ``_PREV_BLOOM_BC``)."""
+    with _PREV_BLOOM_LOCK:
+        prev = _PREV_BLOOM_BC.pop(spark_context, None)
+        if prev is not None:
+            try:
+                prev.unpersist()
+            except Exception:
+                pass  # owning context may already be stopped
+        bc = spark_context.broadcast(np.frombuffer(bitmap, dtype=np.uint8))
+        _PREV_BLOOM_BC[spark_context] = bc
 
     @F.pandas_udf("boolean")
     def _member(it: Iterator[pd.Series]) -> Iterator[pd.Series]:

@@ -9,6 +9,8 @@ registry (rounds 6-10); the canonical REGISTRY order, the gate roster
 
 from __future__ import annotations
 
+import threading
+import weakref
 from dataclasses import dataclass
 from typing import Callable
 
@@ -26,10 +28,14 @@ from ._shared import QueryDef, _t, load_events
 from ._shared import _codec_corpus
 from ._defs_b import _IVF_CACHE  # shared build-once/probe-many index (q40/q87)
 
-# q96's sampled-frames cache from the most recent call — each new call
-# unpersists its predecessor so repeated q96 runs in one session hold at
-# most one resident cache (see q96_video_frames).
-_Q96_FRAMES_CACHE: SparkDataFrame | None = None
+# q96's sampled-frames cache from the most recent call PER SESSION —
+# each new call unpersists its predecessor on the SAME session, so
+# repeated q96 runs hold at most one resident cache per session (see
+# q96_video_frames). Keyed weakly by SparkSession and lock-guarded
+# (ADVICE r10): interleaved sessions no longer unpersist each other's
+# still-live cache (which forced full recompute of its consumers).
+_Q96_FRAMES_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_Q96_FRAMES_LOCK = threading.Lock()
 
 def q77_source_caps(spark: SparkSession, sf: str) -> SparkDataFrame:
     """Per-source document caps (operators/caps.py:cap_per_group): keep
@@ -1314,17 +1320,17 @@ def q96_video_frames(spark: SparkSession, sf: str) -> SparkDataFrame:
     # resident q96 cache instead of an unbounded leak (ADVICE r9).
     from pyspark import StorageLevel
 
-    global _Q96_FRAMES_CACHE
-    prev, _Q96_FRAMES_CACHE = _Q96_FRAMES_CACHE, None
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:
-            pass  # session of the old cache may already be stopped
-    fr = sample_frames(media, every_ms=500, keep_cols=["n"]).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    _Q96_FRAMES_CACHE = fr
+    with _Q96_FRAMES_LOCK:
+        prev = _Q96_FRAMES_CACHE.pop(spark, None)
+        if prev is not None:
+            try:
+                prev.unpersist()
+            except Exception:
+                pass  # session of the old cache may already be stopped
+        fr = sample_frames(media, every_ms=500, keep_cols=["n"]).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _Q96_FRAMES_CACHE[spark] = fr
     okdib = fr.filter(F.col("decode_ok") & (F.col("n") % 2 == 1)).withColumn(
         # composite per-frame id: frame_idx < 16 always (nf <= 6)
         "fid", F.col("media_id") * 16 + F.col("frame_idx")

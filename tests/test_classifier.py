@@ -31,6 +31,27 @@ def _py_weight(b: int, seed: int = 0) -> float:
     return ((b + seed) * _MIX % _MOD) / 1_000_000.0 - 1.0
 
 
+def test_seeded_weight_interval_is_closed(spark):
+    """The pseudo-weight interval is [-1, 1] CLOSED (ADVICE r10):
+    gcd(_MIX, _MOD) = 1 makes every remainder reachable, including
+    _MOD - 1 = 2_000_000 → weight exactly 1.0. Pin the documented
+    contract with the exact witness bucket (the modular preimage of
+    2_000_000 under b ↦ b·_MIX mod _MOD; < 2^20 so all arithmetic
+    stays exact)."""
+    import pyspark.sql.functions as F
+
+    from pandasql_spark.operators.classifier import seeded_weight
+
+    witness = (2_000_000 * pow(_MIX, -1, _MOD)) % _MOD
+    assert witness < (1 << 20) and _py_weight(witness) == 1.0
+    row = (
+        spark.range(1)
+        .select(seeded_weight(F.lit(witness)).alias("w"))
+        .collect()[0]
+    )
+    assert row.w == 1.0
+
+
 def _py_score(text: str, seed: int = 0, bias: float = 0.0) -> float:
     s = bias
     for t in text.split(" "):  # left-to-right, like the F.aggregate fold

@@ -100,8 +100,10 @@ def test_pyav_routing_stub(monkeypatch):
             assert isinstance(buf, io.BytesIO)
             return _FakeContainer()
 
-    # PyAV absent (this container): native rejection stays the error
-    assert not vc.HAVE_PYAV
+    # PyAV absent: native rejection stays the error. Forced via
+    # monkeypatch so the test is environment-independent — merely
+    # installing PyAV must not fail the suite (ADVICE r10).
+    monkeypatch.setattr(vc, "HAVE_PYAV", False)
     with pytest.raises(VideoDecodeError, match="compressed"):
         vc.decode_avi(h264)
     # PyAV "installed": the same payload decodes through libav
@@ -119,6 +121,47 @@ def test_pyav_routing_stub(monkeypatch):
     )
     with pytest.raises(VideoDecodeError, match="no decodable frames"):
         vc.decode_avi(h264)
+
+
+def test_corrupt_native_payload_never_routes_to_pyav(monkeypatch):
+    """Corrupt/truncated payloads of the NATIVE codecs are terminal
+    even with PyAV "installed" — only UnsupportedCodecError rejections
+    (codec/container outside the native contract) may route to libav,
+    so the q90/q96 corrupt-media rows are environment-independent
+    (ADVICE r10)."""
+    from pandasql_spark.functions import videocodec as vc
+
+    class _SentinelAV:
+        # routing here is detectable by message: _pyav_decode converts
+        # any non-VideoDecodeError into VideoDecodeError("libav: ...")
+        @staticmethod
+        def open(buf):
+            raise RuntimeError("ROUTED-TO-LIBAV")
+
+    monkeypatch.setattr(vc, "HAVE_PYAV", True)
+    monkeypatch.setattr(vc, "_av", _SentinelAV)
+
+    # truncated DIB frame data: valid headers, short payload — must
+    # surface the NATIVE error, not the routed sentinel
+    dib = bytearray(encode_avi(_vid(1, 4, 4)))
+    off = bytes(dib).find(b"00db")
+    truncated = bytes(dib[: off + 8 + 5])  # cut mid-frame
+    with pytest.raises(VideoDecodeError, match="frame 0 truncated"):
+        vc.decode_avi(truncated)
+
+    # undecodable MJPG frame: garbage where the JPEG should be
+    mj = bytearray(encode_avi(_vid(1, 4, 4), codec="mjpg"))
+    off = bytes(mj).find(b"00dc")
+    mj[off + 8:off + 16] = b"\xff\x00" * 4
+    with pytest.raises(VideoDecodeError, match="undecodable"):
+        vc.decode_avi(bytes(mj))
+
+    # the unsupported-codec rejection DOES route (sentinel proves it)
+    h264 = bytearray(encode_avi(_vid(1, 4, 4)))
+    off = bytes(h264).find(b"strf") + 8 + 16
+    h264[off:off + 4] = b"H264"
+    with pytest.raises(VideoDecodeError, match="ROUTED-TO-LIBAV"):
+        vc.decode_avi(bytes(h264))
 
 
 @pytest.mark.skipif(
