@@ -918,3 +918,112 @@ def line_dedup(
             .alias("n_dropped"),
         )
     )
+
+
+def substring_dedup(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fingerprint: str = "md5",
+) -> DataFrame:
+    """Substring-granularity exact dedup — the Lee-et-al-style pass
+    (\"Deduplicating Training Data Makes Language Models Better\",
+    2021) that removes TOKEN SPANS repeated anywhere in the corpus,
+    sitting between :func:`line_dedup` (structural lines) and document
+    dedup: a license block pasted mid-paragraph into a million pages
+    is invisible to both, but every one of its k-token windows repeats
+    verbatim.
+
+    Semantics (``keep first``, the paper's \"remove all but one\"):
+
+    1. split each document on single spaces into tokens;
+    2. fingerprint every k-token window (positions 0 … n_tokens−k);
+    3. across the WHOLE corpus the first occurrence of each window —
+       ordered by (id, position) — is canonical; every other
+       occurrence is a duplicate span;
+    4. per document, remove the tokens covered by the UNION of its
+       duplicate-span windows and re-splice the survivors with single
+       spaces. The canonical occurrence keeps its tokens, so exactly
+       one copy of every duplicated passage survives corpus-wide.
+
+    Documents shorter than ``k`` tokens have no windows and pass
+    through verbatim. Returns (id, text, n_tokens, sub_dup_windows,
+    sub_dup_tokens) — stats are pre-splice: window occurrences lost to
+    a canonical elsewhere, and distinct token positions they cover.
+
+    Scale shape: the reference algorithm is a suffix array over the
+    concatenated corpus — inherently single-machine. Here the window
+    fingerprints are the suffix array's moral equivalent with ONE
+    shuffle: windows explode to (id, pos, fp) rows — n_tokens rows per
+    doc, linear, never the O(n²) pair space — then canonical-occurrence
+    selection is a map-side-combinable ``min(struct(id, pos))`` groupBy
+    on fp joined back on the SAME key (both sides hash-partition on fp,
+    and a boilerplate window occurring on a billion pages costs one
+    partial-agg row per input partition, not a single-reducer window
+    sort — the hot-fp reason this is an agg+join, not row_number).
+    Duplicate positions regroup per doc (bounded by doc length) and the
+    splice is a pure higher-order filter — zero Python anywhere.
+    ``fingerprint="md5"`` (default) is engine-portable for the q88
+    oracle; ``fingerprint="xxhash"`` ships 8-byte keys instead of
+    32-hex strings — the 100 TB path, 4× less shuffle-key traffic.
+    Window content itself never crosses the shuffle (only fp + id +
+    pos), so k never multiplies shuffle bytes; the O(n·k) window
+    re-hash stays inside whole-stage codegen (a rolling/polynomial
+    hash over per-token hashes would make it O(n) — not worth Python
+    until profiles say the scan is hash-bound).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if fingerprint not in ("md5", "xxhash"):
+        raise ValueError(
+            f"fingerprint must be 'md5' or 'xxhash', got {fingerprint!r}"
+        )
+    fp_of = F.md5 if fingerprint == "md5" else F.xxhash64
+
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col)).withColumn(
+        "_toks", toks
+    )
+    npos = F.size("_toks") - F.lit(k) + F.lit(1)  # windows start 1..npos
+    win_fps = F.when(
+        npos >= 1,
+        F.transform(
+            F.sequence(F.lit(1), npos),
+            lambda i: fp_of(F.array_join(F.slice("_toks", i, k), " ")),
+        ),
+    ).otherwise(F.array().cast(
+        "array<string>" if fingerprint == "md5" else "array<bigint>"
+    ))
+    # (id, pos, fp) — pos is the 0-BASED window start
+    wins = base.select(
+        "id", F.posexplode(win_fps).alias("pos", "fp")
+    )
+    firsts = wins.groupBy("fp").agg(
+        F.min(F.struct("id", "pos")).alias("first")
+    )
+    dups = (
+        wins.join(firsts, "fp")
+        .filter(F.struct("id", "pos") != F.col("first"))
+        .select("id", "pos")
+    )
+    dup_pos = dups.groupBy("id").agg(
+        F.sort_array(F.collect_list("pos")).alias("_dup_pos"),
+        F.count(F.lit(1)).cast("long").alias("sub_dup_windows"),
+    )
+    joined = base.join(dup_pos, "id", "left").withColumn(
+        "_dup_pos", F.coalesce("_dup_pos", F.array().cast("array<int>"))
+    )
+    covered = lambda i: F.exists(  # noqa: E731 — shared by filter/stat
+        "_dup_pos", lambda p: (i >= p) & (i < p + F.lit(k))
+    )
+    kept = F.filter("_toks", lambda x, i: ~covered(i))
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.array_join(kept, " ").alias(text_col),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.coalesce("sub_dup_windows", F.lit(0))
+        .cast("long")
+        .alias("sub_dup_windows"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("sub_dup_tokens"),
+    )

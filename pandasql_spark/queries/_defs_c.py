@@ -779,8 +779,19 @@ def q88_line_dedup(spark: SparkSession, sf: str) -> SparkDataFrame:
     vocabulary the 8-token lines collide heavily across docs, so the
     gate exercises real cross-document suppression. The oracle
     reproduces the lining, the per-fingerprint rank, the reassembly
-    (ORDER BY pos string_agg), and the md5 of every surviving text."""
-    from pandasql_spark.operators.dedup import line_dedup
+    (ORDER BY pos string_agg), and the md5 of every surviving text.
+
+    r11 fold (registry-ceiling policy): the host also carries the
+    SUBSTRING-granularity dedup (operators/dedup.py:substring_dedup —
+    the Lee-et-al ~50-token-window op, VERDICT r10 task 3) run on the
+    ORIGINAL documents at k=20: sub_fp hashes the spliced text (the
+    duplicate spans removed, canonical occurrences kept), and the
+    pre-splice stats count non-canonical window occurrences and the
+    distinct token positions they cover. The oracle recomputes the
+    window fingerprints, the (doc_id, pos)-ordered canonical rank, the
+    interval-union coverage, and the re-spliced text itself in SQL —
+    the gate hash-matches the OUTPUT TEXT, not just counts."""
+    from pandasql_spark.operators.dedup import line_dedup, substring_dedup
 
     d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
     toks = F.split(F.col("text"), " ")
@@ -791,8 +802,17 @@ def q88_line_dedup(spark: SparkSession, sf: str) -> SparkDataFrame:
     )
     lined = d.select("doc_id", F.array_join(line_arr, "\n").alias("text"))
     out = line_dedup(lined, keep="first")
+    sub = substring_dedup(d, k=20)
     return out.select(
         "doc_id", F.md5(F.col("text")).alias("fp"), "n_kept", "n_dropped"
+    ).join(
+        sub.select(
+            "doc_id",
+            F.md5(F.col("text")).alias("sub_fp"),
+            "sub_dup_windows",
+            "sub_dup_tokens",
+        ),
+        "doc_id",
     )
 
 
@@ -819,14 +839,68 @@ flg AS (
                                       ORDER BY doc_id, pos) = 1
               ELSE TRUE END AS kept
   FROM lines
+),
+line_out AS (
+  SELECT doc_id,
+         md5(coalesce(
+           string_agg(CASE WHEN kept THEN line END, chr(10) ORDER BY pos),
+           '')) AS fp,
+         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+  FROM flg GROUP BY doc_id
+),
+-- substring-granularity dedup fold (k = 20): window fingerprints,
+-- (doc_id, pos)-ordered canonical rank, interval-union coverage,
+-- and the re-spliced text, exactly as substring_dedup computes them
+sd_w AS (
+  SELECT doc_id, tok,
+         unnest(range(0, greatest(len(tok) - 20 + 1, 0))) AS pos
+  FROM t
+),
+sd_f AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(list_slice(tok, pos + 1, pos + 20), ' ')) AS wfp
+  FROM sd_w
+),
+sd_d AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY wfp ORDER BY doc_id, pos) AS rn
+    FROM sd_f
+  ) WHERE rn > 1
+),
+sd_cov AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 19)) AS idx
+  FROM sd_d
+),
+sd_tok0 AS (
+  SELECT doc_id, tok, unnest(range(0, len(tok))) AS idx FROM t
+),
+sd_tok AS (
+  SELECT doc_id, idx, tok[idx + 1] AS tk FROM sd_tok0
+),
+sd_spliced AS (
+  SELECT k.doc_id,
+         coalesce(string_agg(CASE WHEN c.idx IS NULL THEN k.tk END,
+                             ' ' ORDER BY k.idx), '') AS sub_text
+  FROM sd_tok k
+  LEFT JOIN sd_cov c ON c.doc_id = k.doc_id AND c.idx = k.idx
+  GROUP BY k.doc_id
+),
+sd_wcnt AS (
+  SELECT doc_id, count(*) AS sub_dup_windows FROM sd_d GROUP BY doc_id
+),
+sd_ccnt AS (
+  SELECT doc_id, count(*) AS sub_dup_tokens FROM sd_cov GROUP BY doc_id
 )
-SELECT doc_id,
-       md5(coalesce(
-         string_agg(CASE WHEN kept THEN line END, chr(10) ORDER BY pos),
-         '')) AS fp,
-       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
-FROM flg GROUP BY doc_id
+SELECT l.doc_id, l.fp, l.n_kept, l.n_dropped,
+       md5(s.sub_text) AS sub_fp,
+       CAST(coalesce(w.sub_dup_windows, 0) AS BIGINT) AS sub_dup_windows,
+       CAST(coalesce(c.sub_dup_tokens, 0) AS BIGINT) AS sub_dup_tokens
+FROM line_out l
+JOIN sd_spliced s USING (doc_id)
+LEFT JOIN sd_wcnt w USING (doc_id)
+LEFT JOIN sd_ccnt c USING (doc_id)
 """
 
 
