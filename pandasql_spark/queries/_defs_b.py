@@ -9,6 +9,8 @@ registry (rounds 3-6); the canonical REGISTRY order, the gate roster
 
 from __future__ import annotations
 
+import threading
+import weakref
 from dataclasses import dataclass
 from typing import Callable
 
@@ -510,6 +512,15 @@ def q40_ann_ivf(spark: SparkSession, sf: str) -> SparkDataFrame:
 
 _IVF_CACHE: dict = {}
 
+# q41's rendered-media cache from the most recent call PER SESSION —
+# the corpus renders ONCE and feeds both the image_meta branch and the
+# resize branch (the q96 single-scan discipline); each new call
+# unpersists its predecessor on the same session, bounding residency
+# to one cache per live session (keyed weakly + lock-guarded, the
+# ADVICE-r10 pattern).
+_Q41_MEDIA_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_Q41_MEDIA_LOCK = threading.Lock()
+
 
 Q40_SQL = """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
@@ -546,8 +557,22 @@ def q41_multimodal(spark: SparkSession, sf: str) -> SparkDataFrame:
     format sniff + JPEG header parse succeed, pixel decode fails
     deterministically (with or without PIL), and the row survives as
     decode_ok=false with header dims and NULL pixel stats — the
-    corrupt-payload contract a 100 TB media job depends on."""
-    from pandasql_spark.operators.multimodal import image_meta
+    corrupt-payload contract a 100 TB media job depends on.
+
+    r11 fold (registry-ceiling policy): the host also carries
+    operators/multimodal.py:resize_images (VERDICT r10 task 5) —
+    every decodable tile is resized to 8×8 nearest-neighbor,
+    re-encoded PNG, and independently re-decoded by a second
+    image_meta stage; on the flat tiles nearest resampling is EXACT,
+    so the oracle states the resized dims/pixel-count/mean in closed
+    form (rs_mean_px == the fill value) while the Spark side can only
+    get them through the real decode → resample → encode → decode
+    round trip. JFIF rows ride through as NULL rs_* columns. The
+    rendered media persists once per call and feeds BOTH branches —
+    one corpus scan, the q96 discipline."""
+    from pyspark import StorageLevel
+
+    from pandasql_spark.operators.multimodal import image_meta, resize_images
 
     d = _codec_corpus(spark, sf, "doc_id", "text")
 
@@ -578,7 +603,30 @@ def q41_multimodal(spark: SparkSession, sf: str) -> SparkDataFrame:
             )
 
     media = d.mapInPandas(render, "media_id long, payload binary")
+    with _Q41_MEDIA_LOCK:
+        prev = _Q41_MEDIA_CACHE.pop(spark, None)
+        if prev is not None:
+            try:
+                prev.unpersist()
+            except Exception:
+                pass  # session of the old cache may already be stopped
+        media = media.persist(StorageLevel.MEMORY_AND_DISK)
+        _Q41_MEDIA_CACHE[spark] = media
     stats = image_meta(media, decode_pixels=True)
+    resized = resize_images(media, height=8, width=8, method="nearest")
+    rs_meta = image_meta(
+        resized.filter(F.col("decode_ok")).select(
+            "media_id", F.col("resized_png").alias("payload")
+        ),
+        decode_pixels=True,
+    )
+    fold = rs_meta.select(
+        "media_id",
+        F.col("width").alias("rs_width"),
+        F.col("height").alias("rs_height"),
+        F.col("n_pixels").alias("rs_n_pixels"),
+        F.round("mean_px", 6).alias("rs_mean_px"),
+    )
     return stats.select(
         "media_id",
         F.col("format").alias("fmt"),
@@ -588,7 +636,7 @@ def q41_multimodal(spark: SparkSession, sf: str) -> SparkDataFrame:
         "decode_ok",
         "n_pixels",
         F.round("mean_px", 6).alias("mean_px"),
-    )
+    ).join(fold, "media_id", "left")
 
 
 Q41_SQL = """
@@ -603,7 +651,16 @@ SELECT doc_id AS media_id,
        END AS n_pixels,
        CASE WHEN length(text) % 7 = 0 THEN NULL
             ELSE round(CAST(length(text) % 251 AS DOUBLE), 6)
-       END AS mean_px
+       END AS mean_px,
+       CASE WHEN length(text) % 7 = 0 THEN NULL
+            ELSE CAST(8 AS INT) END AS rs_width,
+       CASE WHEN length(text) % 7 = 0 THEN NULL
+            ELSE CAST(8 AS INT) END AS rs_height,
+       CASE WHEN length(text) % 7 = 0 THEN NULL
+            ELSE CAST(64 AS BIGINT) END AS rs_n_pixels,
+       CASE WHEN length(text) % 7 = 0 THEN NULL
+            ELSE round(CAST(length(text) % 251 AS DOUBLE), 6)
+       END AS rs_mean_px
 FROM documents
 """
 
