@@ -5,11 +5,16 @@ a composition of this package's operators, in the canonical order —
                           every later stage scans less)
     2. repetition gate   (optional: Gopher top/dup n-gram thresholds)
     3. LM quality gate   (optional: unigram logprob floor, CCNet-style)
-    4. exact dedup       (normalized-text fingerprint, keep lowest id)
-    5. decontamination   (drop docs sharing word n-grams with the
+    4. learned quality   (optional: hashed-feature linear classifier
+                          probability floor — the fasttext-style
+                          filter; pass trained weights via
+                          classifier.weights_to_df, or none for the
+                          seeded expression path)
+    5. exact dedup       (normalized-text fingerprint, keep lowest id)
+    6. decontamination   (drop docs sharing word n-grams with the
                           held-out eval set)
-    6. PII redaction     (optional: rewrite the text column)
-    7. mixture resample  (optional: apply a domain-weight recipe to a
+    7. PII redaction     (optional: rewrite the text column)
+    8. mixture resample  (optional: apply a domain-weight recipe to a
                           row budget)
 
 Each stage is an operator that already carries its own oracle-gated
@@ -56,6 +61,11 @@ def curate_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     contamination_prefilter: str | None = None,
+    min_quality_prob: float | None = None,
+    quality_weights: DataFrame | None = None,
+    quality_bias: float = 0.0,
+    quality_normalize: bool = True,
+    quality_n_buckets: int = 1 << 18,
 ) -> DataFrame:
     """Quality-gate, dedup, decontaminate, and (optionally) redact and
     resample a document corpus; returns surviving rows with the input
@@ -65,7 +75,15 @@ def curate_corpus(
     repetition thresholds (``max_top_gram_frac``/``max_dup_gram_frac``),
     the unigram-LM floor (``min_logprob`` — scored on the post-quality
     corpus, i.e. the model is trained on what survived the cheap
-    gates), PII redaction (``redact=True``), and mixture resampling
+    gates), the LEARNED quality floor (``min_quality_prob`` — docs
+    keep only when the hashed-feature linear classifier's sigmoid
+    probability clears it; ``quality_weights`` takes a trained
+    (bucket, weight) frame from
+    :func:`~pandasql_spark.operators.classifier.weights_to_df` — ONE
+    broadcast model join, the model moves, the corpus doesn't — and
+    ``quality_normalize`` must match how the model was trained; with
+    no weights the zero-shuffle seeded expression path scores), PII
+    redaction (``redact=True``), and mixture resampling
     (``mixture`` + ``total_n``). ``eval_df=None`` skips
     decontamination; ``hashed=False`` joins contamination n-grams as
     raw strings (engine-portable — what the q71 oracle uses) instead
@@ -75,6 +93,15 @@ def curate_corpus(
             "mixture and total_n must be provided together — a "
             "half-specified recipe would silently skip resampling and "
             "return the unresampled corpus"
+        )
+    if quality_weights is not None and min_quality_prob is None:
+        raise ValueError(
+            "quality_weights without min_quality_prob would silently "
+            "skip the learned-quality gate — set the probability floor"
+        )
+    if min_quality_prob is not None and not 0.0 <= min_quality_prob <= 1.0:
+        raise ValueError(
+            f"min_quality_prob must be in [0, 1], got {min_quality_prob}"
         )
     tc = token_count(text_col)
     out = df.filter(tc >= min_tokens)
@@ -106,6 +133,22 @@ def curate_corpus(
             .select(id_col)
         )
         out = out.join(ok, on=id_col, how="semi")
+
+    if min_quality_prob is not None:
+        from .classifier import linear_quality_score
+
+        scored = linear_quality_score(
+            out,
+            quality_weights,
+            n_buckets=quality_n_buckets,
+            bias=quality_bias,
+            text_col=text_col,
+            id_col=id_col,
+            normalize=quality_normalize,
+        )
+        out = scored.filter(
+            F.col("clf_prob") >= F.lit(float(min_quality_prob))
+        ).drop("clf_score", "clf_prob")
 
     # exact dedup, keep-lowest-id: one shuffle on the 16-byte fingerprint
     keep = (

@@ -178,3 +178,65 @@ def test_bloom_prefiltered_decontamination_stage(spark):
     assert sorted(r.doc_id for r in bloomed.collect()) == sorted(
         r.doc_id for r in base.collect()
     )
+
+
+def test_learned_quality_stage(spark):
+    """The learned-classifier gate composes like every other stage:
+    train on a labeled frame, pass weights_to_df output + a probability
+    floor, and exactly the docs the scorer clears survive (validated
+    against linear_quality_score run standalone)."""
+    import pytest
+
+    from pandasql_spark.operators.classifier import (
+        linear_quality_score,
+        train_quality_classifier,
+        weights_to_df,
+    )
+
+    # trainable signal: 'signal' marks the good class
+    rows = [(i, ("signal good doc %d" % i) if i % 2 else ("junk doc %d" % i),
+             float(i % 2)) for i in range(60)]
+    train = spark.createDataFrame(rows, "doc_id long, text string, label double")
+    w, b = train_quality_classifier(
+        train, n_buckets=1 << 12, epochs=8, lr=1.0
+    )
+    wdf = weights_to_df(spark, w)
+
+    corpus = _corpus(spark)
+    scored = linear_quality_score(
+        corpus, wdf, n_buckets=1 << 12, bias=b, normalize=True
+    )
+    want = sorted(
+        r.doc_id for r in scored.filter(F.col("clf_prob") >= 0.5).collect()
+    )
+    got = curate_corpus(
+        corpus,
+        min_quality_prob=0.5,
+        quality_weights=wdf,
+        quality_bias=b,
+        quality_n_buckets=1 << 12,
+    )
+    # quality gate ran before dedup: compare against the scorer's keep
+    # set minus the dup that exact-dedup removes (doc 1 dups doc 0)
+    got_ids = sorted(r.doc_id for r in got.collect())
+    assert set(got_ids) <= set(want)
+    assert set(want) - set(got_ids) <= {1, 2}  # only dedup may drop more
+    # clf columns never leak into the output schema
+    assert "clf_prob" not in got.columns and "clf_score" not in got.columns
+
+    # half-specified gate is loud
+    with pytest.raises(ValueError, match="probability floor"):
+        curate_corpus(corpus, quality_weights=wdf)
+    with pytest.raises(ValueError, match="in \\[0, 1\\]"):
+        curate_corpus(corpus, min_quality_prob=1.5)
+
+
+def test_learned_quality_seeded_path(spark):
+    """min_quality_prob with NO weights uses the zero-shuffle seeded
+    expression path — prob floor 0.0 keeps everything, 1.0 drops
+    everything (sigmoid never reaches 1.0 exactly)."""
+    corpus = _corpus(spark)
+    assert (
+        curate_corpus(corpus, min_quality_prob=0.0).count() < corpus.count()
+    )  # dedup still ran
+    assert curate_corpus(corpus, min_quality_prob=1.0).count() == 0
