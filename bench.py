@@ -101,6 +101,25 @@ HEADLINE = [
 #: because nothing recorded contemporaneous machine state).
 SENTINEL = "q02_filter_distinct"
 
+#: standing drift-adjudication probe (VERDICT r10 task 1): the pinned
+#: drift-cohort members (SCALING.md round-10 table) plus the r10 bench
+#:-tail movers q73/q64/q67/q72. Re-timed min-of-3 at the END of every
+#: bench run into BENCH_LOCAL.json's `idle_probe` block — adjudicating
+#: movers against the cohort's collective motion stops being a bespoke
+#: per-round exercise. `python bench.py --idle-probe` times ONLY this
+#: set (plus the sentinel) for a quick re-probe on an idle machine.
+IDLE_PROBE = [
+    "q65_exact_percentiles",
+    "q10_embedding_neardup",
+    "q50_jaccard_verified",
+    "q75_kmv_set_overlap",
+    "q73_corpus_report",
+    "q64_sequence_packing",
+    "q67_repetition_signals",
+    "q72_unigram_logprob",
+    "q76_windowed_kmv_stream",
+]
+
 
 def _sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
@@ -117,6 +136,47 @@ def _min_of(fn, spark, n: int = 3) -> float:
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         runs.append(time.perf_counter() - t0)
     return round(min(runs), 3)
+
+
+def _run_idle_probe(spark) -> dict:
+    """min-of-3 re-probe of the pinned drift set, with load snapshots."""
+    block: dict = {"load_avg_start": [round(x, 2) for x in os.getloadavg()]}
+    probes: dict[str, float] = {}
+    for name in IDLE_PROBE:
+        try:
+            probes[name] = _min_of(REGISTRY[name].fn, spark)
+        except Exception as exc:  # noqa: BLE001 — keep probing
+            probes[name] = None
+            block.setdefault("errors", {})[name] = (
+                f"{type(exc).__name__}: {exc}"[:200]
+            )
+        finally:
+            spark.catalog.clearCache()
+    block["queries"] = probes
+    try:
+        block["sentinel_s"] = _min_of(REGISTRY[SENTINEL].fn, spark)
+    except Exception:  # noqa: BLE001
+        block["sentinel_s"] = None
+    block["load_avg_end"] = [round(x, 2) for x in os.getloadavg()]
+    return block
+
+
+def idle_probe_main() -> None:
+    """`python bench.py --idle-probe`: warmup + the probe set only —
+    the quick idle-machine re-probe for drift adjudication."""
+    spark = get_spark("pandasql-spark-idle-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    REGISTRY[SENTINEL].fn(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.range(1000).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+    block = _run_idle_probe(spark)
+    block["metric"] = "idle_probe"
+    block["sf"] = _sf_from_dir(SF_DIR)
+    print(json.dumps(block))
 
 
 def main() -> None:
@@ -235,6 +295,13 @@ def main() -> None:
             "end_s": sentinel_end,
         },
     }
+    # standing drift probe: the pinned cohort + r10 movers re-timed at
+    # the end of the run (min-of-3, load-stamped) — the adjudication
+    # data every round's twin now carries by default
+    try:
+        out["idle_probe"] = _run_idle_probe(spark)
+    except Exception as exc:  # noqa: BLE001 — probe must not kill the run
+        errors["idle_probe"] = f"{type(exc).__name__}: {exc}"[:300]
     try:
         out["ingest"] = bench_ingest(spark)
     except Exception as exc:  # noqa: BLE001 — ingest must not kill the run
@@ -342,4 +409,6 @@ def bench_ingest(spark) -> dict:
 
 
 if __name__ == "__main__":
+    if "--idle-probe" in sys.argv[1:]:
+        sys.exit(idle_probe_main())
     sys.exit(main())
