@@ -234,3 +234,40 @@ def test_doc_profile_with_classifier_stays_zero_shuffle(spark):
     assert shuffle_count(df) == 0, operator_names(df)
     schemas = read_schemas(df)
     assert len(schemas) == 1 and schemas[0].count(":") == 3, schemas
+
+
+def test_multimodal_resize_fold_single_corpus_render(spark):
+    """q41 + the folded resize (r11): the rendered media is persisted
+    and BOTH branches (image_meta stats, resize→re-decode) read the
+    InMemoryRelation — exactly ONE parquet scan / ONE render
+    mapInPandas underneath the cache, and the fold joins back via
+    broadcast. At 100 TB the alternative is re-rendering the corpus
+    per branch (the q96 lesson)."""
+    from collections import Counter
+
+    df = _q(spark, "q41_multimodal")
+    ops = Counter(operator_names(df))
+    assert ops["InMemoryTableScan"] == 2, dict(ops)  # one per branch
+    assert ops["Scan"] == 1, dict(ops)  # only inside the cached relation
+    assert ops["BroadcastHashJoin"] == 1, dict(ops)
+    assert "CartesianProduct" not in ops, dict(ops)
+
+
+def test_line_dedup_with_substring_fold_plan(spark):
+    """q88 + the folded substring dedup (r11): all-JVM (no Python eval
+    anywhere — both dedup pipelines are column expressions + joins),
+    no cartesian, line keep="first" still hits WindowGroupLimit, and
+    the substring canonical pick stays agg+join (exactly one Window in
+    the whole plan — line_dedup's; zero from substring_dedup)."""
+    from collections import Counter
+
+    from pandasql_spark.plans import explain_str
+
+    df = _q(spark, "q88_line_dedup")
+    plan = explain_str(df)
+    ops = Counter(operator_names(df))
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "CartesianProduct" not in plan
+    assert ops["WindowGroupLimit"] >= 1, dict(ops)
+    assert ops["Window"] == 1, dict(ops)  # substring path adds none
+    assert ops["Scan"] <= 6, dict(ops)  # pinned: pruned 2-col scans
