@@ -452,10 +452,21 @@ def dedup_corpus(
     seed: int = 42,
     base_hash: str = "xxhash64",
     max_iter: int = 20,
+    keep: str = "min_id",
+    score_col: str | None = None,
 ) -> DataFrame:
     """One-call corpus deduplication — the end-to-end composition a
     training-data pipeline actually runs. Returns ``df`` filtered to one
-    surviving representative (minimum ``id_col``) per duplicate group.
+    surviving representative per duplicate group: the minimum ``id_col``
+    (``keep="min_id"``, default) or the highest-``score_col`` member
+    (``keep="best"``, ties to the minimum id) — the quality-aware
+    retention real pipelines run so a near-dup group keeps its best
+    copy (e.g. ``classifier.linear_quality_score``'s clf_score, or a
+    source-priority rank), not whichever arrived first. Score-aware
+    retention costs the same plan shape: the exact stage's groupBy
+    carries (−score, id) instead of id in its min-struct, and the
+    cluster stage picks argmax-by-score per component over the (tiny)
+    clustered subset.
 
     Stages, cheapest first so each pass shrinks the next one's input:
 
@@ -490,10 +501,34 @@ def dedup_corpus(
     band_hash with no reprocessing of old documents."""
     from .cluster import connected_components
 
+    if keep not in ("min_id", "best"):
+        raise ValueError(f"keep must be 'min_id' or 'best', got {keep!r}")
+    if (keep == "best") != (score_col is not None):
+        raise ValueError(
+            "keep='best' requires score_col (and score_col requires "
+            "keep='best') — a half-specified retention policy would "
+            "silently keep the wrong copies"
+        )
+
     id_ = F.col(id_col)
-    exact_keep = exact_dedup(df, text_col, id_col).select(
-        F.col("first_id").alias(id_col)
-    )
+    if keep == "min_id":
+        exact_keep = exact_dedup(df, text_col, id_col).select(
+            F.col("first_id").alias(id_col)
+        )
+    else:
+        # same one-fingerprint-shuffle plan; min(struct(-score, id))
+        # = argmax score, ties to min id, map-side combinable
+        exact_keep = (
+            df.groupBy(fingerprint(text_col).alias("__fp"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col(score_col)).alias("s"), id_.alias("i")
+                    )
+                ).alias("__best")
+            )
+            .select(F.col("__best.i").alias(id_col))
+        )
     kept = df.join(exact_keep, id_col, "leftsemi")
     pairs = jaccard_verified_neardup_pairs(
         kept,
@@ -507,9 +542,31 @@ def dedup_corpus(
         base_hash=base_hash,
     )
     clusters = connected_components(pairs, max_iter=max_iter)
-    non_reps = clusters.filter(F.col("node") != F.col("cluster_id")).select(
-        F.col("node").alias(id_col)
-    )
+    if keep == "min_id":
+        non_reps = clusters.filter(
+            F.col("node") != F.col("cluster_id")
+        ).select(F.col("node").alias(id_col))
+    else:
+        member_scores = clusters.join(
+            kept.select(id_.alias("node"), F.col(score_col).alias("__sc")),
+            "node",
+        )
+        reps = (
+            member_scores.groupBy("cluster_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__sc")).alias("s"), F.col("node").alias("n")
+                    )
+                ).alias("__best")
+            )
+            .select(F.col("__best.n").alias("__rep"))
+        )
+        non_reps = (
+            clusters.join(
+                reps, clusters["node"] == reps["__rep"], "left_anti"
+            ).select(F.col("node").alias(id_col))
+        )
     out = kept.join(non_reps, id_col, "anti")
     # compose the inner stages' releases (signature cache + the
     # component loop's final checkpoints) into this result's hook

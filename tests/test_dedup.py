@@ -575,3 +575,41 @@ def test_line_dedup_regex_metachar_separator(spark):
     }
     assert got[1] == ("nav.alpha", 2, 0)
     assert got[2] == ("beta", 1, 1)  # 'nav' deduped across docs
+
+
+def test_dedup_corpus_keep_best(corpus, spark):
+    """keep='best' retains the HIGHEST-score member of every duplicate
+    group (ties → min id) at both stages: give the planted copies
+    higher scores than their originals and the copies must win; docs
+    with no duplicates survive regardless of score."""
+    sdf, pdf = corpus
+    # scores: planted near-dups (20..24) and exact dups (25, 26) score
+    # 10 + id; originals score their id — every copy outscores its base
+    scored = sdf.withColumn(
+        "score",
+        F.when(F.col("doc_id") >= 20, F.col("doc_id") + 1000.0).otherwise(
+            F.col("doc_id").cast("double")
+        ),
+    )
+    out = dedup.dedup_corpus(
+        scored, threshold=0.5, keep="best", score_col="score"
+    ).toPandas()
+    ids = set(out["doc_id"])
+    # bases 0,1 lose to exact copies 25,26; bases 2,3,4 lose to
+    # near-dups 22,23,24; near-dups 20,21 beat bases 0,1 but their
+    # clusters {0,20,25} / {1,21,26} keep the single best member
+    assert ids == set(range(5, 20)) | {22, 23, 24, 25, 26}, ids
+    # ties: equal scores fall back to min id (exact-dup pair 0/25)
+    tied = sdf.withColumn("score", F.lit(1.0))
+    out_tied = dedup.dedup_corpus(
+        tied, threshold=0.5, keep="best", score_col="score"
+    ).toPandas()
+    assert set(out_tied["doc_id"]) == set(range(20)), set(out_tied["doc_id"])
+
+    # half-specified policies are loud
+    with pytest.raises(ValueError, match="keep must be"):
+        dedup.dedup_corpus(sdf, keep="longest")
+    with pytest.raises(ValueError, match="half-specified"):
+        dedup.dedup_corpus(sdf, keep="best")
+    with pytest.raises(ValueError, match="half-specified"):
+        dedup.dedup_corpus(sdf, score_col="score")
