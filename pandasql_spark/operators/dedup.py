@@ -854,21 +854,55 @@ def dedup_embeddings(
     num_tables: int = 8,
     seed: int = 42,
     max_iter: int = 20,
+    keep: str = "min_id",
+    score_col: str | None = None,
 ) -> DataFrame:
     """One-call semantic (embedding-space) deduplication: sign-bit-LSH
     candidates → exact cosine ≥ ``threshold`` → connected components →
-    keep the minimum-id vector per component. The embedding analog of
+    one representative per component. The embedding analog of
     `dedup_corpus`: same shuffle discipline (bucket joins and id lists,
-    never the O(n²) pair space), same keep-min-id policy."""
+    never the O(n²) pair space) and the same retention policies —
+    ``keep="min_id"`` (default) or ``keep="best"`` + ``score_col``
+    (highest score per component, ties to minimum id)."""
     from .cluster import connected_components
 
+    if keep not in ("min_id", "best"):
+        raise ValueError(f"keep must be 'min_id' or 'best', got {keep!r}")
+    if (keep == "best") != (score_col is not None):
+        raise ValueError(
+            "keep='best' requires score_col (and score_col requires "
+            "keep='best') — a half-specified retention policy would "
+            "silently keep the wrong copies"
+        )
     pairs = embedding_neardup_pairs(
         df, vec_col, id_col, dim, threshold, num_planes, num_tables, seed
     )
     clusters = connected_components(pairs, max_iter=max_iter)
-    non_reps = clusters.filter(F.col("node") != F.col("cluster_id")).select(
-        F.col("node").alias(id_col)
-    )
+    if keep == "min_id":
+        non_reps = clusters.filter(
+            F.col("node") != F.col("cluster_id")
+        ).select(F.col("node").alias(id_col))
+    else:
+        member_scores = clusters.join(
+            df.select(
+                F.col(id_col).alias("node"), F.col(score_col).alias("__sc")
+            ),
+            "node",
+        )
+        reps = (
+            member_scores.groupBy("cluster_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__sc")).alias("s"), F.col("node").alias("n")
+                    )
+                ).alias("__best")
+            )
+            .select(F.col("__best.n").alias("__rep"))
+        )
+        non_reps = clusters.join(
+            reps, clusters["node"] == reps["__rep"], "left_anti"
+        ).select(F.col("node").alias(id_col))
     return attach_cleanup(
         df.join(non_reps, id_col, "anti"), pairs.cleanup, clusters.cleanup
     )

@@ -613,3 +613,29 @@ def test_dedup_corpus_keep_best(corpus, spark):
         dedup.dedup_corpus(sdf, keep="best")
     with pytest.raises(ValueError, match="half-specified"):
         dedup.dedup_corpus(sdf, score_col="score")
+
+
+def test_dedup_embeddings_keep_best(spark):
+    """keep='best' on the embedding path: the higher-scoring member of
+    each near-dup component survives; singletons survive regardless."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(10, 64))
+    vecs = list(base)
+    vecs.append(base[0] + rng.normal(scale=0.01, size=64))  # 10 ~ 0
+    vecs.append(base[3] * 2.0)                              # 11 ~ 3
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": [[float(x) for x in v] for v in vecs],
+            # copies outscore their originals
+            "score": [float(i) for i in range(10)] + [100.0, 100.0],
+        }
+    )
+    out = dedup.dedup_embeddings(
+        spark.createDataFrame(pdf), keep="best", score_col="score"
+    ).toPandas()
+    assert set(out["vec_id"]) == (set(range(10)) - {0, 3}) | {10, 11}
+    with pytest.raises(ValueError, match="half-specified"):
+        dedup.dedup_embeddings(spark.createDataFrame(pdf), keep="best")
