@@ -1017,6 +1017,7 @@ def substring_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     fingerprint: str = "md5",
+    keep: str = "first",
 ) -> DataFrame:
     """Substring-granularity exact dedup — the Lee-et-al-style pass
     (\"Deduplicating Training Data Makes Language Models Better\",
@@ -1024,9 +1025,14 @@ def substring_dedup(
     sitting between :func:`line_dedup` (structural lines) and document
     dedup: a license block pasted mid-paragraph into a million pages
     is invisible to both, but every one of its k-token windows repeats
-    verbatim.
+    verbatim. The "fingerprint k-token windows" framing replaces the
+    paper's suffix array (single-machine by construction) with one
+    shuffle.
 
-    Semantics (``keep first``, the paper's \"remove all but one\"):
+    Semantics (``keep="first"``, the paper's "remove all but one";
+    ``keep="none"`` is the aggressive variant — EVERY occurrence of a
+    window seen more than once corpus-wide is removed, canonical
+    included):
 
     1. split each document on single spaces into tokens;
     2. fingerprint every k-token window (positions 0 … n_tokens−k);
@@ -1070,6 +1076,8 @@ def substring_dedup(
         raise ValueError(
             f"fingerprint must be 'md5' or 'xxhash', got {fingerprint!r}"
         )
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
     fp_of = F.md5 if fingerprint == "md5" else F.xxhash64
 
     toks = F.split(F.col(text_col), " ")
@@ -1090,14 +1098,22 @@ def substring_dedup(
     wins = base.select(
         "id", F.posexplode(win_fps).alias("pos", "fp")
     )
-    firsts = wins.groupBy("fp").agg(
-        F.min(F.struct("id", "pos")).alias("first")
-    )
-    dups = (
-        wins.join(firsts, "fp")
-        .filter(F.struct("id", "pos") != F.col("first"))
-        .select("id", "pos")
-    )
+    if keep == "first":
+        firsts = wins.groupBy("fp").agg(
+            F.min(F.struct("id", "pos")).alias("first")
+        )
+        dups = (
+            wins.join(firsts, "fp")
+            .filter(F.struct("id", "pos") != F.col("first"))
+            .select("id", "pos")
+        )
+    else:  # keep == "none": every occurrence of a repeated window goes
+        counts = wins.groupBy("fp").agg(F.count(F.lit(1)).alias("__cnt"))
+        dups = (
+            wins.join(counts, "fp")
+            .filter(F.col("__cnt") > 1)
+            .select("id", "pos")
+        )
     dup_pos = dups.groupBy("id").agg(
         F.sort_array(F.collect_list("pos")).alias("_dup_pos"),
         F.count(F.lit(1)).cast("long").alias("sub_dup_windows"),

@@ -13,23 +13,34 @@ from pandasql_spark.operators.dedup import substring_dedup
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def _py_substring_dedup(rows: list[tuple[int, str]], k: int):
-    """Reference implementation: dict-of-first-occurrence over windows
-    in (id, pos) order, then interval-union splice."""
+def _py_substring_dedup(rows: list[tuple[int, str]], k: int,
+                        keep: str = "first"):
+    """Reference implementation: dict-of-first-occurrence (or global
+    counts for keep='none') over windows in (id, pos) order, then
+    interval-union splice."""
     first: dict[tuple, tuple] = {}
+    counts: dict[tuple, int] = {}
     for doc_id, text in sorted(rows):
         toks = text.split(" ")
         for pos in range(len(toks) - k + 1):
             key = tuple(toks[pos:pos + k])
             first.setdefault(key, (doc_id, pos))
+            counts[key] = counts.get(key, 0) + 1
     out = {}
     for doc_id, text in rows:
         toks = text.split(" ")
-        dup_pos = [
-            pos
-            for pos in range(len(toks) - k + 1)
-            if first[tuple(toks[pos:pos + k])] != (doc_id, pos)
-        ]
+        if keep == "first":
+            dup_pos = [
+                pos
+                for pos in range(len(toks) - k + 1)
+                if first[tuple(toks[pos:pos + k])] != (doc_id, pos)
+            ]
+        else:
+            dup_pos = [
+                pos
+                for pos in range(len(toks) - k + 1)
+                if counts[tuple(toks[pos:pos + k])] > 1
+            ]
         covered = set()
         for p in dup_pos:
             covered.update(range(p, p + k))
@@ -95,6 +106,34 @@ def test_differential_on_real_documents(spark):
         want = _py_substring_dedup(rows, k=k)
         assert got == want
         assert sum(g[2] for g in got.values()) > 0, f"k={k} never bound"
+
+
+def test_keep_none_differential(spark):
+    """keep='none' (drop EVERY occurrence of a repeated window,
+    canonical included) agrees with the reference on real documents;
+    it is at least as aggressive as keep='first' everywhere."""
+    pdf = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(250)
+        .toPandas()
+    )
+    rows = list(pdf.itertuples(index=False, name=None))
+    df = spark.createDataFrame(pdf)
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.sub_dup_windows, r.sub_dup_tokens)
+        for r in substring_dedup(df, k=20, keep="none")
+        .toPandas()
+        .itertuples()
+    }
+    want = _py_substring_dedup(rows, k=20, keep="none")
+    assert got == want
+    first = _py_substring_dedup(rows, k=20, keep="first")
+    assert all(got[d][3] >= first[d][3] for d in got)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep must be"):
+        substring_dedup(df, k=5, keep="all")
 
 
 def test_fingerprint_paths_agree(spark):
