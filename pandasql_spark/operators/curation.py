@@ -4,7 +4,10 @@ a composition of this package's operators, in the canonical order —
     1. quality gate      (token-count bounds; cheap filters first so
                           every later stage scans less)
     2. repetition gate   (optional: Gopher top/dup n-gram thresholds)
-    3. LM quality gate   (optional: unigram logprob floor, CCNet-style)
+    3. LM quality gate   (optional: unigram and/or bigram logprob
+                          floors, CCNet-style — the bigram floor also
+                          catches scrambled word ORDER that a
+                          bag-of-words unigram score cannot)
     4. learned quality   (optional: hashed-feature linear classifier
                           probability floor — the fasttext-style
                           filter; pass trained weights via
@@ -52,6 +55,7 @@ def curate_corpus(
     max_dup_gram_frac: float | None = None,
     repetition_n: int = 2,
     min_logprob: float | None = None,
+    min_bigram_logprob: float | None = None,
     ngram_n: int = 13,
     hashed: bool = True,
     redact: bool = False,
@@ -73,9 +77,12 @@ def curate_corpus(
 
     Optional stages engage only when their parameter is set:
     repetition thresholds (``max_top_gram_frac``/``max_dup_gram_frac``),
-    the unigram-LM floor (``min_logprob`` — scored on the post-quality
+    the unigram-LM floor (``min_logprob``) and/or the bigram-LM floor
+    (``min_bigram_logprob`` — mean conditional ln p(w2|w1), which
+    catches scrambled word order; single-token docs have no
+    conditional events and pass) — both scored on the post-quality
     corpus, i.e. the model is trained on what survived the cheap
-    gates), the LEARNED quality floor (``min_quality_prob`` — docs
+    gates — the LEARNED quality floor (``min_quality_prob`` — docs
     keep only when the hashed-feature linear classifier's sigmoid
     probability clears it; ``quality_weights`` takes a trained
     (bucket, weight) frame from
@@ -130,6 +137,21 @@ def curate_corpus(
         ok = (
             unigram_logprob_scores(out, text_col=text_col, id_col=id_col)
             .filter(F.col("logprob") >= min_logprob)
+            .select(id_col)
+        )
+        out = out.join(ok, on=id_col, how="semi")
+
+    if min_bigram_logprob is not None:
+        from .lm import bigram_logprob_scores
+
+        # NULL logprob (single-token docs: no conditional events) passes
+        # the floor — no evidence is not low quality
+        ok = (
+            bigram_logprob_scores(out, text_col=text_col, id_col=id_col)
+            .filter(
+                F.col("logprob").isNull()
+                | (F.col("logprob") >= min_bigram_logprob)
+            )
             .select(id_col)
         )
         out = out.join(ok, on=id_col, how="semi")

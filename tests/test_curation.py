@@ -240,3 +240,26 @@ def test_learned_quality_seeded_path(spark):
         curate_corpus(corpus, min_quality_prob=0.0).count() < corpus.count()
     )  # dedup still ran
     assert curate_corpus(corpus, min_quality_prob=1.0).count() == 0
+
+
+def test_optional_bigram_floor(spark):
+    """The bigram floor drops scrambled-order docs a unigram floor
+    passes; single-token docs (no conditional events) pass the floor."""
+    from pandasql_spark.operators.lm import bigram_logprob_scores
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog", "en")
+            for i in range(8)]
+    rows.append((8, "dog the over quick lazy brown the jumps fox", "en"))
+    rows.append((9, "solo", "en"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    scores = {
+        r.doc_id: r.logprob
+        for r in bigram_logprob_scores(df).collect()
+    }
+    floor = scores[0] - 1e-9  # the repeated doc's own score
+    assert scores[8] < floor  # scrambled order scores strictly lower
+    out = curate_corpus(df, min_bigram_logprob=floor)
+    ids = set(r.doc_id for r in out.collect())
+    assert 8 not in ids          # scrambled doc gated
+    assert 9 in ids              # single-token doc passes (NULL score)
+    assert 0 in ids and len(ids & set(range(8))) == 1  # dedup kept one
