@@ -14,10 +14,13 @@ a composition of this package's operators, in the canonical order —
                           classifier.weights_to_df, or none for the
                           seeded expression path)
     5. exact dedup       (normalized-text fingerprint, keep lowest id)
-    6. decontamination   (drop docs sharing word n-grams with the
+    6. substring dedup   (optional: Lee-et-al k-token-window span
+                          removal — REWRITES text_col, removing spans
+                          already seen elsewhere in the corpus)
+    7. decontamination   (drop docs sharing word n-grams with the
                           held-out eval set)
-    7. PII redaction     (optional: rewrite the text column)
-    8. mixture resample  (optional: apply a domain-weight recipe to a
+    8. PII redaction     (optional: rewrite the text column)
+    9. mixture resample  (optional: apply a domain-weight recipe to a
                           row budget)
 
 Each stage is an operator that already carries its own oracle-gated
@@ -65,6 +68,7 @@ def curate_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     contamination_prefilter: str | None = None,
+    substring_k: int | None = None,
     min_quality_prob: float | None = None,
     quality_weights: DataFrame | None = None,
     quality_bias: float = 0.0,
@@ -82,7 +86,11 @@ def curate_corpus(
     catches scrambled word order; single-token docs have no
     conditional events and pass) — both scored on the post-quality
     corpus, i.e. the model is trained on what survived the cheap
-    gates — the LEARNED quality floor (``min_quality_prob`` — docs
+    gates — the substring-span rewrite (``substring_k`` — every
+    k-token span already seen elsewhere in the corpus is removed from
+    ``text_col``, the Lee-et-al pass; runs after exact dedup so
+    identical docs collapse before they could shred each other), the
+    LEARNED quality floor (``min_quality_prob`` — docs
     keep only when the hashed-feature linear classifier's sigmoid
     probability clears it; ``quality_weights`` takes a trained
     (bucket, weight) frame from
@@ -179,6 +187,22 @@ def curate_corpus(
         .select(id_col)
     )
     out = out.join(keep, on=id_col, how="semi")
+
+    if substring_k is not None:
+        from .dedup import substring_dedup
+
+        # span rewrite AFTER exact dedup (so identical docs don't
+        # shred each other) and BEFORE decontamination/redaction (so
+        # they see the text that will actually be trained on)
+        spliced = substring_dedup(
+            out, k=substring_k, text_col=text_col, id_col=id_col,
+            fingerprint="xxhash",
+        ).select(id_col, F.col(text_col).alias("__spliced"))
+        out = (
+            out.join(spliced, on=id_col, how="inner")
+            .withColumn(text_col, F.col("__spliced"))
+            .drop("__spliced")
+        )
 
     if eval_df is not None:
         flagged = contaminated_docs(

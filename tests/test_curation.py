@@ -263,3 +263,21 @@ def test_optional_bigram_floor(spark):
     assert 8 not in ids          # scrambled doc gated
     assert 9 in ids              # single-token doc passes (NULL score)
     assert 0 in ids and len(ids & set(range(8))) == 1  # dedup kept one
+
+
+def test_optional_substring_stage(spark):
+    """substring_k rewrites text: the duplicated passage survives only
+    in its canonical doc; downstream columns/rows are intact."""
+    passage = " ".join(f"p{i}" for i in range(6))
+    rows = [
+        (0, f"first doc {passage} tail words here", "en"),
+        (1, f"second doc {passage} other tail words", "en"),
+        (2, "unrelated clean document body four five", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = curate_corpus(df, substring_k=6).toPandas().set_index("doc_id")
+    assert passage in out.loc[0, "text"]
+    assert passage not in out.loc[1, "text"]
+    assert out.loc[2, "text"] == rows[2][1]
+    assert set(out.index) == {0, 1, 2}
+    assert set(out.columns) == {"text", "lang"}
