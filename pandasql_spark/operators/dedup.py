@@ -1,6 +1,10 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Five families, each with a distinct scale profile:
+Seven families, each with a distinct scale profile (the five pairwise
+ones below, plus sub-document granularity: `line_dedup` — C4-style
+whole-line suppression — and `substring_dedup` — Lee-et-al k-token
+window span removal, one fingerprint shuffle standing in for the
+paper's single-machine suffix array):
 
 - **exact** (`exact_dedup`): hash-groupBy on a normalized fingerprint.
   One shuffle; the canonical 100 TB exact-dedup plan.
