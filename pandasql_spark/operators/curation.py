@@ -35,6 +35,20 @@ stratum-key shuffle — nothing quadratic, nothing driver-bound, every
 stage's 100 TB argument inherited from its operator's own SCALING.md
 entry.
 
+Lineage discipline (r11): every gate that computes a verdict FROM the
+running corpus and joins it BACK (dedup's keep set, the LM floors, the
+weight-table classifier, the substring splice, decontamination,
+repetition) references the corpus on both sides of a join, so chaining
+k such stages lazily multiplies the upstream plan ~4× per stage —
+measured 4 → 16 → 64 → 256 base-table scans for 0 → 3 optional stages
+on top of dedup. At 100 TB that is the difference between a pipeline
+and a non-terminating job. `curate_corpus` therefore inserts a lazy
+``localCheckpoint(eager=False)`` barrier before each self-joining
+stage (``barrier=False`` restores raw lazy composition for plan
+inspection): each stage's input materializes exactly once and every
+downstream reference reuses it — scans stay LINEAR in stage count,
+which is how a real multi-stage pipeline persists between passes.
+
 Reference scope note: beyond-reference surface; the reference engine
 has no curation pipeline.
 """
@@ -74,6 +88,7 @@ def curate_corpus(
     quality_bias: float = 0.0,
     quality_normalize: bool = True,
     quality_n_buckets: int = 1 << 18,
+    barrier: bool = True,
 ) -> DataFrame:
     """Quality-gate, dedup, decontaminate, and (optionally) redact and
     resample a document corpus; returns surviving rows with the input
@@ -118,6 +133,11 @@ def curate_corpus(
         raise ValueError(
             f"min_quality_prob must be in [0, 1], got {min_quality_prob}"
         )
+    def _barrier(d: DataFrame) -> DataFrame:
+        # truncate lineage before a self-joining stage (module
+        # docstring: chained gate joins otherwise grow the plan 4^k)
+        return d.localCheckpoint(eager=False) if barrier else d
+
     tc = token_count(text_col)
     out = df.filter(tc >= min_tokens)
     if max_tokens is not None:
@@ -126,6 +146,7 @@ def curate_corpus(
     if max_top_gram_frac is not None or max_dup_gram_frac is not None:
         from .repetition import repetition_filter
 
+        out = _barrier(out)
         out = repetition_filter(
             out,
             n=repetition_n,
@@ -142,6 +163,7 @@ def curate_corpus(
     if min_logprob is not None:
         from .lm import unigram_logprob_scores
 
+        out = _barrier(out)
         ok = (
             unigram_logprob_scores(out, text_col=text_col, id_col=id_col)
             .filter(F.col("logprob") >= min_logprob)
@@ -151,6 +173,8 @@ def curate_corpus(
 
     if min_bigram_logprob is not None:
         from .lm import bigram_logprob_scores
+
+        out = _barrier(out)
 
         # NULL logprob (single-token docs: no conditional events) passes
         # the floor — no evidence is not low quality
@@ -167,6 +191,8 @@ def curate_corpus(
     if min_quality_prob is not None:
         from .classifier import linear_quality_score
 
+        if quality_weights is not None:
+            out = _barrier(out)  # the weight-table path joins back
         scored = linear_quality_score(
             out,
             quality_weights,
@@ -181,6 +207,7 @@ def curate_corpus(
         ).drop("clf_score", "clf_prob")
 
     # exact dedup, keep-lowest-id: one shuffle on the 16-byte fingerprint
+    out = _barrier(out)
     keep = (
         out.groupBy(fingerprint(text_col).alias("__fp"))
         .agg(F.min(id_col).alias(id_col))
@@ -190,6 +217,8 @@ def curate_corpus(
 
     if substring_k is not None:
         from .dedup import substring_dedup
+
+        out = _barrier(out)
 
         # span rewrite AFTER exact dedup (so identical docs don't
         # shred each other) and BEFORE decontamination/redaction (so
@@ -205,6 +234,7 @@ def curate_corpus(
         )
 
     if eval_df is not None:
+        out = _barrier(out)
         flagged = contaminated_docs(
             out, eval_df, n=ngram_n, text_col=text_col, id_col=id_col,
             hashed=hashed, prefilter=contamination_prefilter,

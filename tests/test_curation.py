@@ -281,3 +281,56 @@ def test_optional_substring_stage(spark):
     assert out.loc[2, "text"] == rows[2][1]
     assert set(out.index) == {0, 1, 2}
     assert set(out.columns) == {"text", "lang"}
+
+
+def test_every_stage_on_including_r11(spark):
+    """The three r11 stages (bigram floor, learned classifier floor,
+    substring rewrite) engaged TOGETHER with the always-on stages and
+    decontamination — the cross-stage interaction the per-stage tests
+    can't see. (Bloom prefilter, redaction, and mixture each have
+    their own composition tests; leaving them off keeps this inside
+    the per-test budget.)
+
+    NOTE on the substring stage's interaction with the token gate: the
+    span rewrite runs AFTER min/max_tokens, so a heavily-deduped doc
+    can leave with fewer tokens than min_tokens — by design (the gate
+    is an input-quality filter, not an output contract)."""
+    from pandasql_spark.operators.classifier import (
+        train_quality_classifier,
+        weights_to_df,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    # 200 docs keep the nine-stage composition under the per-test
+    # budget; every stage still binds on this corpus
+    tr = docs.filter((F.col("doc_id") % 50 != 0) & (F.col("doc_id") < 205))
+    labeled = tr.limit(100).withColumn(
+        "label", (F.col("doc_id") % 2).cast("double")
+    )
+    w, b = train_quality_classifier(
+        labeled, n_buckets=1 << 12, epochs=1, lr=0.5
+    )
+    out = curate_corpus(
+        tr,
+        eval_df=ev,
+        min_tokens=30,
+        max_tokens=80,
+        max_top_gram_frac=0.5,
+        max_dup_gram_frac=0.95,
+        min_logprob=-4.5,
+        min_bigram_logprob=-6.0,
+        substring_k=20,
+        min_quality_prob=0.0,  # engage the scorer, keep everything it sees
+        quality_weights=weights_to_df(spark, w),
+        quality_bias=b,
+        quality_n_buckets=1 << 12,
+        ngram_n=3,
+        hashed=False,
+    ).cache()
+    try:
+        n = out.count()
+        assert 0 < n <= 200
+        assert set(out.columns) >= {"doc_id", "text", "lang"}
+    finally:
+        out.unpersist()
