@@ -790,7 +790,13 @@ def q88_line_dedup(spark: SparkSession, sf: str) -> SparkDataFrame:
     distinct token positions they cover. The oracle recomputes the
     window fingerprints, the (doc_id, pos)-ordered canonical rank, the
     interval-union coverage, and the re-spliced text itself in SQL —
-    the gate hash-matches the OUTPUT TEXT, not just counts."""
+    the gate hash-matches the OUTPUT TEXT, not just counts. The Spark
+    side runs fingerprint="xxhash" — the 100 TB path (8-byte keys) —
+    while the oracle fingerprints via md5: window fingerprints are
+    internal to duplicate DETECTION, so any exact hash yields the same
+    duplicate set and the same spliced text (path equality is also
+    pinned directly by test_fingerprint_paths_agree), which makes the
+    gate exercise the scale path, the q66-bloom precedent."""
     from pandasql_spark.operators.dedup import line_dedup, substring_dedup
 
     d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
@@ -802,7 +808,7 @@ def q88_line_dedup(spark: SparkSession, sf: str) -> SparkDataFrame:
     )
     lined = d.select("doc_id", F.array_join(line_arr, "\n").alias("text"))
     out = line_dedup(lined, keep="first")
-    sub = substring_dedup(d, k=20)
+    sub = substring_dedup(d, k=20, fingerprint="xxhash")
     return out.select(
         "doc_id", F.md5(F.col("text")).alias("fp"), "n_kept", "n_dropped"
     ).join(
