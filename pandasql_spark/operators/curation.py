@@ -133,6 +133,7 @@ def curate_corpus(
         raise ValueError(
             f"min_quality_prob must be in [0, 1], got {min_quality_prob}"
         )
+
     def _barrier(d: DataFrame) -> DataFrame:
         # truncate lineage before a self-joining stage (module
         # docstring: chained gate joins otherwise grow the plan 4^k)
