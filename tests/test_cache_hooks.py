@@ -87,3 +87,15 @@ def test_jaccard_verified_cleanup(spark):
     out.count()
     out.cleanup(blocking=True)
     assert not (_ids(spark) - base)
+
+
+def test_stage_ordered_chunks_releases_ntile_persist(spark, tmp_path):
+    """ADVICE r10 item 1: after the staged write, stage_ordered_chunks
+    must release exact_ntile's internal range-partitioned persist —
+    the staging leaves NO new persisted RDDs behind."""
+    from pandasql_spark.streaming.events import stage_ordered_chunks
+
+    base = _ids(spark)
+    df = spark.range(40).withColumnRenamed("id", "v")
+    stage_ordered_chunks(df, 4, ["v"], str(tmp_path / "stage"))
+    assert not (_ids(spark) - base)
