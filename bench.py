@@ -44,6 +44,7 @@ HEADLINE = [
     "q35_shipping_priority",
     "q39_winnowing",
     "q40_ann_ivf",
+    "q41_multimodal",
     "q45_cross_join",
     "q46_json_props",
     "q47_funnel",
