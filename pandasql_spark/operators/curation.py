@@ -44,10 +44,15 @@ measured 4 → 16 → 64 → 256 base-table scans for 0 → 3 optional stages
 on top of dedup. At 100 TB that is the difference between a pipeline
 and a non-terminating job. `curate_corpus` therefore inserts a lazy
 ``localCheckpoint(eager=False)`` barrier before each self-joining
-stage (``barrier=False`` restores raw lazy composition for plan
-inspection): each stage's input materializes exactly once and every
-downstream reference reuses it — scans stay LINEAR in stage count,
-which is how a real multi-stage pipeline persists between passes.
+stage (``barrier=False`` restores raw lazy composition): each stage's
+input materializes exactly once and every downstream reference reuses
+it — scans stay LINEAR in stage count. localCheckpoint over persist
+is a MEASURED choice, not a stylistic one: lazy persist fails to
+deduplicate these chained self-joins (6.2 s / 129-scan plan vs 0.24 s
+/ 0 at sf0.001 with three optional stages). The cost is truncated
+lineage — an executor loss fails the job and it reruns — which still
+beats 4^k recompute; cluster runs needing per-stage durability should
+pass ``barrier=False`` and materialize between stages to a table.
 
 Reference scope note: beyond-reference surface; the reference engine
 has no curation pipeline.
@@ -136,7 +141,16 @@ def curate_corpus(
 
     def _barrier(d: DataFrame) -> DataFrame:
         # truncate lineage before a self-joining stage (module
-        # docstring: chained gate joins otherwise grow the plan 4^k)
+        # docstring: chained gate joins otherwise grow the plan 4^k).
+        # localCheckpoint, not persist — MEASURED: lazy persist fails
+        # to deduplicate these chained self-joins (sf0.001, 3 optional
+        # stages: 6.2 s and a 129-scan plan vs localCheckpoint's
+        # 0.24 s and 0), so the fault-tolerance tradeoff is real but
+        # one-sided: truncated lineage means an executor loss fails
+        # the job (rerun), which beats 4^k recompute every time. A
+        # cluster run needing per-stage durability should pass
+        # barrier=False and materialize between stages to a table —
+        # the standard multi-pass pattern.
         return d.localCheckpoint(eager=False) if barrier else d
 
     tc = token_count(text_col)
