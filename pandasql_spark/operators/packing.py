@@ -168,3 +168,67 @@ def chunk_documents(
             F.slice(F.col("__toks"), start + 1, end - start), " "
         ).alias("chunk_text"),
     )
+
+
+def pack_bpe_corpus(
+    df: DataFrame,
+    merges,
+    chunk_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    barrier: bool = True,
+) -> DataFrame:
+    """Text corpus → fixed-length training sequences in one call: BPE-
+    encode every document with the (driver-held) merge table
+    (`bpe.encode_bpe`), assign token spans to chunks with the
+    distributed prefix-sum packer (`pack_chunks`), then materialize
+    each chunk's actual subword sequence. Returns
+    (chunk_id, tokens array<string>, n_tokens) — every chunk except
+    the last holds exactly ``chunk_tokens`` subwords, and concatenating
+    chunks in chunk_id order reproduces the corpus's subword stream in
+    ``id_col`` order exactly (invariant-tested).
+
+    Plan shape: the encoded frame is the expensive pass (Arrow-batched
+    encoder, one scan); it localCheckpoints before packing because the
+    assignment table both DERIVES from it and JOINS back to it — the
+    curation lineage-barrier lesson (4^k plan growth), plus encode is
+    exactly what you never want to run twice. The slice+regroup is one
+    shuffle on chunk_id with bounded per-chunk state (``chunk_tokens``
+    subwords); the reassembly is the line_dedup sort-struct shape."""
+    from .bpe import encode_bpe
+
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    enc = encode_bpe(df, merges, text_col=text_col).select(
+        id_col,
+        F.col("bpe_tokens"),
+        F.size("bpe_tokens").cast("long").alias("__nt"),
+    )
+    if barrier:
+        enc = enc.localCheckpoint(eager=False)
+    assign = pack_chunks(enc, chunk_tokens, token_col="__nt", id_col=id_col)
+    pieces = assign.join(enc.select(id_col, "bpe_tokens"), id_col).select(
+        "chunk_id",
+        "chunk_pos",
+        F.slice(
+            "bpe_tokens",
+            F.col("piece_start").cast("int") + 1,
+            (F.col("piece_end") - F.col("piece_start")).cast("int"),
+        ).alias("piece"),
+    )
+    out = pieces.groupBy("chunk_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("chunk_pos"), F.col("piece")))
+                ),
+                lambda st: st["piece"],
+            )
+        ).alias("tokens")
+    )
+    result = out.select(
+        "chunk_id",
+        "tokens",
+        F.size("tokens").cast("long").alias("n_tokens"),
+    )
+    return attach_cleanup(result, assign.cleanup)

@@ -264,3 +264,38 @@ def test_chunk_documents_validation(spark):
         chunk_documents(docs, 8, overlap=8)
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, 8, overlap=-1)
+
+
+def test_pack_bpe_corpus_exact_stream(spark):
+    """End-to-end text → training sequences: train a merge table on
+    the corpus itself, pack at chunk_tokens=16, and verify EXACTNESS —
+    concatenating chunks in chunk_id order reproduces the corpus's
+    subword stream in doc_id order, every chunk but the last is full,
+    and the totals agree with a driver-side re-encode."""
+    from pandasql_spark.operators.bpe import encode_word, train_bpe
+    from pandasql_spark.operators.packing import pack_bpe_corpus
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the bat and the cat chat"),
+        (2, ""),                      # empty doc: zero tokens, no rows
+        (3, "flat rat splat"),
+        (4, "the the the the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(df, n_merges=12)
+    packed = pack_bpe_corpus(df, merges, chunk_tokens=16)
+    got = sorted(
+        ((r.chunk_id, list(r.tokens), r.n_tokens) for r in packed.collect())
+    )
+
+    want_stream = []
+    for _id, text in rows:
+        for w in text.split(" "):
+            if w:
+                want_stream.extend(encode_word(w, merges))
+    got_stream = [t for _, toks, _ in got for t in toks]
+    assert got_stream == want_stream
+    sizes = [n for _, _, n in got]
+    assert all(n == 16 for n in sizes[:-1]) and 0 < sizes[-1] <= 16
+    packed.cleanup()
