@@ -304,3 +304,179 @@ def replay_incremental_dedup(
     return spark.read.schema("doc_id long").parquet(
         os.path.join(work, "survivors")
     ).select("doc_id")
+
+
+# ------------------------------------------------------- substring spans
+
+
+def process_substring_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    survivors_dir: str,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One micro-batch of incremental SUBSTRING dedup (the streaming
+    continuation of `operators/dedup.substring_dedup`, keep="first"):
+    every k-token window of the batch that was already seen in an
+    EARLIER batch — or earlier within this batch, by (id, pos) — is a
+    duplicate span; the union of duplicate spans is spliced out of each
+    document and the spliced survivors land under ``survivors_dir``.
+
+    Store: ONE append-only parquet table ``winfps`` of (fp, batch_id) —
+    the batch's DISTINCT xxhash64 window fingerprints, 8 bytes each
+    (membership is all that canonical-first semantics needs from
+    history; at production scale: a Delta/Iceberg table bucketed by
+    fp). With monotone ingestion ids the output equals the BATCH
+    operator over the full corpus exactly: a window's first (id, pos)
+    occurrence lives in the earliest batch that contains it, where
+    batch-local canonical selection reproduces the global choice —
+    differential-tested in test_incremental_dedup.py.
+
+    Idempotency mirrors `process_batch`: history reads filter
+    ``batch_id < current`` (a retry must not see its own previous
+    write) and every write is a dynamic partition overwrite of the
+    batch's own partition."""
+    spark = batch.sparkSession
+    batch = batch.dropDuplicates([id_col]).persist()
+
+    toks = F.split(F.col(text_col), " ")
+    npos = F.size(toks) - F.lit(k) + F.lit(1)
+    win_fps = F.when(
+        npos >= 1,
+        F.transform(
+            F.sequence(F.lit(1), npos),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    wins = batch.select(
+        F.col(id_col).alias("id"), F.posexplode(win_fps).alias("pos", "fp")
+    )
+
+    hist = _read_or_empty(
+        spark, os.path.join(store_dir, "winfps"), "fp long"
+    ).filter(F.col("batch_id") < F.lit(batch_id))
+
+    # duplicate occurrences: (a) fp seen in an earlier batch — EVERY
+    # batch occurrence is non-canonical; (b) batch-local non-canonical
+    # (same agg+join shape as the batch operator, hot-fp safe)
+    dup_hist = wins.join(hist.select("fp"), "fp", "semi").select("id", "pos")
+    firsts = wins.groupBy("fp").agg(F.min(F.struct("id", "pos")).alias("first"))
+    dup_local = (
+        wins.join(firsts, "fp")
+        .filter(F.struct("id", "pos") != F.col("first"))
+        .select("id", "pos")
+    )
+    dups = dup_hist.unionByName(dup_local).distinct()
+
+    dup_pos = dups.groupBy("id").agg(
+        F.sort_array(F.collect_list("pos")).alias("_dup_pos"),
+        F.count(F.lit(1)).cast("long").alias("sub_dup_windows"),
+    )
+    joined = (
+        batch.select(F.col(id_col).alias("id"), text_col)
+        .join(dup_pos, "id", "left")
+        .withColumn(
+            "_dup_pos", F.coalesce("_dup_pos", F.array().cast("array<int>"))
+        )
+        .withColumn("_toks", toks)
+    )
+    covered = lambda i: F.exists(  # noqa: E731
+        "_dup_pos", lambda p: (i >= p) & (i < p + F.lit(k))
+    )
+    kept = F.filter("_toks", lambda x, i: ~covered(i))
+    survivors = joined.select(
+        F.col("id").alias(id_col),
+        F.array_join(kept, " ").alias(text_col),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.coalesce("sub_dup_windows", F.lit(0))
+        .cast("long")
+        .alias("sub_dup_windows"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("sub_dup_tokens"),
+    )
+
+    conf = spark.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        wins.select("fp").distinct().withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.partitionBy("batch_id").mode("overwrite").parquet(
+            os.path.join(store_dir, "winfps")
+        )
+        survivors.withColumn("batch_id", F.lit(batch_id)).write.partitionBy(
+            "batch_id"
+        ).mode("overwrite").parquet(survivors_dir)
+    finally:
+        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        batch.unpersist()
+
+
+def incremental_substring_dedup(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    store_dir: str,
+    survivors_dir: str,
+    checkpoint_dir: str,
+    *,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+):
+    """Start the incremental substring-dedup stream; returns the
+    StreamingQuery. ``docs_stream`` must carry (id_col, text_col)."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        process_substring_batch(
+            batch, batch_id, store_dir, survivors_dir,
+            k=k, text_col=text_col, id_col=id_col,
+        )
+
+    writer = docs_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def replay_incremental_substring_dedup(
+    spark: SparkSession,
+    documents_path: str,
+    n_batches: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Drive incremental substring dedup through the REAL streaming
+    engine (id-ordered staged chunks, maxFilesPerTrigger=1) and return
+    the spliced survivors — which must equal the batch
+    `substring_dedup(keep="first")` over the full corpus."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="inc_subdedup_")
+    stage = os.path.join(work, "stage")
+    docs = spark.read.parquet(documents_path).select("doc_id", "text")
+    from .events import bounded_replay_shuffle, stage_ordered_chunks
+
+    stage_ordered_chunks(docs, n_batches, ["doc_id"], stage)
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "*.parquet"))
+    )
+    with bounded_replay_shuffle(spark):
+        q = incremental_substring_dedup(
+            spark,
+            stream,
+            store_dir=os.path.join(work, "store"),
+            survivors_dir=os.path.join(work, "survivors"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            k=k,
+        )
+        q.awaitTermination()
+    return spark.read.schema(
+        "doc_id long, text string, n_tokens long, "
+        "sub_dup_windows long, sub_dup_tokens long"
+    ).parquet(os.path.join(work, "survivors"))

@@ -156,3 +156,67 @@ def test_string_ids_round_trip_the_store(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(surv).select("doc_id").collect()
     }
     assert "a" in surv_ids and "b" in surv_ids and "c" not in surv_ids
+
+
+def _batch_substring(docs, k):
+    from pandasql_spark.operators.dedup import substring_dedup
+
+    return {
+        r.doc_id: (r.text, r.n_tokens, r.sub_dup_windows, r.sub_dup_tokens)
+        for r in substring_dedup(docs, k=k).toPandas().itertuples()
+    }
+
+
+def test_substring_replay_matches_batch_operator(spark):
+    """3-micro-batch replay of incremental substring dedup through the
+    real engine == the batch substring_dedup(keep='first') over the
+    full corpus, column-exact (spliced text included)."""
+    from pandasql_spark.streaming.incremental import (
+        replay_incremental_substring_dedup,
+    )
+
+    surv = replay_incremental_substring_dedup(
+        spark, f"{SF}/documents.parquet", n_batches=3, k=20
+    )
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.sub_dup_windows, r.sub_dup_tokens)
+        for r in surv.toPandas().itertuples()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    want = _batch_substring(docs, k=20)
+    assert got == want
+    assert sum(g[2] for g in got.values()) > 0  # spans actually bound
+
+
+def test_substring_batch_replay_is_idempotent(spark, tmp_path):
+    """Retrying the last batch_id (failure before checkpoint commit)
+    overwrites its own partitions — store and survivors byte-identical
+    to the clean run."""
+    from pandasql_spark.streaming.incremental import process_substring_batch
+
+    passage = " ".join(f"s{i}" for i in range(5))
+    b0 = spark.createDataFrame(
+        [(0, f"alpha {passage} beta"), (1, "unrelated words here")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(2, f"gamma {passage} delta"), (3, f"{passage} {passage}")],
+        "doc_id long, text string",
+    )
+    store, surv = str(tmp_path / "store"), str(tmp_path / "surv")
+    process_substring_batch(b0, 0, store, surv, k=5)
+    process_substring_batch(b1, 1, store, surv, k=5)
+
+    def snap():
+        s = spark.read.parquet(surv).toPandas()
+        return sorted(map(tuple, s.values.tolist()))
+
+    clean = snap()
+    process_substring_batch(b1, 1, store, surv, k=5)  # retry
+    assert snap() == clean
+    got = {r[0]: r[1] for r in clean}
+    assert passage in got[0]          # canonical (earliest) keeps
+    assert passage not in got[2]      # cross-batch duplicate spliced
+    assert passage not in got[3]      # and the within-doc repeats too
