@@ -138,15 +138,20 @@ def bloom_member_column(
     The bitmap broadcast from the *previous* call on the SAME
     SparkContext is unpersisted here (bounded residency — see
     ``_PREV_BLOOM_BC``)."""
+    # broadcast() serializes the full bitmap (potentially hundreds of
+    # MB) — do it OUTSIDE the lock so concurrent sessions don't
+    # serialize on one driver-wide mutex for the duration (ADVICE r11);
+    # only the WeakKeyDictionary swap needs the lock. Swap in the new
+    # bc first, then unpersist the popped predecessor (also outside).
+    bc = spark_context.broadcast(np.frombuffer(bitmap, dtype=np.uint8))
     with _PREV_BLOOM_LOCK:
         prev = _PREV_BLOOM_BC.pop(spark_context, None)
-        if prev is not None:
-            try:
-                prev.unpersist()
-            except Exception:
-                pass  # owning context may already be stopped
-        bc = spark_context.broadcast(np.frombuffer(bitmap, dtype=np.uint8))
         _PREV_BLOOM_BC[spark_context] = bc
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # owning context may already be stopped
 
     @F.pandas_udf("boolean")
     def _member(it: Iterator[pd.Series]) -> Iterator[pd.Series]:

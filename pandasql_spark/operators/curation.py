@@ -88,6 +88,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     contamination_prefilter: str | None = None,
     substring_k: int | None = None,
+    substring_fingerprint: str = "xxhash",
     min_quality_prob: float | None = None,
     quality_weights: DataFrame | None = None,
     quality_bias: float = 0.0,
@@ -238,9 +239,11 @@ def curate_corpus(
         # span rewrite AFTER exact dedup (so identical docs don't
         # shred each other) and BEFORE decontamination/redaction (so
         # they see the text that will actually be trained on)
+        # "xxhash" default; pass substring_fingerprint="xxhash128" for
+        # the collision-budget-free scale path (substring_dedup doc)
         spliced = substring_dedup(
             out, k=substring_k, text_col=text_col, id_col=id_col,
-            fingerprint="xxhash",
+            fingerprint=substring_fingerprint,
         ).select(id_col, F.col(text_col).alias("__spliced"))
         out = (
             out.join(spliced, on=id_col, how="inner")

@@ -1580,14 +1580,37 @@ WHERE r.rk <= tgt.n
 
 def q71_curation_pipeline(spark: SparkSession, sf: str) -> SparkDataFrame:
     """End-to-end corpus curation (operators/curation.py): quality gate
-    (40–65 tokens) → exact dedup (keep lowest id) → decontaminate
-    against the doc_id%50 eval slice (3-grams, raw-string keys) →
-    resample to an en:es:fr = 2:1:1 mixture on a 120-row budget. Each
-    stage is individually oracle-gated (q16/q19/q66/q70); this gate
-    value-checks the COMPOSITION — the oracle chains the same four
-    stages in SQL."""
+    (40–65 tokens) → bigram-LM floor (mean conditional ln p(w2|w1) ≥
+    −3.33, model trained on the post-quality corpus — q98's machinery)
+    → LEARNED-classifier probability floor (the weight-table path:
+    `weights_to_df` model riding ONE broadcast join, sigmoid ≥ 0.5) →
+    exact dedup (keep lowest id) → decontaminate against the doc_id%50
+    eval slice (3-grams, raw-string keys) → resample to an en:es:fr =
+    2:1:1 mixture on a 120-row budget. Each stage is individually
+    oracle-gated (q16/q98/q19/q66/q70); this gate value-checks the
+    COMPOSITION — the oracle chains the same SIX stages in SQL — and
+    exercises the lineage barriers under a genuinely multi-stage plan
+    (the r11 IOU).
+
+    Oracle-ability of the optional floors: the bigram floor sits at
+    −3.33, ≥2.7e-4 from every doc's score at sf0.001/sf0.01 (probed) —
+    far beyond cross-engine ln/avg ulp drift. The learned model is
+    weights_to_df over a CLOSED-FORM dyadic weight vector (4096
+    buckets, w = ((b+7)·2654435761 mod 2048 − 1024)/1024 — multiples
+    of 2⁻¹⁰, so per-doc score sums are EXACT in double and
+    order/engine-independent); iterative GD training itself is not
+    SQL-expressible (trainer is pytest-gated in test_classifier.py),
+    but the gated PLAN — explode → broadcast model join → per-doc sum
+    → sigmoid floor — is byte-identical to a trained model's. The 0.5
+    probability floor is exact cross-engine: sigmoid(s) ≥ 0.5 ⟺ s ≥ 0
+    in IEEE (exp(0) = 1 exactly), so the oracle filters on score ≥ 0."""
+    import numpy as np
+
+    from pandasql_spark.operators.classifier import weights_to_df
     from pandasql_spark.operators.curation import curate_corpus
 
+    b = np.arange(4096, dtype=np.int64)
+    w = ((b + 7) * 2654435761 % 2048 - 1024) / 1024.0
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     ev = docs.filter(F.col("doc_id") % 50 == 0)
     tr = docs.filter(F.col("doc_id") % 50 != 0)
@@ -1596,8 +1619,14 @@ def q71_curation_pipeline(spark: SparkSession, sf: str) -> SparkDataFrame:
         eval_df=ev,
         min_tokens=40,
         max_tokens=65,
+        min_bigram_logprob=-3.33,
         ngram_n=3,
         hashed=False,
+        min_quality_prob=0.5,
+        quality_weights=weights_to_df(spark, w),
+        quality_bias=0.0,
+        quality_normalize=False,
+        quality_n_buckets=4096,
         mixture={"en": 2, "es": 1, "fr": 1},
         total_n=120,
     )
@@ -1610,11 +1639,42 @@ WITH q AS (
   WHERE doc_id % 50 <> 0
     AND len(string_split(text, ' ')) BETWEEN 40 AND 65
 ),
+-- bigram-LM floor: model trained on the post-quality corpus (q98's
+-- recipe scoped to q); NULL logprob (single-token docs) passes
+bg_toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM q),
+bg_pairs AS (
+  SELECT doc_id, unnest(ts[1:len(ts)-1]) AS w1, unnest(ts[2:len(ts)]) AS w2
+  FROM bg_toks WHERE len(ts) >= 2
+),
+bg_pc AS (SELECT w1, w2, count(*) AS cnt FROM bg_pairs GROUP BY w1, w2),
+bg_ctx AS (SELECT w1, sum(cnt) AS ctx FROM bg_pc GROUP BY w1),
+bg_sc AS (
+  SELECT t.doc_id, avg(ln(pc.cnt / CAST(c.ctx AS DOUBLE))) AS lp
+  FROM bg_toks t
+  LEFT JOIN bg_pairs p USING (doc_id)
+  LEFT JOIN bg_pc pc ON p.w1 = pc.w1 AND p.w2 = pc.w2
+  LEFT JOIN bg_ctx c ON p.w1 = c.w1
+  GROUP BY t.doc_id
+),
+bq AS (
+  SELECT q.* FROM q JOIN bg_sc USING (doc_id)
+  WHERE bg_sc.lp IS NULL OR bg_sc.lp >= -3.33
+),
+-- learned-classifier floor: closed-form dyadic weight model (4096
+-- buckets, weights multiples of 2^-10 -> exact sums); sigmoid >= 0.5
+-- is exactly score >= 0
+cq AS (
+  SELECT * FROM bq
+  WHERE list_reduce(list_transform(string_split(text, ' '),
+          t -> (((('0x' || substr(md5(t), 1, 13))::BIGINT % 4096) + 7)
+                * 2654435761 % 2048 - 1024) / 1024.0),
+        (a, b) -> a + b) >= 0
+),
 keep AS (
-  SELECT min(doc_id) AS doc_id FROM q
+  SELECT min(doc_id) AS doc_id FROM cq
   GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
 ),
-d AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+d AS (SELECT cq.* FROM cq JOIN keep USING (doc_id)),
 evg AS (
   SELECT DISTINCT g FROM (
     SELECT unnest(list_transform(

@@ -317,6 +317,7 @@ def process_substring_batch(
     k: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fingerprint: str = "xxhash",
 ) -> None:
     """One micro-batch of incremental SUBSTRING dedup (the streaming
     continuation of `operators/dedup.substring_dedup`, keep="first"):
@@ -326,19 +327,46 @@ def process_substring_batch(
     document and the spliced survivors land under ``survivors_dir``.
 
     Store: ONE append-only parquet table ``winfps`` of (fp, batch_id) —
-    the batch's DISTINCT xxhash64 window fingerprints, 8 bytes each
-    (membership is all that canonical-first semantics needs from
-    history; at production scale: a Delta/Iceberg table bucketed by
-    fp). With monotone ingestion ids the output equals the BATCH
-    operator over the full corpus exactly: a window's first (id, pos)
-    occurrence lives in the earliest batch that contains it, where
-    batch-local canonical selection reproduces the global choice —
-    differential-tested in test_incremental_dedup.py.
+    the batch's DISTINCT window fingerprints (``fingerprint="xxhash"``
+    default: 8-byte xxhash64; ``"xxhash128"``: the 16-byte two-seed
+    struct key — see the collision-budget note on
+    `operators/dedup.substring_dedup`; membership is all that
+    canonical-first semantics needs from history; at production scale:
+    a Delta/Iceberg table bucketed by fp). With monotone ingestion ids
+    the output equals the BATCH operator over the full corpus exactly:
+    a window's first (id, pos) occurrence lives in the earliest batch
+    that contains it, where batch-local canonical selection reproduces
+    the global choice — differential-tested in
+    test_incremental_dedup.py.
+
+    State growth / retention: the store grows by the batch's distinct
+    window count forever — ~8 bytes per corpus window, linear in total
+    tokens ingested, ON DISK (the per-batch join reads it back, it
+    never lives in executor memory). That is the smallest state exact
+    canonical-first semantics permits: dropping any fingerprint
+    re-admits the next occurrence of that span. Bounded-state variants
+    are POLICY changes, not optimizations — e.g. TTL-compact the store
+    (dedup only against the trailing N batches; older duplicates
+    resurface) or periodically rewrite the partitioned store into one
+    compacted, fp-bucketed table (same contents, fewer files — at
+    production scale do this with the same dynamic-overwrite recipe).
+    Callers who want a fresh horizon pass a new ``store_dir``.
 
     Idempotency mirrors `process_batch`: history reads filter
     ``batch_id < current`` (a retry must not see its own previous
     write) and every write is a dynamic partition overwrite of the
     batch's own partition."""
+    from pandasql_spark.operators.dedup import _WINDOW_FP
+
+    if fingerprint not in ("xxhash", "xxhash128"):
+        raise ValueError(
+            "store fingerprints must be JVM-hash keys: 'xxhash' or "
+            f"'xxhash128', got {fingerprint!r}"
+        )
+    fp_of, fp_arr_type = _WINDOW_FP[fingerprint]
+    fp_store_type = (
+        "long" if fingerprint == "xxhash" else "struct<h1:bigint,h2:bigint>"
+    )
     spark = batch.sparkSession
     batch = batch.dropDuplicates([id_col]).persist()
 
@@ -348,15 +376,15 @@ def process_substring_batch(
         npos >= 1,
         F.transform(
             F.sequence(F.lit(1), npos),
-            lambda i: F.xxhash64(F.array_join(F.slice(toks, i, k), " ")),
+            lambda i: fp_of(F.array_join(F.slice(toks, i, k), " ")),
         ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    ).otherwise(F.array().cast(fp_arr_type))
     wins = batch.select(
         F.col(id_col).alias("id"), F.posexplode(win_fps).alias("pos", "fp")
     )
 
     hist = _read_or_empty(
-        spark, os.path.join(store_dir, "winfps"), "fp long"
+        spark, os.path.join(store_dir, "winfps"), f"fp {fp_store_type}"
     ).filter(F.col("batch_id") < F.lit(batch_id))
 
     # duplicate occurrences: (a) fp seen in an earlier batch — EVERY
@@ -375,16 +403,19 @@ def process_substring_batch(
         F.sort_array(F.collect_list("pos")).alias("_dup_pos"),
         F.count(F.lit(1)).cast("long").alias("sub_dup_windows"),
     )
+    from pandasql_spark.operators.dedup import merged_dup_intervals
+
     joined = (
         batch.select(F.col(id_col).alias("id"), text_col)
         .join(dup_pos, "id", "left")
         .withColumn(
             "_dup_pos", F.coalesce("_dup_pos", F.array().cast("array<int>"))
         )
+        .withColumn("_ivs", merged_dup_intervals("_dup_pos", k))
         .withColumn("_toks", toks)
     )
     covered = lambda i: F.exists(  # noqa: E731
-        "_dup_pos", lambda p: (i >= p) & (i < p + F.lit(k))
+        "_ivs", lambda iv: (i >= iv["s"]) & (i < iv["e"])
     )
     kept = F.filter("_toks", lambda x, i: ~covered(i))
     survivors = joined.select(
@@ -424,6 +455,7 @@ def incremental_substring_dedup(
     k: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fingerprint: str = "xxhash",
     available_now: bool = True,
 ):
     """Start the incremental substring-dedup stream; returns the
@@ -432,7 +464,7 @@ def incremental_substring_dedup(
     def _process(batch: DataFrame, batch_id: int) -> None:
         process_substring_batch(
             batch, batch_id, store_dir, survivors_dir,
-            k=k, text_col=text_col, id_col=id_col,
+            k=k, text_col=text_col, id_col=id_col, fingerprint=fingerprint,
         )
 
     writer = docs_stream.writeStream.foreachBatch(_process).option(

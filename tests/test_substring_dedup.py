@@ -137,22 +137,69 @@ def test_keep_none_differential(spark):
 
 
 def test_fingerprint_paths_agree(spark):
-    """fingerprint='xxhash' (the 8-byte scale path) must produce the
-    identical result frame as the portable md5 path."""
+    """fingerprint='xxhash' (8-byte scale path) and 'xxhash128' (the
+    16-byte two-seed struct key, ADVICE r11) must produce the identical
+    result frame as the portable md5 path."""
     df = (
         spark.read.parquet(f"{SF_DIR}/documents.parquet")
         .select("doc_id", "text")
         .limit(200)
     )
     a = substring_dedup(df, k=20).toPandas().sort_values("doc_id")
-    b = (
-        substring_dedup(df, k=20, fingerprint="xxhash")
-        .toPandas()
-        .sort_values("doc_id")
+    for fp in ("xxhash", "xxhash128"):
+        b = (
+            substring_dedup(df, k=20, fingerprint=fp)
+            .toPandas()
+            .sort_values("doc_id")
+        )
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True)
+        )
+
+
+def test_merged_dup_intervals():
+    """Interval fold: overlap/touch merge, gaps stay disjoint, empty
+    passes through; the splice mask is interval-driven (VERDICT r11)."""
+    from pandasql_spark.operators.dedup import merged_dup_intervals
+    from pandasql_spark.session import get_spark
+
+    spark = get_spark()
+    df = spark.createDataFrame(
+        [
+            (1, [0, 1, 2]),            # chained overlap -> one interval
+            (2, [0, 5]),               # touching (k=5) -> one interval
+            (3, [0, 6]),               # gap -> two intervals
+            (4, []),                   # no dups
+            (5, [0, 3, 20, 22, 40]),   # mixed
+        ],
+        "id long, dup array<int>",
     )
-    pd.testing.assert_frame_equal(
-        a.reset_index(drop=True), b.reset_index(drop=True)
-    )
+    got = {
+        r.id: [(iv.s, iv.e) for iv in r.ivs]
+        for r in df.select(
+            "id", merged_dup_intervals("dup", 5).alias("ivs")
+        ).collect()
+    }
+    assert got == {
+        1: [(0, 7)],
+        2: [(0, 10)],
+        3: [(0, 5), (6, 11)],
+        4: [],
+        5: [(0, 8), (20, 27), (40, 45)],
+    }
+
+
+def test_pathological_fully_duplicated_doc(spark):
+    """The VERDICT-r11 worst case: a large doc whose EVERY window is a
+    duplicate (a verbatim copy of another doc). With the interval
+    splice this is O(n_tokens) work, and the output must still be
+    exact: the copy splices to empty, the canonical is untouched."""
+    n = 4000
+    text = " ".join(f"w{i % 97}x{i % 89}" for i in range(n))
+    rows = [(1, text), (2, text)]
+    got = _run(spark, rows, k=50)
+    assert got[1] == (text, n, 0, 0)
+    assert got[2] == ("", n, n - 50 + 1, n)
 
 
 def test_full_doc_duplicate_splices_to_empty(spark):
