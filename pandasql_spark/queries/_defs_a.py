@@ -1185,6 +1185,20 @@ WHERE doc_id NOT IN (SELECT id_b FROM pairs)
 """
 
 
+#: q64's static BPE merge table — applied IN ORDER, each rule
+#: exhaustively (rule 3 consumes rule 2's "th" tokens — real chained
+#: BPE). Static so the DuckDB oracle can replay the greedy encode as a
+#: closed form: a left-to-right exhaustive pass of rule (a, b) over a
+#: token sequence equals ONE non-overlapping string `replace` of the
+#: boundary-marked pattern ⟨S·a·SS·b·S⟩ → ⟨S·ab·S⟩ on the
+#: chr(1)-separated token string (replace scans left-to-right and
+#:  resumes after each substitution — exactly the greedy fold's
+#: contract). Learned merge tables (train_bpe) are iterative driver
+#: state and not SQL-expressible; q100 gates their seed statistic and
+#: test_bpe.py the induction loop.
+_Q64_MERGES = (("e", "r"), ("t", "h"), ("th", "e"), ("a", "n"))
+
+
 def q64_sequence_packing(spark: SparkSession, sf: str) -> SparkDataFrame:
     """Sequence packing (operators/packing.py): documents concatenated
     in doc_id order and cut into 512-token chunks; each (doc, chunk)
@@ -1193,13 +1207,41 @@ def q64_sequence_packing(spark: SparkSession, sf: str) -> SparkDataFrame:
     running sum (range partition + per-partition window + scalar
     prefix offsets — no single-reducer window); chunk assignment is
     closed-form arithmetic + a bounded `sequence()` explode, so the
-    oracle reproduces the whole table from a DuckDB window cumsum."""
-    from pandasql_spark.operators.packing import pack_chunks
+    oracle reproduces the whole table from a DuckDB window cumsum.
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
-        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    r12 fold (registry-ceiling policy): the host also carries
+    `pack_bpe_corpus` — the one-call text → fixed-length training
+    sequences product (Arrow-batched BPE encode under the 4-rule
+    static `_Q64_MERGES` table → lineage-barriered prefix-sum packing
+    → chunk reassembly) at 256 subwords/chunk. Its section rides the
+    same output schema as doc_id = −1 rows: one row per PACKED
+    SEQUENCE with piece_end = the sequence's subword count (gating the
+    every-chunk-but-last-is-full invariant), and seq_fp = md5 over the
+    space-joined subword sequence (gating the packed CONTENT, token by
+    token, in order). The oracle replays the greedy encode via
+    boundary-marker replaces (see `_Q64_MERGES`) and the packing via
+    the same window cumsum, then reassembles and fingerprints each
+    chunk — so the whole encode → barrier → pack → regroup pipeline is
+    value-checked end to end (the r11 IOU on pack_bpe_corpus)."""
+    from pandasql_spark.operators.packing import pack_bpe_corpus, pack_chunks
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    ws = pack_chunks(docs, 512).select(
+        "doc_id", "chunk_id", "piece_start", "piece_end", "chunk_pos",
+        F.lit("").alias("seq_fp"),
     )
-    return pack_chunks(docs, 512)
+    bpe = pack_bpe_corpus(
+        d.select("doc_id", "text"), list(_Q64_MERGES), 256
+    ).select(
+        F.lit(-1).cast("long").alias("doc_id"),
+        "chunk_id",
+        F.lit(0).cast("long").alias("piece_start"),
+        F.col("n_tokens").alias("piece_end"),
+        F.lit(0).cast("long").alias("chunk_pos"),
+        F.md5(F.array_join("tokens", " ")).alias("seq_fp"),
+    )
+    return ws.unionByName(bpe)
 
 
 Q64_SQL = """
@@ -1214,13 +1256,78 @@ WITH toks AS (
          unnest(range(CAST((cend - n_tokens) // 512 AS BIGINT),
                       CAST((cend - 1) // 512 + 1 AS BIGINT))) AS chunk_id
   FROM spans
+),
+-- pack_bpe_corpus fold: greedy BPE encode under the 4-rule static
+-- merge table as boundary-marker replaces (chr(1) = token boundary;
+-- one left-to-right non-overlapping replace per rule == one
+-- exhaustive greedy pass), then the same cumsum packing at 256
+-- subwords/chunk, reassembled and fingerprinted per chunk
+bpe0 AS (
+  SELECT doc_id,
+         replace(replace(replace(replace(
+           array_to_string(
+             list_transform(
+               list_filter(string_split(text, ' '), w -> len(w) > 0),
+               w -> chr(1) ||
+                    array_to_string(regexp_extract_all(w, '(?s).'),
+                                    chr(1) || chr(1)) || chr(1)),
+             ' '),
+           chr(1)||'e'||chr(1)||chr(1)||'r'||chr(1), chr(1)||'er'||chr(1)),
+           chr(1)||'t'||chr(1)||chr(1)||'h'||chr(1), chr(1)||'th'||chr(1)),
+           chr(1)||'th'||chr(1)||chr(1)||'e'||chr(1), chr(1)||'the'||chr(1)),
+           chr(1)||'a'||chr(1)||chr(1)||'n'||chr(1), chr(1)||'an'||chr(1))
+         AS enc
+  FROM documents
+),
+bpe_tok AS (
+  SELECT doc_id,
+         CASE WHEN enc = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(
+                     trim(replace(enc, chr(1)||' '||chr(1), chr(1)||chr(1)),
+                          chr(1)),
+                     chr(1)||chr(1))
+         END AS bt
+  FROM bpe0
+),
+bpe_spans AS (
+  SELECT doc_id, bt, len(bt) AS n,
+         sum(len(bt)) OVER (ORDER BY doc_id) AS cend
+  FROM bpe_tok WHERE len(bt) > 0
+),
+bpe_expl AS (
+  SELECT bt, n, cend - n AS cstart,
+         unnest(range(CAST((cend - n) // 256 AS BIGINT),
+                      CAST((cend - 1) // 256 + 1 AS BIGINT))) AS chunk_id
+  FROM bpe_spans
+),
+bpe_pieces AS (
+  SELECT chunk_id,
+         greatest(0, cstart - chunk_id * 256) AS chunk_pos,
+         list_slice(bt,
+                    CAST(greatest(0, chunk_id * 256 - cstart) + 1 AS BIGINT),
+                    CAST(least(n, (chunk_id + 1) * 256 - cstart) AS BIGINT))
+           AS piece
+  FROM bpe_expl
+),
+bpe_chunks AS (
+  SELECT chunk_id, flatten(list(piece ORDER BY chunk_pos)) AS ct
+  FROM bpe_pieces GROUP BY chunk_id
 )
 SELECT doc_id,
        CAST(chunk_id AS BIGINT) AS chunk_id,
        CAST(greatest(0, chunk_id * 512 - cstart) AS BIGINT) AS piece_start,
        CAST(least(n_tokens, (chunk_id + 1) * 512 - cstart) AS BIGINT) AS piece_end,
-       CAST(greatest(0, cstart - chunk_id * 512) AS BIGINT) AS chunk_pos
+       CAST(greatest(0, cstart - chunk_id * 512) AS BIGINT) AS chunk_pos,
+       '' AS seq_fp
 FROM exploded
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(0 AS BIGINT) AS piece_start,
+       CAST(len(ct) AS BIGINT) AS piece_end,
+       CAST(0 AS BIGINT) AS chunk_pos,
+       md5(array_to_string(ct, ' ')) AS seq_fp
+FROM bpe_chunks
 """
 
 
