@@ -13,8 +13,9 @@ which is what makes them hash-checkable in the correctness gate.
 
 from __future__ import annotations
 
-from typing import Mapping, Sequence
+from typing import Iterator, Mapping, Sequence
 
+import pandas as pd  # module scope: pandas_udf type-hint resolution
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -116,6 +117,63 @@ def normalize_text(col: Column | str) -> Column:
     trim."""
     c = F.col(col) if isinstance(col, str) else col
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+#: characters stripped by `strip_invisible`: C0/C1 controls (keeping
+#: \t \n \r) plus the default-ignorable zero-width set (soft hyphen,
+#: ZWSP/ZWNJ/ZWJ, word joiner, BOM). Java regex \x{...} syntax; the
+#: oracle mirrors the same class in RE2.
+_INVISIBLE_CLASS = (
+    r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F"
+    r"\x{00AD}\x{200B}-\x{200D}\x{2060}\x{FEFF}]"
+)
+
+
+def strip_invisible(col: Column | str) -> Column:
+    """Remove control and zero-width characters — the invisible bytes
+    that make visually identical crawl text fingerprint differently
+    (a ZWSP inside a duplicated paragraph defeats `exact_dedup` and
+    `substring_dedup`, whose hashes are byte-sensitive). Pure codegen
+    `regexp_replace`; keeps tab/newline/CR."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, _INVISIBLE_CLASS, "")
+
+
+def normalize_unicode(col: Column | str, strip: bool = True) -> Column:
+    """Unicode canonicalization for crawl text — the standard C4/CCNet
+    pre-dedup stage this engine's fingerprints assume: (1) strip
+    control/zero-width characters (`strip_invisible`, JVM codegen;
+    ``strip=False`` skips it), then (2) NFC-normalize, so the NFD and
+    NFC spellings of the same paragraph collapse to one byte sequence
+    and dedup/decontamination see ONE document, not two.
+
+    Spark has no built-in NFC (SPARK-47356 area; `lower`/`upper` are
+    locale maps, not normalization), so step 2 is an Arrow-batched
+    pandas UDF over Python's `unicodedata` — the documented exception
+    to this module's JVM-only rule. The kernel short-circuits pure-
+    ASCII strings (`str.isascii`, an O(n) C check — the overwhelmingly
+    common case in web text), so the per-row Python cost is one
+    predicate for most rows; stripping stays codegen either way.
+    Normalization runs BEFORE dedup so order it early in a pipeline.
+    NFC is stability-guaranteed for assigned codepoints, which is what
+    keeps Python's unicodedata and DuckDB's utf8proc `nfc_normalize`
+    (the q94 oracle) in exact agreement."""
+    c = strip_invisible(col) if strip else (
+        F.col(col) if isinstance(col, str) else col
+    )
+
+    @F.pandas_udf("string")
+    def _nfc(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import unicodedata
+
+        for s in batches:
+            yield s.map(
+                lambda t: t
+                if t is None or t.isascii()
+                else unicodedata.normalize("NFC", t)
+            )
+
+    return _nfc(c)
 
 
 def fingerprint(col: Column | str) -> Column:

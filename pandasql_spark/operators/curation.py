@@ -94,6 +94,7 @@ def curate_corpus(
     quality_bias: float = 0.0,
     quality_normalize: bool = True,
     quality_n_buckets: int = 1 << 18,
+    unicode_normalize: bool = False,
     barrier: bool = True,
 ) -> DataFrame:
     """Quality-gate, dedup, decontaminate, and (optionally) redact and
@@ -119,7 +120,11 @@ def curate_corpus(
     broadcast model join, the model moves, the corpus doesn't — and
     ``quality_normalize`` must match how the model was trained; with
     no weights the zero-shuffle seeded expression path scores), PII
-    redaction (``redact=True``), and mixture resampling
+    redaction (``redact=True``), Unicode normalization
+    (``unicode_normalize=True`` — strip control/zero-width chars +
+    NFC via functions/text.py:normalize_unicode, applied FIRST so
+    every downstream fingerprint sees canonical bytes; q94 gates the
+    op, the stage is pure composition), and mixture resampling
     (``mixture`` + ``total_n``). ``eval_df=None`` skips
     decontamination; ``hashed=False`` joins contamination n-grams as
     raw strings (engine-portable — what the q71 oracle uses) instead
@@ -154,8 +159,18 @@ def curate_corpus(
         # the standard multi-pass pattern.
         return d.localCheckpoint(eager=False) if barrier else d
 
+    if unicode_normalize:
+        from ..functions.text import normalize_unicode
+
+        # FIRST, before any fingerprint-bearing stage: the NFD/NFC
+        # spellings of one paragraph must collapse before dedup,
+        # decontamination, or substring splicing hash anything
+        out = df.withColumn(text_col, normalize_unicode(text_col))
+    else:
+        out = df
+
     tc = token_count(text_col)
-    out = df.filter(tc >= min_tokens)
+    out = out.filter(tc >= min_tokens)
     if max_tokens is not None:
         out = out.filter(tc <= max_tokens)
 

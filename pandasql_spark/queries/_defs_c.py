@@ -1217,7 +1217,18 @@ def q94_crawl_pipeline(spark: SparkSession, sf: str) -> SparkDataFrame:
     extracted text, canonical URL, survivor set, token counts, and the
     md5-based split assignment are all arithmetic over (doc_id, text) —
     no regexp in the oracle at all, so the gate only passes if the real
-    extraction/normalization chain lands exactly on the closed form."""
+    extraction/normalization chain lands exactly on the closed form.
+
+    r12 fold (registry-ceiling policy): the host also carries UNICODE
+    normalization (functions/text.py:normalize_unicode — strip
+    control/zero-width chars, then NFC): each surviving doc's extracted
+    text is wrapped in a deterministic Unicode-messy frame (an NFD
+    'cafe'+U+0301, a ZWSP, a soft hyphen, a combining ring, a C0
+    control) and norm_fp hashes the normalized result — so the gate
+    proves composition (e+◌́→é, A+◌̊→Å), invisible-char stripping, and
+    ASCII passthrough byte-exactly against DuckDB's utf8proc
+    `nfc_normalize` + the same RE2 strip class."""
+    from pandasql_spark.functions.text import normalize_unicode
     from pandasql_spark.operators.crawl import crawl_to_corpus
 
     d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
@@ -1244,9 +1255,17 @@ def q94_crawl_pipeline(spark: SparkSession, sf: str) -> SparkDataFrame:
     out = crawl_to_corpus(
         crawl, min_tokens=40, split_weights={"train": 0.9, "eval": 0.1}
     )
+    # NFD cafe+U+0301, ZWSP | extracted text | soft hyphen, A+U+030A,
+    # C0 ctrl - explicit escapes (raw invisible chars in source are a trap)
+    messy = F.concat(
+        F.lit("cafe\u0301\u200b "),
+        F.col("text"),
+        F.lit(" \u00adA\u030a\u0002"),
+    )
     return out.select(
         "doc_id", "url_norm", "host", "title", "n_tokens", "split",
         F.md5(F.col("text")).alias("fp"),
+        F.md5(normalize_unicode(messy)).alias("norm_fp"),
     )
 
 
@@ -1280,7 +1299,13 @@ SELECT doc_id, url_norm, host, title, n_tokens,
               (acc, v) -> acc * 16 + v)
             < CAST(0.9 AS DOUBLE) * 4503599627370496.0
             THEN 'train' ELSE 'eval' END AS split,
-       md5(extracted) AS fp
+       md5(extracted) AS fp,
+       md5(nfc_normalize(regexp_replace(
+         'cafe' || chr(769) || chr(8203) || ' ' || extracted
+           || ' ' || chr(173) || 'A' || chr(778) || chr(2),
+         '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F'
+           || '\\x{00AD}\\x{200B}-\\x{200D}\\x{2060}\\x{FEFF}]',
+         '', 'g'))) AS norm_fp
 FROM gated
 """
 
