@@ -31,19 +31,23 @@ def attach_cleanup(result: DataFrame, *cached) -> DataFrame:
     return result
 
 
-def tracked_local_checkpoint(df: DataFrame):
-    """``df.localCheckpoint()`` plus a zero-arg release handle for its
-    persisted blocks — which plain ``DataFrame.unpersist()`` cannot
+def tracked_local_checkpoint(df: DataFrame, eager: bool = True):
+    """``df.localCheckpoint(eager)`` plus a zero-arg release handle for
+    its persisted blocks — which plain ``DataFrame.unpersist()`` cannot
     reach (the blocks belong to an internal RDD, not the plan cache).
 
-    Found by persistent-RDD id diff around the (eager) checkpoint call;
-    single-driver-thread operators only — a concurrent persist landing
-    in the diff window would be captured too. Releasing makes the
-    checkpointed frame UNRECOMPUTABLE (lineage was truncated), so only
-    release a round that nothing downstream will read again."""
+    Found by persistent-RDD id diff around the checkpoint call — valid
+    for ``eager=False`` too: Spark registers the checkpoint RDD in the
+    persistent-RDD registry at MARK time (persist() runs inside
+    localCheckpoint()), even though its blocks materialize on first
+    compute (probed on 4.1). Single-driver-thread operators only — a
+    concurrent persist landing in the diff window would be captured
+    too. Releasing makes the checkpointed frame UNRECOMPUTABLE
+    (lineage was truncated), so only release a round that nothing
+    downstream will read again."""
     sc = df.sparkSession.sparkContext
     before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
-    out = df.localCheckpoint()
+    out = df.localCheckpoint(eager=eager)
     new_ids = [
         i for i in sc._jsc.getPersistentRDDs().keySet().toArray() if i not in before
     ]

@@ -64,6 +64,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, token_count
+from .cache import attach_cleanup, tracked_local_checkpoint
 from .contamination import contaminated_docs
 from .sampling import resample_to_mixture
 
@@ -145,6 +146,8 @@ def curate_corpus(
             f"min_quality_prob must be in [0, 1], got {min_quality_prob}"
         )
 
+    releases: list = []
+
     def _barrier(d: DataFrame) -> DataFrame:
         # truncate lineage before a self-joining stage (module
         # docstring: chained gate joins otherwise grow the plan 4^k).
@@ -156,8 +159,15 @@ def curate_corpus(
         # the job (rerun), which beats 4^k recompute every time. A
         # cluster run needing per-stage durability should pass
         # barrier=False and materialize between stages to a table —
-        # the standard multi-pass pattern.
-        return d.localCheckpoint(eager=False) if barrier else d
+        # the standard multi-pass pattern. Each barrier's checkpoint
+        # RDD is tracked so result.cleanup() can unpersist the
+        # intermediates once the result is materialized (ADVICE r11:
+        # checkpointed blocks otherwise stay resident until driver GC).
+        if not barrier:
+            return d
+        out, release = tracked_local_checkpoint(d, eager=False)
+        releases.append(release)
+        return out
 
     if unicode_normalize:
         from ..functions.text import normalize_unicode
@@ -284,4 +294,7 @@ def curate_corpus(
             out, stratum_col=stratum_col, weights=mixture,
             total_n=total_n, id_col=id_col,
         )
-    return out
+    # result.cleanup() releases every barrier's checkpointed blocks
+    # (operators/cache.py contract: call once the result is
+    # materialized/written; the barriers are then unrecomputable)
+    return attach_cleanup(out, *releases)

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .cache import attach_cleanup
+from .cache import attach_cleanup, tracked_local_checkpoint
 from .ranking import with_global_running_sum
 
 
@@ -194,7 +194,16 @@ def pack_bpe_corpus(
     curation lineage-barrier lesson (4^k plan growth), plus encode is
     exactly what you never want to run twice. The slice+regroup is one
     shuffle on chunk_id with bounded per-chunk state (``chunk_tokens``
-    subwords); the reassembly is the line_dedup sort-struct shape."""
+    subwords); the reassembly is the line_dedup sort-struct shape.
+
+    The barrier TRUNCATES lineage — the curate_corpus caveat applies
+    verbatim: under executor loss the checkpointed encode is
+    unrecomputable and the job fails for a rerun (still cheaper than
+    re-encoding per downstream reference); a cluster run needing
+    per-stage durability should pass ``barrier=False`` and materialize
+    the encode to a table between stages. ``result.cleanup()`` releases
+    the checkpointed blocks once the packed output is materialized
+    (ADVICE r11)."""
     from .bpe import encode_bpe
 
     if chunk_tokens < 1:
@@ -204,8 +213,12 @@ def pack_bpe_corpus(
         F.col("bpe_tokens"),
         F.size("bpe_tokens").cast("long").alias("__nt"),
     )
+    releases = []
     if barrier:
-        enc = enc.localCheckpoint(eager=False)
+        # tracked so result.cleanup() can release the checkpointed
+        # encode once the packed output is materialized (ADVICE r11)
+        enc, rel = tracked_local_checkpoint(enc, eager=False)
+        releases.append(rel)
     assign = pack_chunks(enc, chunk_tokens, token_col="__nt", id_col=id_col)
     pieces = assign.join(enc.select(id_col, "bpe_tokens"), id_col).select(
         "chunk_id",
@@ -231,4 +244,4 @@ def pack_bpe_corpus(
         "tokens",
         F.size("tokens").cast("long").alias("n_tokens"),
     )
-    return attach_cleanup(result, assign.cleanup)
+    return attach_cleanup(result, assign.cleanup, *releases)

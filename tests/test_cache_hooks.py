@@ -5,6 +5,7 @@ has materialized the result."""
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from pandasql_spark.operators.dedup import (
     dedup_corpus,
@@ -99,3 +100,45 @@ def test_stage_ordered_chunks_releases_ntile_persist(spark, tmp_path):
     df = spark.range(40).withColumnRenamed("id", "v")
     stage_ordered_chunks(df, 4, ["v"], str(tmp_path / "stage"))
     assert not (_ids(spark) - base)
+
+
+def test_curation_barrier_cleanup(spark):
+    """ADVICE r11 item 2: curate_corpus(barrier=True) tracks every
+    lazily-checkpointed barrier; result.cleanup() releases them all —
+    repeated pipeline calls in one session no longer accumulate
+    resident corpus copies."""
+    from pandasql_spark.operators.curation import curate_corpus
+
+    docs = _docs(spark).withColumn(
+        "lang", (F.col("doc_id") % 2).cast("string")
+    )
+    base = _ids(spark)
+    out = curate_corpus(
+        docs,
+        eval_df=docs.limit(1),
+        min_tokens=1,
+        min_logprob=-50.0,
+        min_bigram_logprob=-50.0,
+        min_quality_prob=0.0,
+        ngram_n=30,  # nothing actually decontaminated; stages still run
+        hashed=False,
+    )
+    out.count()
+    mine = _ids(spark) - base
+    assert mine, "barriers must be tracked persistent RDDs"
+    out.cleanup(blocking=True)
+    assert not (_ids(spark) & mine)
+
+
+def test_pack_bpe_corpus_cleanup(spark):
+    """pack_bpe_corpus releases BOTH the running-sum persist (via
+    pack_chunks) and its own lazily-checkpointed encode barrier."""
+    from pandasql_spark.operators.packing import pack_bpe_corpus
+
+    base = _ids(spark)
+    out = pack_bpe_corpus(_docs(spark), [("t", "h"), ("th", "e")], 16)
+    out.count()
+    mine = _ids(spark) - base
+    assert mine
+    out.cleanup(blocking=True)
+    assert not (_ids(spark) & mine)
