@@ -660,6 +660,21 @@ def simhash_neardup_pairs(
     any pair within hamming ≤ num_bands−1 shares at least one exact
     band. Candidates come from a band-bucket join (near-linear), then
     exact hamming verification via xor + bit_count — all JVM-side."""
+    sigs = simhash(df, text_col, id_col).withColumnRenamed("simhash", "sig")
+    return banded_hamming_pairs(sigs, max_hamming, num_bands)
+
+
+def banded_hamming_pairs(
+    sigs: DataFrame, max_hamming: int, num_bands: int
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with hamming(sig) ≤ ``max_hamming``
+    over an (id, sig) frame of 64-bit signatures — the shared engine
+    behind `simhash_neardup_pairs` (text) and `image_neardup_pairs`
+    (dHash). Pigeonhole banding: split 64 bits into ``num_bands``
+    equal bands; any pair within hamming ≤ num_bands−1 shares at least
+    one exact band. Candidates come from a band-bucket equi-join
+    (near-linear, never all-pairs), then exact hamming verification
+    via xor + bit_count — all JVM-side."""
     if max_hamming > num_bands - 1:
         # beyond the pigeonhole bound pairs can differ in EVERY band and
         # would be silently missing from the candidate set
@@ -667,15 +682,14 @@ def simhash_neardup_pairs(
             f"max_hamming={max_hamming} exceeds the pigeonhole guarantee of "
             f"num_bands-1={num_bands - 1}; raise num_bands"
         )
-    sigs = simhash(df, text_col, id_col)
     width = 64 // num_bands
     bands = sigs.select(
         "id",
-        "simhash",
+        "sig",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+                    F.shiftrightunsigned(F.col("sig"), i * width).bitwiseAND(
                         F.lit((1 << width) - 1)
                     )
                     for i in range(num_bands)
@@ -695,8 +709,8 @@ def simhash_neardup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("a.sig").alias("sh_a"),
+            F.col("b.sig").alias("sh_b"),
         )
         .distinct()
     )
@@ -704,6 +718,108 @@ def simhash_neardup_pairs(
     return cands.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# ---------------------------------------------------------- image near-dup
+
+
+def _dhash64(px) -> int:
+    """64-bit difference hash of a decoded pixel array (H, W[, C]):
+    Rec.601 luma → 8×9 area-mean grid (integer cell boundaries,
+    degenerate dims fall back to single-pixel cells) → horizontal
+    gradient bits (cell[r, c+1] > cell[r, c], strict), packed
+    row-major. A FLAT image hashes to exactly 0 (every strict
+    comparison false) — the closed form q41's oracle states."""
+    import numpy as np
+
+    a = px.astype(np.float64)
+    if a.ndim == 3:
+        a = a[..., 0] * 0.299 + a[..., 1] * 0.587 + a[..., 2] * 0.114
+    h_px, w_px = a.shape
+    grid = np.empty((8, 9), dtype=np.float64)
+    for r in range(8):
+        lo_r = (r * h_px) // 8
+        hi_r = max(lo_r + 1, ((r + 1) * h_px) // 8)
+        for c in range(9):
+            lo_c = (c * w_px) // 9
+            hi_c = max(lo_c + 1, ((c + 1) * w_px) // 9)
+            grid[r, c] = a[lo_r:hi_r, lo_c:hi_c].mean()
+    bits = (grid[:, 1:] > grid[:, :-1]).ravel()  # row-major, 64 bits
+    shifts = np.arange(64, dtype=np.uint64)
+    packed = np.bitwise_or.reduce(
+        np.left_shift(np.uint64(1), shifts[bits]), initial=np.uint64(0)
+    )
+    return int(packed.view(np.int64))
+
+
+def image_dhash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id_col, decode_ok, dhash): 64-bit perceptual difference-hash
+    per image payload — LAION-style image dedup WITHOUT an embedding
+    model. Decode runs through the native codecs
+    (functions/imagecodec.py: PNG/GIF/JPEG; PIL when present), so the
+    hash survives re-encoding (PNG↔GIF↔JPEG of the same picture) and
+    resizing — the two transformations that defeat byte-level
+    fingerprints — because it is computed on the area-averaged LUMA
+    grid, not the bytes. One Arrow-batched ``mapInPandas`` pass, no
+    shuffle (the multimodal codec discipline); a payload that does not
+    decode survives as ONE decode_ok=false / NULL-hash row — the
+    corrupt-media contract. Pair with `image_neardup_pairs` (banded
+    hamming join) or any hamming-threshold consumer."""
+
+    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.imagecodec import ImageDecodeError, decode_image
+
+        for pdf in it:
+            ids, oks, hs = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(int(mid))
+                try:
+                    px = decode_image(bytes(payload))
+                except ImageDecodeError:
+                    oks.append(False)
+                    hs.append(None)
+                    continue
+                oks.append(True)
+                hs.append(_dhash64(px))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype="int64"),
+                    "decode_ok": oks,
+                    "dhash": pd.array(hs, dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _batch, f"{id_col} long, decode_ok boolean, dhash long"
+    )
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Image near-duplicates by dHash hamming distance ≤
+    ``max_hamming``: re-encoded/resized copies of the same picture
+    land within a few gradient-bit flips while different pictures sit
+    ~32 bits apart (random-ish gradients). Candidate generation and
+    verification reuse the SimHash banding engine
+    (`banded_hamming_pairs`): band-bucket equi-join, never all-pairs —
+    at LAION scale the cost is the decode scan plus one bucket-keyed
+    shuffle of 8-byte hashes. Non-decodable payloads drop (they have
+    no hash); returns (id_a, id_b, hamming)."""
+    sigs = (
+        image_dhash(df, payload_col, id_col)
+        .filter(F.col("decode_ok"))
+        .select(F.col(id_col).alias("id"), F.col("dhash").alias("sig"))
+    )
+    return banded_hamming_pairs(sigs, max_hamming, num_bands)
 
 
 # ------------------------------------------------------ embedding near-dup

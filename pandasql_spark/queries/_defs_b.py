@@ -569,9 +569,22 @@ def q41_multimodal(spark: SparkSession, sf: str) -> SparkDataFrame:
     get them through the real decode → resample → encode → decode
     round trip. JFIF rows ride through as NULL rs_* columns. The
     rendered media persists once per call and feeds BOTH branches —
-    one corpus scan, the q96 discipline."""
+    one corpus scan, the q96 discipline.
+
+    r12 fold (added while q41 rests — the q16-r10 documented
+    exception, verified via the local gate replica at both SFs;
+    COVERAGE.md r12 note): the host also carries the PERCEPTUAL hash
+    (operators/dedup.py:image_dhash) — every payload runs the full
+    decode → luma → 8×9 area-mean grid → gradient-bit pipeline, and
+    on a FLAT tile every strict cell comparison is false, so the
+    oracle states dhash = 0 in closed form (NULL for the JFIF rows).
+    The discriminative behavior (re-encoded/resized copies pair up,
+    unrelated images stay apart, banded hamming join) is pinned by
+    test_image_dedup.py — planted near-dups can't ride this host
+    because its render is deliberately flat."""
     from pyspark import StorageLevel
 
+    from pandasql_spark.operators.dedup import image_dhash
     from pandasql_spark.operators.multimodal import image_meta, resize_images
 
     d = _codec_corpus(spark, sf, "doc_id", "text")
@@ -627,16 +640,23 @@ def q41_multimodal(spark: SparkSession, sf: str) -> SparkDataFrame:
         F.col("n_pixels").alias("rs_n_pixels"),
         F.round("mean_px", 6).alias("rs_mean_px"),
     )
-    return stats.select(
-        "media_id",
-        F.col("format").alias("fmt"),
-        "width",
-        "height",
-        "mode",
-        "decode_ok",
-        "n_pixels",
-        F.round("mean_px", 6).alias("mean_px"),
-    ).join(fold, "media_id", "left")
+    dh = image_dhash(media).select(
+        "media_id", F.when(F.col("decode_ok"), F.col("dhash")).alias("dhash")
+    )
+    return (
+        stats.select(
+            "media_id",
+            F.col("format").alias("fmt"),
+            "width",
+            "height",
+            "mode",
+            "decode_ok",
+            "n_pixels",
+            F.round("mean_px", 6).alias("mean_px"),
+        )
+        .join(fold, "media_id", "left")
+        .join(dh, "media_id", "left")
+    )
 
 
 Q41_SQL = """
@@ -660,7 +680,9 @@ SELECT doc_id AS media_id,
             ELSE CAST(64 AS BIGINT) END AS rs_n_pixels,
        CASE WHEN length(text) % 7 = 0 THEN NULL
             ELSE round(CAST(length(text) % 251 AS DOUBLE), 6)
-       END AS rs_mean_px
+       END AS rs_mean_px,
+       CASE WHEN length(text) % 7 = 0 THEN NULL
+            ELSE CAST(0 AS BIGINT) END AS dhash
 FROM documents
 """
 

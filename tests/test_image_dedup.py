@@ -1,0 +1,99 @@
+"""Perceptual-hash image near-dup (operators/dedup.py: image_dhash /
+image_neardup_pairs): planted near-duplicates — re-encoded (PNG→JPEG)
+and resized copies of the same picture — must pair up within a small
+hamming distance while unrelated pictures stay apart; corrupt payloads
+survive; flat tiles hash to exactly 0 (the q41 closed form); and the
+plan is a banded equi-join, never a cartesian."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pandasql_spark.functions.imagecodec import encode_png
+from pandasql_spark.functions.jpegcodec import encode_jpeg
+from pandasql_spark.operators.dedup import (
+    _dhash64,
+    image_dhash,
+    image_neardup_pairs,
+)
+
+
+def _picture(h=64, w=64):
+    """A deterministic non-flat grayscale-ish RGB picture: smooth 2-D
+    gradient + a block pattern, so the dHash gradient bits are stable
+    under resize/re-encode."""
+    y, x = np.mgrid[0:h, 0:w]
+    g = x * 2 + y + ((x // 16 + y // 16) % 2) * 40  # max 232: no wrap
+    return np.stack([g, g, g], axis=-1).astype(np.uint8)
+
+
+def _resize_nearest(px, h, w):
+    ys = (np.arange(h) * px.shape[0]) // h
+    xs = (np.arange(w) * px.shape[1]) // w
+    return px[ys][:, xs]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = _picture()
+    rng = np.random.RandomState(7)
+    noise = rng.randint(0, 256, size=(64, 64, 3)).astype(np.uint8)
+    rows = [
+        (1, bytearray(encode_png(base))),                      # original
+        (2, bytearray(encode_jpeg(base, quality=90))),         # re-encoded
+        (3, bytearray(encode_png(_resize_nearest(base, 32, 32)))),  # resized
+        (4, bytearray(encode_png(noise))),                     # unrelated
+        (5, bytearray(b"not an image at all")),                # corrupt
+    ]
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def test_dhash_flat_is_zero():
+    flat = np.full((13, 16, 3), 97, dtype=np.uint8)
+    assert _dhash64(flat) == 0
+    tiny = np.full((1, 1), 5, dtype=np.uint8)  # degenerate dims
+    assert _dhash64(tiny) == 0
+
+
+def test_dhash_copies_close_noise_far(corpus):
+    got = {r.media_id: r for r in image_dhash(corpus).collect()}
+    assert got[5].decode_ok is False and got[5].dhash is None
+    h = {i: np.uint64(got[i].dhash) for i in (1, 2, 3, 4)}
+
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    assert ham(h[1], h[2]) <= 5, "JPEG re-encode must stay near"
+    assert ham(h[1], h[3]) <= 5, "nearest resize must stay near"
+    assert ham(h[1], h[4]) > 10, "unrelated picture must stay far"
+
+
+def test_neardup_pairs_recall_and_precision(corpus):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in image_neardup_pairs(
+            corpus, max_hamming=5, num_bands=8
+        ).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_validation(corpus):
+    with pytest.raises(ValueError, match="pigeonhole"):
+        image_neardup_pairs(corpus, max_hamming=4, num_bands=4)
+
+
+def test_plan_contract(corpus):
+    """Banded equi-join: no cartesian, no nested-loop; the only Python
+    is the Arrow-batched decode kernel."""
+    from pandasql_spark.plans.explain import explain_str
+
+    plan = explain_str(image_neardup_pairs(corpus))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan  # never row-at-a-time
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
