@@ -40,7 +40,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.text import fingerprint, tokens, word_shingles
+from ..functions.text import fingerprint, let_bound, tokens, word_shingles
 from .cache import attach_cleanup
 
 #: Mersenne prime 2^31-1: modulus for universal hashing. Chosen so the
@@ -1312,11 +1312,21 @@ def substring_dedup(
     )
     joined = base.join(dup_pos, "id", "left").withColumn(
         "_dup_pos", F.coalesce("_dup_pos", F.array().cast("array<int>"))
-    ).withColumn("_ivs", merged_dup_intervals("_dup_pos", k))
-    covered = lambda i: F.exists(  # noqa: E731 — shared by filter/stat
-        "_ivs", lambda iv: (i >= iv["s"]) & (i < iv["e"])
     )
-    kept = F.filter("_toks", lambda x, i: ~covered(i))
+    # let_bound is LOAD-BEARING: a plain withColumn("_ivs", …) collapses
+    # into the filter lambda under projection collapse and re-runs the
+    # interval fold PER TOKEN (measured 5× slower than the raw exists
+    # at n=2000); binding it as a lambda variable evaluates it once per
+    # kept-reference
+    kept = let_bound(
+        merged_dup_intervals("_dup_pos", k),
+        lambda ivs: F.filter(
+            "_toks",
+            lambda x, i: ~F.exists(
+                ivs, lambda iv: (i >= iv["s"]) & (i < iv["e"])
+            ),
+        ),
+    )
     return joined.select(
         F.col("id").alias(id_col),
         F.array_join(kept, " ").alias(text_col),

@@ -403,6 +403,7 @@ def process_substring_batch(
         F.sort_array(F.collect_list("pos")).alias("_dup_pos"),
         F.count(F.lit(1)).cast("long").alias("sub_dup_windows"),
     )
+    from pandasql_spark.functions.text import let_bound
     from pandasql_spark.operators.dedup import merged_dup_intervals
 
     joined = (
@@ -411,13 +412,20 @@ def process_substring_batch(
         .withColumn(
             "_dup_pos", F.coalesce("_dup_pos", F.array().cast("array<int>"))
         )
-        .withColumn("_ivs", merged_dup_intervals("_dup_pos", k))
         .withColumn("_toks", toks)
     )
-    covered = lambda i: F.exists(  # noqa: E731
-        "_ivs", lambda iv: (i >= iv["s"]) & (i < iv["e"])
+    # let_bound is LOAD-BEARING (see operators/dedup.substring_dedup):
+    # without it projection collapse inlines the interval fold into the
+    # filter lambda and re-runs it per token
+    kept = let_bound(
+        merged_dup_intervals("_dup_pos", k),
+        lambda ivs: F.filter(
+            "_toks",
+            lambda x, i: ~F.exists(
+                ivs, lambda iv: (i >= iv["s"]) & (i < iv["e"])
+            ),
+        ),
     )
-    kept = F.filter("_toks", lambda x, i: ~covered(i))
     survivors = joined.select(
         F.col("id").alias(id_col),
         F.array_join(kept, " ").alias(text_col),
