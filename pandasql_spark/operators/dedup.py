@@ -723,39 +723,86 @@ def banded_hamming_pairs(
 # ---------------------------------------------------------- image near-dup
 
 
-def _dhash64(px) -> int:
-    """64-bit difference hash of a decoded pixel array (H, W[, C]):
-    Rec.601 luma → 8×9 area-mean grid (integer cell boundaries,
-    degenerate dims fall back to single-pixel cells) → horizontal
-    gradient bits (cell[r, c+1] > cell[r, c], strict), packed
-    row-major. A FLAT image hashes to exactly 0 (every strict
-    comparison false) — the closed form q41's oracle states."""
+def _luma_grid(px, rows: int, cols: int):
+    """Rec.601 luma → rows×cols area-mean grid (integer cell
+    boundaries; degenerate dims fall back to single-pixel cells)."""
     import numpy as np
 
     a = px.astype(np.float64)
     if a.ndim == 3:
         a = a[..., 0] * 0.299 + a[..., 1] * 0.587 + a[..., 2] * 0.114
     h_px, w_px = a.shape
-    grid = np.empty((8, 9), dtype=np.float64)
-    for r in range(8):
-        lo_r = (r * h_px) // 8
-        hi_r = max(lo_r + 1, ((r + 1) * h_px) // 8)
-        for c in range(9):
-            lo_c = (c * w_px) // 9
-            hi_c = max(lo_c + 1, ((c + 1) * w_px) // 9)
+    grid = np.empty((rows, cols), dtype=np.float64)
+    for r in range(rows):
+        lo_r = (r * h_px) // rows
+        hi_r = max(lo_r + 1, ((r + 1) * h_px) // rows)
+        for c in range(cols):
+            lo_c = (c * w_px) // cols
+            hi_c = max(lo_c + 1, ((c + 1) * w_px) // cols)
             grid[r, c] = a[lo_r:hi_r, lo_c:hi_c].mean()
-    bits = (grid[:, 1:] > grid[:, :-1]).ravel()  # row-major, 64 bits
+    return grid
+
+
+def _pack_bits(bits) -> int:
+    """64 row-major bits → signed int64 (the Spark BIGINT view)."""
+    import numpy as np
+
     shifts = np.arange(64, dtype=np.uint64)
     packed = np.bitwise_or.reduce(
-        np.left_shift(np.uint64(1), shifts[bits]), initial=np.uint64(0)
+        np.left_shift(np.uint64(1), shifts[np.asarray(bits).ravel()]),
+        initial=np.uint64(0),
     )
     return int(packed.view(np.int64))
+
+
+def _dhash64(px) -> int:
+    """64-bit difference hash: 8×9 area-mean luma grid → horizontal
+    gradient bits (cell[r, c+1] > cell[r, c], strict), packed
+    row-major. A FLAT image hashes to exactly 0 (every strict
+    comparison false) — the closed form q41's oracle states."""
+    grid = _luma_grid(px, 8, 9)
+    return _pack_bits(grid[:, 1:] > grid[:, :-1])
+
+
+def _phash64(px) -> int:
+    """64-bit DCT perceptual hash (pHash): 32×32 area-mean luma grid →
+    orthonormal 2-D DCT-II (numpy matmul against the cosine basis — no
+    scipy dependency) → top-left 8×8 low-frequency block → bit =
+    coefficient > median of the 63 non-DC coefficients (the DC term is
+    overall brightness, excluded per the classic construction), packed
+    row-major with the DC bit forced 0. A FLAT image has every AC
+    coefficient exactly 0 → hash 0, same closed form as dHash."""
+    import numpy as np
+
+    n = 32
+    grid = _luma_grid(px, n, n)
+    k = np.arange(n)[:, None]
+    basis = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * np.arange(n) + 1) * k / (2 * n))
+    basis[0] = np.sqrt(1.0 / n)
+    # round to 1e-8: a mathematically-zero coefficient (flat regions)
+    # carries ~1e-13 cosine-cancellation residue whose SIGN is noise —
+    # unquantized it would randomize the bits of exactly-flat images
+    low = np.round((basis @ grid @ basis.T)[:8, :8], 8)
+    ac = np.delete(low.ravel(), 0)
+    med = np.median(ac)
+    bits = low.ravel() > med
+    bits[0] = False  # DC carries brightness, not structure
+    return _pack_bits(bits)
+
+
+#: perceptual-hash kernels: name → pure-Python hash of a decoded
+#: pixel array. dhash = gradient structure (cheap, resize/re-encode
+#: robust); phash = DCT low-frequency structure (more robust to
+#: smooth global edits — gamma/brightness shifts flip gradient bits
+#: near ties but barely move the coefficient/median ORDER).
+_IMAGE_HASHES = {"dhash": _dhash64, "phash": _phash64}
 
 
 def image_dhash(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "media_id",
+    method: str = "dhash",
 ) -> DataFrame:
     """(id_col, decode_ok, dhash): 64-bit perceptual difference-hash
     per image payload — LAION-style image dedup WITHOUT an embedding
@@ -768,7 +815,16 @@ def image_dhash(
     shuffle (the multimodal codec discipline); a payload that does not
     decode survives as ONE decode_ok=false / NULL-hash row — the
     corrupt-media contract. Pair with `image_neardup_pairs` (banded
-    hamming join) or any hamming-threshold consumer."""
+    hamming join) or any hamming-threshold consumer.
+
+    ``method="dhash"`` (default) is the gradient hash; ``"phash"``
+    swaps in the DCT low-frequency hash (`_phash64`) — same schema,
+    same column name, so consumers and the banding are method-blind."""
+    if method not in _IMAGE_HASHES:
+        raise ValueError(
+            f"method must be one of {sorted(_IMAGE_HASHES)}, got {method!r}"
+        )
+    hash_fn = _IMAGE_HASHES[method]
 
     def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.imagecodec import ImageDecodeError, decode_image
@@ -784,7 +840,7 @@ def image_dhash(
                     hs.append(None)
                     continue
                 oks.append(True)
-                hs.append(_dhash64(px))
+                hs.append(hash_fn(px))
             yield pd.DataFrame(
                 {
                     id_col: pd.array(ids, dtype="int64"),
@@ -804,18 +860,20 @@ def image_neardup_pairs(
     id_col: str = "media_id",
     max_hamming: int = 3,
     num_bands: int = 4,
+    method: str = "dhash",
 ) -> DataFrame:
-    """Image near-duplicates by dHash hamming distance ≤
+    """Image near-duplicates by perceptual-hash hamming distance ≤
     ``max_hamming``: re-encoded/resized copies of the same picture
-    land within a few gradient-bit flips while different pictures sit
-    ~32 bits apart (random-ish gradients). Candidate generation and
-    verification reuse the SimHash banding engine
-    (`banded_hamming_pairs`): band-bucket equi-join, never all-pairs —
-    at LAION scale the cost is the decode scan plus one bucket-keyed
-    shuffle of 8-byte hashes. Non-decodable payloads drop (they have
-    no hash); returns (id_a, id_b, hamming)."""
+    land within a few bit flips while different pictures sit ~32 bits
+    apart (random-ish structure). ``method``: "dhash" (default) or
+    "phash" (`image_dhash`). Candidate generation and verification
+    reuse the SimHash banding engine (`banded_hamming_pairs`):
+    band-bucket equi-join, never all-pairs — at LAION scale the cost
+    is the decode scan plus one bucket-keyed shuffle of 8-byte hashes.
+    Non-decodable payloads drop (they have no hash); returns
+    (id_a, id_b, hamming)."""
     sigs = (
-        image_dhash(df, payload_col, id_col)
+        image_dhash(df, payload_col, id_col, method=method)
         .filter(F.col("decode_ok"))
         .select(F.col(id_col).alias("id"), F.col("dhash").alias("sig"))
     )

@@ -97,3 +97,63 @@ def test_plan_contract(corpus):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
         "BroadcastHashJoin" in plan
     )
+
+
+def _photo(h=64, w=64, seed=3):
+    """Photo-like content: box-blurred random noise — broadband
+    low-frequency energy, the regime pHash's coefficient-median
+    construction assumes (synthetic block gradients concentrate energy
+    in a few coefficients and leave the rest median-adjacent/noisy)."""
+    rng = np.random.RandomState(seed)
+    g = rng.randint(0, 256, size=(h + 8, w + 8)).astype(np.float64)
+    k = 9
+    c = np.cumsum(np.cumsum(g, 0), 1)
+    blur = (c[k:, k:] - c[:-k, k:] - c[k:, :-k] + c[:-k, :-k]) / (k * k)
+    blur = blur[:h, :w]
+    blur = 255 * (blur - blur.min()) / (blur.max() - blur.min())
+    img = blur.astype(np.uint8)
+    return np.stack([img] * 3, axis=-1)
+
+
+def test_phash_flat_is_zero():
+    from pandasql_spark.operators.dedup import _phash64
+
+    assert _phash64(np.full((13, 16, 3), 97, dtype=np.uint8)) == 0
+    assert _phash64(np.full((1, 1), 5, dtype=np.uint8)) == 0
+
+
+def test_phash_copies_close_noise_far(spark):
+    base = _photo()
+    rows = [
+        (1, bytearray(encode_png(base))),
+        (2, bytearray(encode_jpeg(base, quality=90))),
+        (3, bytearray(encode_png(_resize_nearest(base, 32, 32)))),
+        (4, bytearray(encode_png(
+            np.clip(base.astype(np.int32) + 20, 0, 255).astype(np.uint8)
+        ))),  # global brightness shift — DC-only, pHash ignores it
+        (5, bytearray(encode_png(_photo(seed=11)))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r.media_id: np.uint64(r.dhash)
+        for r in image_dhash(df, method="phash").collect()
+    }
+
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    assert ham(got[1], got[2]) <= 3, "JPEG re-encode must stay near"
+    assert ham(got[1], got[3]) <= 3, "nearest resize must stay near"
+    assert ham(got[1], got[4]) <= 3, "brightness shift is DC-only"
+    assert ham(got[1], got[5]) > 10, "different photo must stay far"
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in image_neardup_pairs(df, method="phash").collect()
+    }
+    assert {(1, 2), (1, 3), (1, 4)} <= pairs
+    assert not any(5 in p for p in pairs)
+
+
+def test_method_validation(corpus):
+    with pytest.raises(ValueError, match="method must be"):
+        image_dhash(corpus, method="ahash")
