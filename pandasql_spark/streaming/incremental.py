@@ -453,6 +453,66 @@ def process_substring_batch(
         batch.unpersist()
 
 
+def compact_substring_store(
+    spark: SparkSession,
+    store_dir: str,
+    min_batch_id: int | None = None,
+) -> int:
+    """Rewrite the ``winfps`` store's per-batch partitions into ONE
+    distinct-fp partition; returns the retained fingerprint count.
+
+    The store grows one partition per micro-batch forever (the
+    process_substring_batch retention note); this folds all committed
+    partitions into a single partition keyed by the HIGHEST existing
+    batch_id, so later batches (strictly larger ids) keep reading it
+    through their ``batch_id < current`` history filter, and the
+    duplicate set is unchanged — membership is the only thing history
+    provides, and distinct-union preserves it exactly.
+
+    ``min_batch_id`` is the optional TTL POLICY: fingerprints first
+    seen before that batch are dropped, so duplicates of text last
+    seen before the horizon RESURFACE once (then re-enter the store).
+    That is a semantics change by explicit request, never a default.
+
+    Run this BETWEEN stream runs (the availableNow pattern), never
+    concurrently with one: the rewrite is not atomic on a plain
+    filesystem (staging write + directory swap below — a Delta/Iceberg
+    store would make this one transactional REPLACE). A retry of an
+    already-compacted batch_id would also see its own fps as history
+    and drop everything — compaction assumes the checkpoint has
+    committed past every compacted batch, which is exactly the
+    between-runs condition."""
+    import shutil
+
+    path = os.path.join(store_dir, "winfps")
+    if not os.path.isdir(path):
+        return 0
+    ids = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("batch_id=")
+    )
+    if not ids:
+        return 0
+    target = ids[-1]
+    store = spark.read.parquet(path)
+    if min_batch_id is not None:
+        store = store.filter(F.col("batch_id") >= F.lit(min_batch_id))
+    tmp = path + "_compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    store.select("fp").distinct().write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    for d in os.listdir(path):
+        if d.startswith("batch_id="):
+            shutil.rmtree(os.path.join(path, d))
+    os.rename(tmp, os.path.join(path, f"batch_id={target}"))
+    # drop the staging _SUCCESS marker; partition dirs hold data only
+    marker = os.path.join(path, f"batch_id={target}", "_SUCCESS")
+    if os.path.exists(marker):
+        os.remove(marker)
+    return n
+
+
 def incremental_substring_dedup(
     spark: SparkSession,
     docs_stream: DataFrame,

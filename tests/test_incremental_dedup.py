@@ -220,3 +220,64 @@ def test_substring_batch_replay_is_idempotent(spark, tmp_path):
     assert passage in got[0]          # canonical (earliest) keeps
     assert passage not in got[2]      # cross-batch duplicate spliced
     assert passage not in got[3]      # and the within-doc repeats too
+
+
+def test_substring_store_compaction(spark, tmp_path):
+    """compact_substring_store folds the per-batch partitions into one
+    (distinct-fp, highest-batch-id) partition; subsequent batches see
+    identical history, so the survivor set equals the uncompacted
+    run's. The TTL variant drops pre-horizon fingerprints and lets
+    their duplicates resurface — the documented policy change."""
+    from pandasql_spark.streaming.incremental import (
+        compact_substring_store,
+        process_substring_batch,
+    )
+
+    passage = " ".join(f"s{i}" for i in range(5))
+    batches = [
+        spark.createDataFrame(
+            [(0, f"alpha {passage} beta"), (1, "unrelated words here now")],
+            "doc_id long, text string",
+        ),
+        spark.createDataFrame(
+            [(2, f"gamma {passage} delta")], "doc_id long, text string"
+        ),
+        spark.createDataFrame(
+            [(3, f"{passage} coda")], "doc_id long, text string"
+        ),
+    ]
+
+    def run(compact_after=None, min_batch_id=None):
+        import uuid
+
+        work = tmp_path / uuid.uuid4().hex
+        store, surv = str(work / "store"), str(work / "surv")
+        for i, b in enumerate(batches):
+            if compact_after is not None and i == compact_after + 1:
+                n = compact_substring_store(
+                    spark, store, min_batch_id=min_batch_id
+                )
+                assert n >= 0
+            process_substring_batch(b, i, store, surv, k=5)
+        out = spark.read.parquet(surv).toPandas()
+        return {r.doc_id: r.text for r in out.itertuples()}, store
+
+    plain, _ = run()
+    compacted, store = run(compact_after=1)
+    assert compacted == plain
+    # exactly one partition remains after compaction ran (plus batch 2's)
+    import os
+
+    parts = sorted(
+        d for d in os.listdir(os.path.join(store, "winfps"))
+        if d.startswith("batch_id=")
+    )
+    assert parts == ["batch_id=1", "batch_id=2"]
+
+    # TTL horizon at batch 1 drops batch-0 fps: doc 3's passage copy
+    # resurfaces only if batch 1 hadn't re-recorded it (it did — its own
+    # occurrence re-entered the store), so splice still happens; push
+    # the horizon past batch 1 and the passage survives in doc 3
+    ttl, _ = run(compact_after=1, min_batch_id=2)
+    assert passage not in compacted[3]
+    assert passage in ttl[3], "pre-horizon duplicates must resurface"
