@@ -130,13 +130,37 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
+def _release_new_rdds(spark, before: set) -> None:
+    """Unpersist RDDs persisted since ``before`` was snapshotted.
+    clearCache() clears the Dataset cache but NOT checkpointed internal
+    RDDs — the curation/packing lineage barriers (q64/q71, r12) would
+    otherwise accumulate one resident corpus copy per timing run.
+    q40's build-once IVF index is exempted BY ITS CALLER (releasing a
+    localCheckpoint makes the frame unrecomputable and later probes
+    would fail, not just slow)."""
+    cur = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in cur.keySet().toArray():
+        if i not in before:
+            r = cur.get(i)
+            if r is not None:
+                r.unpersist(False)
+
+
+def _rdd_ids(spark) -> set:
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+
 def _min_of(fn, spark, n: int = 3) -> float:
-    runs = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        runs.append(time.perf_counter() - t0)
-    return round(min(runs), 3)
+    before = _rdd_ids(spark)
+    try:
+        runs = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        return round(min(runs), 3)
+    finally:
+        _release_new_rdds(spark, before)
 
 
 def _run_idle_probe(spark) -> dict:
@@ -229,6 +253,7 @@ def main() -> None:
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
+        before_rdds = _rdd_ids(spark)
         try:
             runs = []
             for _ in range(3):
@@ -246,6 +271,8 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
         finally:
             spark.catalog.clearCache()
+            if name != "q40_ann_ivf":  # q40's IVF cache must survive
+                _release_new_rdds(spark, before_rdds)
 
     # Honesty entry for the ANN number: q40_ann_ivf above times the
     # PROBE path of a cached index (the operator's build-once/probe-many
