@@ -237,19 +237,20 @@ def test_doc_profile_with_classifier_stays_zero_shuffle(spark):
 
 
 def test_multimodal_resize_fold_single_corpus_render(spark):
-    """q41 + the folded resize (r11): the rendered media is persisted
-    and BOTH branches (image_meta stats, resize→re-decode) read the
-    InMemoryRelation — exactly ONE parquet scan / ONE render
-    mapInPandas underneath the cache, and the fold joins back via
-    broadcast. At 100 TB the alternative is re-rendering the corpus
-    per branch (the q96 lesson)."""
+    """q41 + the folded resize (r11) + the folded dHash (r12): the
+    rendered media is persisted and ALL THREE branches (image_meta
+    stats, resize→re-decode, image_dhash) read the InMemoryRelation —
+    exactly ONE parquet scan / ONE render mapInPandas underneath the
+    cache, and each fold joins back via broadcast. At 100 TB the
+    alternative is re-rendering the corpus per branch (the q96
+    lesson)."""
     from collections import Counter
 
     df = _q(spark, "q41_multimodal")
     ops = Counter(operator_names(df))
-    assert ops["InMemoryTableScan"] == 2, dict(ops)  # one per branch
+    assert ops["InMemoryTableScan"] == 3, dict(ops)  # one per branch
     assert ops["Scan"] == 1, dict(ops)  # only inside the cached relation
-    assert ops["BroadcastHashJoin"] == 1, dict(ops)
+    assert ops["BroadcastHashJoin"] == 2, dict(ops)  # resize + dhash folds
     assert "CartesianProduct" not in ops, dict(ops)
 
 
