@@ -181,3 +181,66 @@ def bigram_logprob_scores(
             ).alias("logprob"),
         )
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    n_buckets: int = 3,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    labels: tuple = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style corpus partition by LM quality (Wenzek et al. 2020:
+    the head/middle/tail split that decides what gets kept, reviewed,
+    or dropped): score every document with the corpus's own unigram
+    model (mean token ln-probability — `unigram_logprob_scores`, the
+    cheap in-corpus stand-in for an external LM's perplexity; lower
+    perplexity == higher mean logprob), then split EACH stratum at its
+    own exact score quantiles into ``n_buckets`` tiers. Returns the
+    input columns + (logprob, ppl_tier, ppl_bucket): tier 0 is the
+    stratum's best-scoring slice ("head"), tier n−1 its worst
+    ("tail"). Per-stratum cut points are the point — raw logprobs are
+    not comparable across languages/sources (different vocabularies,
+    different base rates), which is exactly why CCNet buckets per
+    language.
+
+    Scale shape: one corpus count pass + a broadcast score join (the
+    q72 machinery), then per-stratum cut points via
+    `ranking.quantile_normalize` — a (strata × n_buckets−1) broadcast
+    cut table and a codegen array-filter assignment; no per-stratum
+    single-reducer window ever touches the data. A document whose
+    score ties a cut point lands in the lower tier (strictly-below
+    counting), deterministically.
+
+    Oracle status: pytest-only this round (pure-Python differential in
+    test_lm.py); fold into q72's host oracle in r13 when it next
+    gates — the SQL is the q72 scoring CTE + per-stratum quantile cut
+    points, both already oracle-proven shapes (q72/q91). [r12 IOU,
+    the pack_bpe_corpus/q64 precedent.]"""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if len(labels) != n_buckets:
+        raise ValueError(
+            f"labels must have n_buckets={n_buckets} entries, got {len(labels)}"
+        )
+    from .ranking import quantile_normalize
+
+    scored = unigram_logprob_scores(df, text_col=text_col, id_col=id_col)
+    j = df.join(scored.select(id_col, "logprob"), id_col, "left")
+    q = quantile_normalize(
+        j, "logprob", [stratum_col], k=n_buckets, out_col="__pct"
+    )
+    # __pct = (#cuts strictly below)/n ∈ {0, 1/n, …, (n−1)/n} exactly;
+    # round() recovers the integer before the cast (m/n·n can land a
+    # half-ulp under m)
+    below = F.round(F.col("__pct") * F.lit(n_buckets)).cast("int")
+    tier = F.lit(n_buckets - 1) - below
+    label = F.element_at(
+        F.array(*[F.lit(x) for x in labels]), tier + F.lit(1)
+    )
+    return (
+        q.withColumn("ppl_tier", tier)
+        .withColumn("ppl_bucket", label)
+        .drop("__pct")
+    )

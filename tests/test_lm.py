@@ -154,3 +154,66 @@ def test_bigram_scores_on_real_corpus(spark):
 
     avg = np.mean([r["logprob"] for r in scored])
     assert avg < -0.1  # real corpus has real conditional entropy
+
+
+def test_perplexity_buckets_differential(spark):
+    """head/middle/tail per stratum matches a pure-Python replication
+    of (corpus unigram scores -> per-stratum exact tertile cut points
+    -> strictly-below assignment); tiers are per-stratum (the same
+    score can land in different tiers in different strata)."""
+    import math
+    from collections import Counter
+
+    from pandasql_spark.operators.lm import perplexity_buckets
+
+    rows = []
+    # lang a: 9 docs of graded quality (common words repeat -> higher
+    # mean logprob); lang b: 6 docs, different base rates
+    for i in range(9):
+        rows.append((i, "a", " ".join(["common"] * (9 - i) + [f"rare{i}"] * (i + 1))))
+    for i in range(6):
+        rows.append((100 + i, "b", " ".join(["shared"] * (6 - i) + [f"odd{i}"] * (i + 1))))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    got = {
+        r.doc_id: (r.ppl_tier, r.ppl_bucket, r.logprob)
+        for r in perplexity_buckets(df).collect()
+    }
+
+    # pure-python replication
+    toks = {d: t.split(" ") for d, _, t in rows}
+    cnt = Counter(w for ts in toks.values() for w in ts)
+    n = sum(cnt.values())
+    lp = {
+        d: round(
+            sum(math.log(cnt[w] / n) for w in ts) / len(ts), 6
+        )
+        for d, ts in toks.items()
+    }
+    for lang in ("a", "b"):
+        ids = [d for d, lg, _ in rows if lg == lang]
+        vals = sorted(lp[d] for d in ids)
+        k = 3
+        cuts = [vals[math.ceil(q * len(vals) / k) - 1] for q in range(1, k)]
+        for d in ids:
+            below = sum(1 for c in cuts if c < lp[d])
+            want_tier = k - 1 - below
+            assert got[d][0] == want_tier, (d, lp[d], cuts, got[d])
+            assert got[d][1] == ("head", "middle", "tail")[want_tier]
+    # per-stratum independence: each stratum has at least one head and
+    # one tail of its own
+    for lang, ids in (("a", range(9)), ("b", range(100, 106))):
+        tiers = {got[d][0] for d in ids}
+        assert {0, 2} <= tiers, (lang, tiers)
+
+
+def test_perplexity_buckets_validation(spark):
+    from pandasql_spark.operators.lm import perplexity_buckets
+
+    df = spark.createDataFrame([(1, "a", "x")], "doc_id long, lang string, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        perplexity_buckets(df, n_buckets=1)
+    with _pytest.raises(ValueError, match="labels"):
+        perplexity_buckets(df, n_buckets=4)
