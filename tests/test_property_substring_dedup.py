@@ -46,3 +46,37 @@ def test_substring_dedup_matches_python_reference(spark, rows):
         for r in substring_dedup(df, k=3).toPandas().itertuples()
     }
     assert got == _py_substring_dedup(rows, k=3)
+
+
+@settings(
+    max_examples=soak_examples(25),
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    pos=st.lists(st.integers(min_value=0, max_value=40), max_size=25),
+    k=st.integers(min_value=1, max_value=8),
+)
+def test_merged_dup_intervals_matches_python(spark, pos, k):
+    """The interval fold (r12 splice rewrite) equals the pure-Python
+    sorted-merge of [p, p+k) windows for arbitrary position sets —
+    the helper the splice's O(n·intervals) bound rests on."""
+    from pyspark.sql import functions as F
+
+    from pandasql_spark.operators.dedup import merged_dup_intervals
+
+    spos = sorted(set(pos))  # the operator feeds sort_array(distinct)
+    want = []
+    for p in spos:
+        if want and p <= want[-1][1]:
+            want[-1] = (want[-1][0], p + k)
+        else:
+            want.append((p, p + k))
+    df = spark.createDataFrame([(spos,)], "dup array<int>")
+    got = [
+        (iv.s, iv.e)
+        for iv in df.select(
+            merged_dup_intervals("dup", k).alias("ivs")
+        ).collect()[0].ivs
+    ]
+    assert got == want
