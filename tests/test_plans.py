@@ -272,3 +272,42 @@ def test_line_dedup_with_substring_fold_plan(spark):
     assert ops["WindowGroupLimit"] >= 1, dict(ops)
     assert ops["Window"] == 1, dict(ops)  # substring path adds none
     assert ops["Scan"] <= 6, dict(ops)  # pinned: pruned 2-col scans
+
+
+def test_q64_pack_bpe_fold_plan(spark):
+    """q64 + the folded pack_bpe_corpus (r12): the union of both
+    packing pipelines stays bounded — no cartesian, no row-at-a-time
+    Python (the BPE encode is Arrow-batched inside the checkpointed
+    frame), at most 3 base scans (whitespace packing + encode + the
+    checkpoint re-reads are InMemory/RDD scans), and exactly one
+    Window per packing pipeline's per-partition running sum (never a
+    single-reducer global window)."""
+    from collections import Counter
+
+    from pandasql_spark.plans import explain_str
+
+    df = _q(spark, "q64_sequence_packing")
+    plan = explain_str(df)
+    ops = Counter(operator_names(df))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert ops["Union"] == 1, dict(ops)
+    assert ops["Scan"] <= 3, dict(ops)
+    assert ops["Window"] == 2, dict(ops)  # one running sum per pipeline
+
+
+def test_q94_unicode_fold_plan(spark):
+    """q94 + the folded normalize_unicode (r12): still ONE corpus
+    scan, exactly ONE Arrow kernel (the NFC normalizer — stripping
+    stays codegen), no row-at-a-time Python, no cartesian."""
+    from collections import Counter
+
+    from pandasql_spark.plans import explain_str
+
+    df = _q(spark, "q94_crawl_pipeline")
+    plan = explain_str(df)
+    ops = Counter(operator_names(df))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert ops["Scan"] == 1, dict(ops)
+    assert ops["ArrowEvalPython"] == 1, dict(ops)
