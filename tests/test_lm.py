@@ -217,3 +217,62 @@ def test_perplexity_buckets_validation(spark):
         perplexity_buckets(df, n_buckets=1)
     with _pytest.raises(ValueError, match="labels"):
         perplexity_buckets(df, n_buckets=4)
+
+
+def test_perplexity_buckets_duckdb_oracle(spark):
+    """Local DuckDB oracle for perplexity_buckets on the real sf0.001
+    documents table — the exact SQL destined for q72's r13 fold (q72
+    rests in r12; changed queries never rest, so the fold waits for
+    its gating round — the pack_bpe/q64 precedent). The SQL chains
+    q72's scoring CTE with the grouped-exact-percentile cut-point
+    pick (value at row_number == ceil(q·n) per lang, ordered by the
+    ROUNDED score) and strictly-below tier assignment."""
+    import duckdb
+
+    from pandasql_spark.operators.lm import perplexity_buckets
+
+    sfd = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sfd}/documents.parquet")
+    got = {
+        r.doc_id: (r.ppl_tier, r.ppl_bucket)
+        for r in perplexity_buckets(docs).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sfd}/documents.parquet')"
+    )
+    sql = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+n AS (SELECT count(*) AS n FROM toks),
+sc AS (
+  SELECT doc_id, round(avg(ln(cnt / CAST(n.n AS DOUBLE))), 6) AS lp
+  FROM toks JOIN counts USING (token), n
+  GROUP BY doc_id
+),
+j AS (SELECT d.doc_id, d.lang, sc.lp FROM documents d JOIN sc USING (doc_id)),
+r AS (
+  SELECT lang, lp,
+         row_number() OVER (PARTITION BY lang ORDER BY lp) AS rn,
+         count(*) OVER (PARTITION BY lang) AS cnt
+  FROM j
+),
+cuts AS (
+  SELECT lang, list(lp ORDER BY lp) AS cs FROM r
+  WHERE rn = CAST(ceil(CAST(1 AS DOUBLE) / 3 * cnt) AS BIGINT)
+     OR rn = CAST(ceil(CAST(2 AS DOUBLE) / 3 * cnt) AS BIGINT)
+  GROUP BY lang
+)
+SELECT j.doc_id,
+       2 - len(list_filter(cuts.cs, c -> c < j.lp)) AS tier
+FROM j JOIN cuts USING (lang)
+"""
+    want = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+    assert set(got) == set(want)
+    for d, t in want.items():
+        assert got[d][0] == t, (d, got[d], t)
+        assert got[d][1] == ("head", "middle", "tail")[t]
