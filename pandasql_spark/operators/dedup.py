@@ -880,6 +880,90 @@ def image_neardup_pairs(
     return banded_hamming_pairs(sigs, max_hamming, num_bands)
 
 
+def video_signature(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    every_ms: int = 1000,
+    method: str = "dhash",
+) -> DataFrame:
+    """(id_col, n_frames, vhash): a 64-bit perceptual signature per
+    VIDEO — sampled frames (`multimodal.sample_frames`, native
+    DIB/MJPEG AVI decode) are each perceptually hashed
+    (`image_dhash`), then the video's bit k is the MAJORITY vote of
+    its frames' bit k (strict majority; ties → 0). Majority voting is
+    the SimHash aggregation idea lifted to frames: it is insensitive
+    to a minority of differing frames (re-encodes, a changed intro,
+    codec noise) and to the exact sample grid, while two unrelated
+    videos agree per bit with probability ~1/2. Videos with no
+    decodable frame survive as n_frames = 0 / NULL vhash — the
+    corrupt-media contract.
+
+    Plan shape: the decode/hash pass is one Arrow-batched pipeline per
+    frame row; the vote is a single map-side-combined groupBy with 64
+    codegen bit-sums (no Python, no window). At scale the shuffle
+    carries 64 small ints per video — ~0.5 KB/video regardless of
+    video length."""
+    from .multimodal import sample_frames
+
+    frames = sample_frames(
+        df, payload_col=payload_col, id_col=id_col, every_ms=every_ms
+    ).filter(F.col("decode_ok") & F.col("frame_png").isNotNull())
+    fh = image_dhash(
+        frames.select(
+            F.col(id_col), F.col("frame_png").alias("__png")
+        ),
+        payload_col="__png",
+        id_col=id_col,
+        method=method,
+    ).filter(F.col("decode_ok"))
+    bit = lambda k: F.shiftrightunsigned(  # noqa: E731
+        F.col("dhash"), k
+    ).bitwiseAND(F.lit(1))
+    votes = fh.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        *[F.sum(bit(k)).alias(f"__b{k}") for k in range(64)],
+    )
+    vhash = None
+    for k in range(64):
+        term = F.when(
+            F.col(f"__b{k}") * 2 > F.col("n_frames"), F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long")) * F.lit(1 << k if k < 63 else -(1 << 63))
+        vhash = term if vhash is None else vhash + term
+    voted = votes.select(
+        id_col, "n_frames", vhash.alias("vhash")
+    )
+    base = df.select(F.col(id_col)).distinct()
+    return (
+        base.join(voted, id_col, "left")
+        .withColumn("n_frames", F.coalesce("n_frames", F.lit(0)).cast("long"))
+    )
+
+
+def video_neardup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    every_ms: int = 1000,
+    max_hamming: int = 3,
+    num_bands: int = 4,
+    method: str = "dhash",
+) -> DataFrame:
+    """Video near-duplicates by majority-vote perceptual signature
+    (`video_signature`) at hamming ≤ ``max_hamming`` — catches the
+    same footage re-encoded under a different codec (DIB ↔ MJPEG),
+    re-sampled, or with a minority of frames altered. Candidates and
+    verification ride the shared banding engine
+    (`banded_hamming_pairs`): bucket equi-join, never all-pairs.
+    Returns (id_a, id_b, hamming)."""
+    sigs = (
+        video_signature(df, payload_col, id_col, every_ms, method)
+        .filter(F.col("vhash").isNotNull())
+        .select(F.col(id_col).alias("id"), F.col("vhash").alias("sig"))
+    )
+    return banded_hamming_pairs(sigs, max_hamming, num_bands)
+
+
 # ------------------------------------------------------ embedding near-dup
 
 

@@ -157,3 +157,48 @@ def test_phash_copies_close_noise_far(spark):
 def test_method_validation(corpus):
     with pytest.raises(ValueError, match="method must be"):
         image_dhash(corpus, method="ahash")
+
+
+def _video_frames(seed, n=6):
+    return np.stack([_photo(seed=seed + 31 * i, h=32, w=32) for i in range(n)])
+
+
+def test_video_neardup_codec_change(spark):
+    """The same footage under DIB vs Motion-JPEG pairs up (majority
+    vote absorbs per-frame JPEG noise); different footage stays far;
+    a corrupt payload survives as n_frames=0 / NULL vhash and never
+    poisons the pair join."""
+    from pandasql_spark.functions.videocodec import encode_avi
+    from pandasql_spark.operators.dedup import (
+        video_neardup_pairs,
+        video_signature,
+    )
+
+    a = _video_frames(seed=5)
+    c = _video_frames(seed=99)
+    rows = [
+        (1, bytearray(encode_avi(a, fps=2, codec="dib"))),
+        (2, bytearray(encode_avi(a, fps=2, codec="mjpg", quality=90))),
+        (3, bytearray(encode_avi(c, fps=2, codec="dib"))),
+        (4, bytearray(b"not a video")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    sigs = {r.media_id: r for r in video_signature(df, every_ms=1000).collect()}
+    assert sigs[4].n_frames == 0 and sigs[4].vhash is None
+    assert sigs[1].n_frames >= 2  # several sampled frames voted
+
+    def ham(x, y):
+        return bin((x ^ y) & (2**64 - 1)).count("1")
+
+    assert ham(sigs[1].vhash, sigs[2].vhash) <= 5, "codec change stays near"
+    assert ham(sigs[1].vhash, sigs[3].vhash) > 10, "different footage far"
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in video_neardup_pairs(
+            df, every_ms=1000, max_hamming=5, num_bands=8
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p or 4 in p for p in pairs)
