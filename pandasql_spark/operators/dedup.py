@@ -880,6 +880,105 @@ def image_neardup_pairs(
     return banded_hamming_pairs(sigs, max_hamming, num_bands)
 
 
+def _audio_fp64(samples, rate: int) -> int:
+    """64-bit spectral fingerprint of a PCM clip — dHash over the
+    log-spectrogram: hann-windowed ~64 ms frames (50% hop) → 9
+    log-spaced ABSOLUTE frequency bands (100 Hz … 4 kHz — fixed, NOT
+    rate-relative, so the same clip fingerprints comparably across
+    sample rates; content above the lower nyquist is invisible after a
+    resample, so cross-rate matching assumes band-limited content —
+    true for speech) → log band energies → 8(time)×9(band) area-mean
+    grid (`_luma_grid` on the spectrogram \"image\") → horizontal
+    gradient bits across BANDS. Adjacent-band comparisons in the log
+    domain make the hash GAIN-INVARIANT up to PCM quantization
+    (log(g·E) shifts every cell equally), and the relative-time grid
+    absorbs moderate duration changes; silence (all cells equal)
+    hashes to 0 — the flat contract the image hashes share."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 2:
+        x = x.mean(axis=1)  # downmix
+    # rate-proportional window (~64 ms) keeps the TIME grid and the
+    # per-frame bandwidth comparable across sample rates
+    win = max(256, int(2 ** round(np.log2(rate * 0.064))))
+    hop = win // 2
+    if len(x) < win:
+        x = np.pad(x, (0, win - len(x)))
+    n_frames = 1 + (len(x) - win) // hop
+    idx = np.arange(win)[None, :] + hop * np.arange(n_frames)[:, None]
+    hann = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(win) / win)
+    spec = np.abs(np.fft.rfft(x[idx] * hann, axis=1)) ** 2
+    freqs = np.fft.rfftfreq(win, 1.0 / rate)
+    edges = np.logspace(np.log10(100.0), np.log10(4000.0), 10)
+    bands = np.empty((n_frames, 9), dtype=np.float64)
+    for b in range(9):
+        sel = (freqs >= edges[b]) & (freqs < edges[b + 1])
+        bands[:, b] = spec[:, sel].sum(axis=1) if sel.any() else 0.0
+    grid = _luma_grid(np.log(bands + 1e-12), 8, 9)
+    return _pack_bits(grid[:, 1:] > grid[:, :-1])
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id_col, decode_ok, afp): 64-bit spectral fingerprint per audio
+    payload (`_audio_fp64` over the native WAV/PCM decode) — the audio
+    member of the perceptual-dedup family (image_dhash /
+    video_signature). Re-encoded, volume-scaled, or resampled copies
+    of the same clip land within a few bits; different clips sit ~32
+    apart. One Arrow-batched ``mapInPandas`` pass; undecodable
+    payloads survive as decode_ok=false / NULL-fp rows."""
+
+    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.audiocodec import AudioDecodeError, decode_wav
+
+        for pdf in it:
+            ids, oks, hs = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(int(mid))
+                try:
+                    rate, arr = decode_wav(bytes(payload))
+                except AudioDecodeError:
+                    oks.append(False)
+                    hs.append(None)
+                    continue
+                oks.append(True)
+                hs.append(_audio_fp64(arr, rate))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype="int64"),
+                    "decode_ok": oks,
+                    "afp": pd.array(hs, dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _batch, f"{id_col} long, decode_ok boolean, afp long"
+    )
+
+
+def audio_neardup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Audio near-duplicates by spectral-fingerprint hamming distance
+    ≤ ``max_hamming``, through the shared banding engine
+    (`banded_hamming_pairs`): bucket equi-join, never all-pairs.
+    Returns (id_a, id_b, hamming)."""
+    sigs = (
+        audio_fingerprint(df, payload_col, id_col)
+        .filter(F.col("decode_ok"))
+        .select(F.col(id_col).alias("id"), F.col("afp").alias("sig"))
+    )
+    return banded_hamming_pairs(sigs, max_hamming, num_bands)
+
+
 def video_signature(
     df: DataFrame,
     payload_col: str = "payload",

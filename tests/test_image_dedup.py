@@ -202,3 +202,66 @@ def test_video_neardup_codec_change(spark):
     }
     assert (1, 2) in pairs
     assert not any(3 in p or 4 in p for p in pairs)
+
+
+def _noise_clip(seed, rate=8000, dur=2.0):
+    """Broadband low-passed noise with a slow envelope — every
+    frequency band holds energy, like real speech/music (pure tones
+    leave most bands at the noise floor, where gradient bits are
+    noise — the audio analog of the pHash block-gradient lesson)."""
+    rng = np.random.RandomState(seed)
+    n = int(rate * dur)
+    w = rng.randn(n + 8)
+    x = np.convolve(w, np.ones(9) / 9, mode="valid")[:n]
+    env = 0.4 + 0.6 * np.abs(np.sin(2 * np.pi * np.arange(n) / n * 3))
+    x = x * env
+    x = x / np.abs(x).max()
+    return (x * 0.5 * 32767).astype(np.int16)[:, None]
+
+
+def test_audio_fingerprint_invariances(spark):
+    """Volume-scaled, re-encoded, and resampled copies of a clip stay
+    within a few bits (gain cancels in the log-band gradients; band
+    edges are absolute Hz, so a decimated copy of band-limited content
+    fingerprints comparably); a different clip stays far; silence
+    hashes to 0; corrupt payloads survive."""
+    from pandasql_spark.functions.audiocodec import encode_wav
+    from pandasql_spark.operators.dedup import (
+        audio_fingerprint,
+        audio_neardup_pairs,
+    )
+
+    rate = 8000
+    a = _noise_clip(1)
+    rows = [
+        (1, bytearray(encode_wav(a, rate))),
+        (2, bytearray(encode_wav(
+            (a.astype(np.float64) * 0.25).astype(np.int16), rate
+        ))),                                        # volume -12 dB
+        (3, bytearray(encode_wav(a[::2], rate // 2))),   # resampled
+        (4, bytearray(encode_wav(_noise_clip(42), rate))),  # different
+        (5, bytearray(b"RIFFnope")),                # corrupt
+        (6, bytearray(encode_wav(
+            np.zeros((rate, 1), dtype=np.int16), rate
+        ))),                                        # silence
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in audio_fingerprint(df).collect()}
+    assert got[5].decode_ok is False and got[5].afp is None
+    assert got[6].afp == 0  # silence == flat contract
+
+    def ham(x, y):
+        return bin((x ^ y) & (2**64 - 1)).count("1")
+
+    assert ham(got[1].afp, got[2].afp) <= 3, "volume scale must stay near"
+    assert ham(got[1].afp, got[3].afp) <= 6, "resample must stay near"
+    assert ham(got[1].afp, got[4].afp) >= 10, "different clip stays far"
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in audio_neardup_pairs(
+            df, max_hamming=6, num_bands=8
+        ).collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3)} <= pairs
+    assert not any(4 in p or 5 in p for p in pairs)
