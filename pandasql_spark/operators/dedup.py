@@ -1063,6 +1063,90 @@ def video_neardup_pairs(
     return banded_hamming_pairs(sigs, max_hamming, num_bands)
 
 
+def dedup_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    num_bands: int = 4,
+    method: str = "dhash",
+    max_iter: int = 20,
+    keep: str = "min_id",
+    score_col: str | None = None,
+) -> DataFrame:
+    """One-call image deduplication — `dedup_corpus`'s media analog,
+    cheapest stage first:
+
+    1. **Exact**: collapse byte-identical payloads by md5 — one
+       shuffle of 16-byte keys (catches straight copies before any
+       pixel is decoded).
+    2. **Perceptual pairs**: dHash/pHash near-dups over the exact
+       survivors (`image_neardup_pairs` — the decode scan + a
+       band-bucket join, never all-pairs).
+    3. **Clusters**: pairs → connected components (min-label
+       propagation over the tiny edge list).
+    4. **Filter**: keep one representative per cluster — minimum id
+       (``keep="min_id"``) or the highest-``score_col`` member, ties
+       to min id (``keep="best"`` — e.g. resolution or a quality
+       score, the retention policy real image pipelines run).
+
+    Payloads that do not decode are untouchable by stages 2–4 and
+    SURVIVE (they can still be exact-collapsed byte-wise) — the
+    corrupt-media contract; route them to quarantine separately via
+    `image_dhash`'s decode_ok if desired."""
+    from .cluster import connected_components
+
+    if keep not in ("min_id", "best"):
+        raise ValueError(f"keep must be 'min_id' or 'best', got {keep!r}")
+    if (keep == "best") != (score_col is not None):
+        raise ValueError(
+            "keep='best' requires score_col (and score_col requires "
+            "keep='best') — a half-specified retention policy would "
+            "silently keep the wrong copies"
+        )
+    id_ = F.col(id_col)
+    fp = F.md5(F.col(payload_col)).alias("__fp")
+    if keep == "min_id":
+        exact_keep = df.groupBy(fp).agg(F.min(id_).alias(id_col)).select(id_col)
+    else:
+        exact_keep = (
+            df.groupBy(fp)
+            .agg(
+                F.min(
+                    F.struct((-F.col(score_col)).alias("s"), id_.alias("i"))
+                ).alias("k")
+            )
+            .select(F.col("k.i").alias(id_col))
+        )
+    survivors = df.join(exact_keep, id_col, "semi")
+    pairs = image_neardup_pairs(
+        survivors, payload_col, id_col, max_hamming, num_bands, method
+    )
+    comp = connected_components(
+        pairs.select(F.col("id_a"), F.col("id_b")), max_iter=max_iter
+    )
+    if keep == "min_id":
+        # the cluster label IS the min member id — drop everyone else
+        drop = comp.filter(F.col("node") != F.col("cluster_id")).select(
+            F.col("node").alias(id_col)
+        )
+    else:
+        scored = comp.join(
+            survivors.select(id_, F.col(score_col).alias("__s")),
+            comp["node"] == id_,
+        )
+        best = scored.groupBy("cluster_id").agg(
+            F.min(
+                F.struct((-F.col("__s")).alias("s"), F.col("node").alias("i"))
+            ).alias("k")
+        ).select(F.col("k.i").alias("__keep"))
+        drop = (
+            comp.join(best, comp["node"] == F.col("__keep"), "anti")
+            .select(F.col("node").alias(id_col))
+        )
+    return survivors.join(drop, id_col, "anti")
+
+
 # ------------------------------------------------------ embedding near-dup
 
 

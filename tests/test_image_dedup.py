@@ -265,3 +265,46 @@ def test_audio_fingerprint_invariances(spark):
     }
     assert {(1, 2), (1, 3), (2, 3)} <= pairs
     assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_dedup_images_one_call(spark):
+    """One-call media dedup: byte-identical copies collapse in the
+    exact stage, perceptual copies (JPEG re-encode + resize) collapse
+    via pairs->clusters, unrelated and corrupt payloads survive;
+    keep='best' retains the highest-scoring member instead of the
+    lowest id."""
+    from pandasql_spark.operators.dedup import dedup_images
+
+    base = _picture()
+    rng = np.random.RandomState(11)
+    noise = rng.randint(0, 256, size=(64, 64, 3)).astype(np.uint8)
+    png = bytes(encode_png(base))
+    rows = [
+        (1, bytearray(png)),
+        (2, bytearray(png)),                                # byte copy
+        (3, bytearray(encode_jpeg(base, quality=90))),      # re-encode
+        (4, bytearray(encode_png(_resize_nearest(base, 32, 32)))),
+        (5, bytearray(encode_png(noise))),                  # unrelated
+        (6, bytearray(b"broken")),                          # corrupt
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = sorted(
+        r.media_id
+        for r in dedup_images(df, max_hamming=5, num_bands=8).collect()
+    )
+    assert got == [1, 5, 6]
+
+    # keep='best': score favors id 4 (the resized copy) in the
+    # perceptual cluster {1,3,4}; byte-copies 1/2 collapse first by
+    # best-score too
+    scored = df.withColumn(
+        "q", F.when(F.col("media_id") == 4, 100.0).otherwise(
+            F.col("media_id").cast("double"))
+    )
+    best = sorted(
+        r.media_id
+        for r in dedup_images(
+            scored, max_hamming=5, num_bands=8, keep="best", score_col="q"
+        ).collect()
+    )
+    assert best == [4, 5, 6]
