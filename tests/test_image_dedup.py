@@ -308,3 +308,28 @@ def test_dedup_images_one_call(spark):
         ).collect()
     )
     assert best == [4, 5, 6]
+
+
+def test_media_pair_plan_contracts(spark):
+    """Audio and video near-dup pairs share the image plan contract:
+    banded equi-join (no cartesian / nested loop), Arrow-batched
+    kernels only (no row-at-a-time Python), and the video vote is a
+    plain aggregate — no Window."""
+    from pandasql_spark.operators.dedup import (
+        audio_neardup_pairs,
+        video_neardup_pairs,
+    )
+    from pandasql_spark.plans.explain import explain_str, operator_names
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x"))], "media_id long, payload binary"
+    )
+    for pairs in (
+        audio_neardup_pairs(df),
+        video_neardup_pairs(df),
+    ):
+        plan = explain_str(pairs)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert "BatchEvalPython" not in plan
+    assert "Window" not in operator_names(video_neardup_pairs(df))
