@@ -1461,15 +1461,20 @@ def line_dedup(
 #: fn over the window text, the matching empty-array cast type).
 #: "xxhash128" = two independently-seeded xxhash64 halves in one
 #: struct — a 16-byte JVM-side key (see the collision-budget note in
-#: `substring_dedup`); the second half perturbs the input with a
-#: literal column, which xxhash64 folds into the hash state exactly
-#: like a seed.
+#: `substring_dedup`). Fold-order matters (ADVICE r12): Spark's
+#: multi-arg xxhash64 folds children sequentially, each child hashed
+#: with the RUNNING state as its seed — so the perturbing literal
+#: must come FIRST. ``xxhash64(lit(1), c)`` hashes the content under
+#: seed XXH64(1, 42) ≠ 42, giving a genuinely independent second
+#: hash; the previous ``xxhash64(c, lit(1))`` hashed the literal
+#: under seed h1, making h2 a pure function of h1 (any 64-bit
+#: collision collided the whole struct).
 _WINDOW_FP = {
     "md5": (F.md5, "array<string>"),
     "xxhash": (F.xxhash64, "array<bigint>"),
     "xxhash128": (
         lambda c: F.struct(
-            F.xxhash64(c).alias("h1"), F.xxhash64(c, F.lit(1)).alias("h2")
+            F.xxhash64(c).alias("h1"), F.xxhash64(F.lit(1), c).alias("h2")
         ),
         "array<struct<h1:bigint,h2:bigint>>",
     ),
@@ -1577,7 +1582,11 @@ def substring_dedup(
     (two independently-seeded xxhash64 halves in one struct key, 16
     bytes — still JVM-side, still half md5's shuffle-key bytes) drops
     the expectation below 10⁻¹⁴, effectively exact at any feasible
-    corpus size. ``"md5"`` is also 128-bit but ships 32-hex-char
+    corpus size. The second half hashes a perturbing literal BEFORE
+    the content — ``xxhash64(lit(1), c)`` — so the content is hashed
+    under a different running seed; hashing the literal after would
+    make h2 a pure function of h1 and collapse the budget back to
+    64 bits (ADVICE r12, fixed r13). ``"md5"`` is also 128-bit but ships 32-hex-char
     string keys. All three paths produce identical output whenever no
     collision occurs (pinned by test_fingerprint_paths_agree).
 

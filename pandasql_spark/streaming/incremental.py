@@ -469,22 +469,66 @@ def compact_substring_store(
     duplicate set is unchanged — membership is the only thing history
     provides, and distinct-union preserves it exactly.
 
-    ``min_batch_id`` is the optional TTL POLICY: fingerprints first
-    seen before that batch are dropped, so duplicates of text last
-    seen before the horizon RESURFACE once (then re-enter the store).
-    That is a semantics change by explicit request, never a default.
+    ``min_batch_id`` is the optional TTL POLICY: fingerprints LAST
+    RECORDED before that batch are dropped (process_substring_batch
+    writes each batch's full distinct window-fp set, not just the new
+    ones, so any fp seen by a batch at or past the horizon survives —
+    ADVICE r12 wording fix), so only duplicates of text whose last
+    sighting predates the horizon RESURFACE once (then re-enter the
+    store). That is a semantics change by explicit request, never a
+    default.
+
+    LOCAL FILESYSTEM ONLY: the store is manipulated with os/shutil,
+    so a non-local ``store_dir`` (hdfs://, s3a://, …) raises instead
+    of silently no-opping (ADVICE r12). At cluster scale, run the
+    same fold as a transactional REPLACE on a Delta/Iceberg table.
 
     Run this BETWEEN stream runs (the availableNow pattern), never
     concurrently with one: the rewrite is not atomic on a plain
     filesystem (staging write + directory swap below — a Delta/Iceberg
-    store would make this one transactional REPLACE). A retry of an
-    already-compacted batch_id would also see its own fps as history
-    and drop everything — compaction assumes the checkpoint has
-    committed past every compacted batch, which is exactly the
-    between-runs condition."""
+    store would make this one transactional REPLACE), but it IS
+    crash-detectable and self-healing: a ``_COMPACTING`` marker
+    (holding the target batch_id) brackets the swap, and the staging
+    dir is fully written + counted before the marker ever appears —
+    so a crash mid-swap is finished on the next call, never silently
+    half-applied. A retry of an already-compacted batch_id would also
+    see its own fps as history and drop everything — compaction
+    assumes the checkpoint has committed past every compacted batch,
+    which is exactly the between-runs condition."""
     import shutil
 
+    if "://" in store_dir and not store_dir.startswith("file:"):
+        raise ValueError(
+            "compact_substring_store manipulates the store with local "
+            f"os/shutil calls; non-local store_dir {store_dir!r} is not "
+            "supported — use a transactional table format's REPLACE "
+            "for remote stores"
+        )
     path = os.path.join(store_dir, "winfps")
+    tmp = path + "_compact_tmp"
+    marker = os.path.join(store_dir, "_COMPACTING")
+
+    def _finish_swap(tgt: int) -> None:
+        # staging dir is complete (written before the marker); finish:
+        # drop remaining per-batch partitions, move staging into place.
+        for d in os.listdir(path):
+            if d.startswith("batch_id="):
+                shutil.rmtree(os.path.join(path, d))
+        os.rename(tmp, os.path.join(path, f"batch_id={tgt}"))
+        # drop the staging _SUCCESS marker; partition dirs hold data only
+        succ = os.path.join(path, f"batch_id={tgt}", "_SUCCESS")
+        if os.path.exists(succ):
+            os.remove(succ)
+        os.remove(marker)
+
+    if os.path.exists(marker):
+        # previous compaction crashed mid-swap — finish or clear it
+        with open(marker) as fh:
+            prev_target = int(fh.read().strip())
+        if os.path.isdir(tmp):
+            _finish_swap(prev_target)
+        else:
+            os.remove(marker)  # swap had completed; only cleanup died
     if not os.path.isdir(path):
         return 0
     ids = sorted(
@@ -498,18 +542,12 @@ def compact_substring_store(
     store = spark.read.parquet(path)
     if min_batch_id is not None:
         store = store.filter(F.col("batch_id") >= F.lit(min_batch_id))
-    tmp = path + "_compact_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     store.select("fp").distinct().write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
-    for d in os.listdir(path):
-        if d.startswith("batch_id="):
-            shutil.rmtree(os.path.join(path, d))
-    os.rename(tmp, os.path.join(path, f"batch_id={target}"))
-    # drop the staging _SUCCESS marker; partition dirs hold data only
-    marker = os.path.join(path, f"batch_id={target}", "_SUCCESS")
-    if os.path.exists(marker):
-        os.remove(marker)
+    with open(marker, "w") as fh:
+        fh.write(str(target))
+    _finish_swap(target)
     return n
 
 

@@ -281,3 +281,62 @@ def test_substring_store_compaction(spark, tmp_path):
     ttl, _ = run(compact_after=1, min_batch_id=2)
     assert passage not in compacted[3]
     assert passage in ttl[3], "pre-horizon duplicates must resurface"
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """The _COMPACTING marker makes the staging→store swap
+    crash-detectable and self-healing (ADVICE r12 / VERDICT r12 #9):
+    a crash mid-swap (staging complete, old partitions partially
+    deleted, rename never ran) is finished on the next call with zero
+    fingerprint loss; a marker orphaned AFTER the swap completed is
+    simply cleared. Non-local store paths raise instead of silently
+    no-opping."""
+    import os
+    import shutil
+
+    import pytest
+
+    from pandasql_spark.streaming.incremental import (
+        compact_substring_store,
+        process_substring_batch,
+    )
+
+    store, surv = str(tmp_path / "store"), str(tmp_path / "surv")
+    passage = " ".join(f"w{i}" for i in range(5))
+    for i, text in enumerate(
+        [f"alpha {passage} beta", f"gamma {passage} delta"]
+    ):
+        b = spark.createDataFrame([(i, text)], "doc_id long, text string")
+        process_substring_batch(b, i, store, surv, k=5)
+
+    path = os.path.join(store, "winfps")
+    before = spark.read.parquet(path).select("fp").distinct().count()
+
+    with pytest.raises(ValueError, match="non-local"):
+        compact_substring_store(spark, "s3a://bucket/store")
+
+    n = compact_substring_store(spark, store)
+    parts = [d for d in os.listdir(path) if d.startswith("batch_id=")]
+    assert n == before and parts == ["batch_id=1"]
+    marker = os.path.join(store, "_COMPACTING")
+    assert not os.path.exists(marker)
+
+    # simulate the crash window: staging dir fully written, marker
+    # placed, old partition already deleted, rename never happened
+    tmp = path + "_compact_tmp"
+    src = os.path.join(path, "batch_id=1")
+    shutil.copytree(src, tmp)
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    with open(marker, "w") as fh:
+        fh.write("1")
+    shutil.rmtree(src)
+    n2 = compact_substring_store(spark, store)
+    assert n2 == before, "recovery must lose no fingerprints"
+    assert not os.path.exists(tmp) and not os.path.exists(marker)
+    assert spark.read.parquet(path).select("fp").distinct().count() == before
+
+    # marker orphaned after a completed swap (no staging dir): cleared
+    with open(marker, "w") as fh:
+        fh.write("1")
+    assert compact_substring_store(spark, store) == before
+    assert not os.path.exists(marker)
