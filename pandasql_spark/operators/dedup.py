@@ -1007,11 +1007,32 @@ def video_signature(
 
     frames = sample_frames(
         df, payload_col=payload_col, id_col=id_col, every_ms=every_ms
-    ).filter(F.col("decode_ok") & F.col("frame_png").isNotNull())
+    )
+    voted = video_signature_from_frames(frames, id_col=id_col, method=method)
+    base = df.select(F.col(id_col)).distinct()
+    return (
+        base.join(voted, id_col, "left")
+        .withColumn("n_frames", F.coalesce("n_frames", F.lit(0)).cast("long"))
+    )
+
+
+def video_signature_from_frames(
+    frames: DataFrame,
+    id_col: str = "media_id",
+    method: str = "dhash",
+) -> DataFrame:
+    """The hash + majority-vote stage of :func:`video_signature`, over
+    an ALREADY-SAMPLED frames frame (`multimodal.sample_frames`
+    output: id_col, decode_ok, frame_png, …) — split out so a pipeline
+    that has the sampled frames persisted for other consumers (the q96
+    single-scan discipline) can add the signature without a second
+    decode pass over the videos. Returns (id_col, n_frames, vhash)
+    for videos with ≥1 hashable frame only — callers that need the
+    corrupt-media rows left-join against their own video universe
+    (as `video_signature` does)."""
     fh = image_dhash(
-        frames.select(
-            F.col(id_col), F.col("frame_png").alias("__png")
-        ),
+        frames.filter(F.col("decode_ok") & F.col("frame_png").isNotNull())
+        .select(F.col(id_col), F.col("frame_png").alias("__png")),
         payload_col="__png",
         id_col=id_col,
         method=method,
@@ -1029,14 +1050,7 @@ def video_signature(
             F.col(f"__b{k}") * 2 > F.col("n_frames"), F.lit(1).cast("long")
         ).otherwise(F.lit(0).cast("long")) * F.lit(1 << k if k < 63 else -(1 << 63))
         vhash = term if vhash is None else vhash + term
-    voted = votes.select(
-        id_col, "n_frames", vhash.alias("vhash")
-    )
-    base = df.select(F.col(id_col)).distinct()
-    return (
-        base.join(voted, id_col, "left")
-        .withColumn("n_frames", F.coalesce("n_frames", F.lit(0)).cast("long"))
-    )
+    return votes.select(id_col, "n_frames", vhash.alias("vhash"))
 
 
 def video_neardup_pairs(

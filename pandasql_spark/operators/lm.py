@@ -190,6 +190,7 @@ def perplexity_buckets(
     text_col: str = "text",
     id_col: str = "doc_id",
     labels: tuple = ("head", "middle", "tail"),
+    barrier: bool = True,
 ) -> DataFrame:
     """CCNet-style corpus partition by LM quality (Wenzek et al. 2020:
     the head/middle/tail split that decides what gets kept, reviewed,
@@ -213,23 +214,39 @@ def perplexity_buckets(
     score ties a cut point lands in the lower tier (strictly-below
     counting), deterministically.
 
-    Oracle status: pytest-only this round (pure-Python differential in
-    test_lm.py); fold into q72's host oracle in r13 when it next
-    gates — the SQL is the q72 scoring CTE + per-stratum quantile cut
-    points, both already oracle-proven shapes (q72/q91). [r12 IOU,
-    the pack_bpe_corpus/q64 precedent.]"""
+    ``barrier`` (default True) localCheckpoints the slim
+    (id, stratum, logprob) frame before the quantile stage — without
+    it Catalyst re-derives the whole scoring subtree (three corpus
+    scans + two shuffles) once for the cut points and once for the
+    assignment (the curation.py 4^k lesson, measured on q16's plan:
+    9 → 6 parquet scans). The checkpointed frame is 2 narrow columns
+    + the key; the returned frame carries ``result.cleanup()``
+    (operators/cache.py) to release the blocks once materialized.
+
+    Oracle status: driver-gated since r13 via the q16 doc-profile fold
+    (queries/_defs_a.py — logprob + ppl_tier + ppl_bucket columns;
+    the oracle chains q72's scoring CTE with q91's per-stratum cut
+    machinery and replays the strict-below tie rule). The r12 IOU,
+    collected. The pure-Python differential in test_lm.py remains the
+    adversarial-distribution coverage."""
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     if len(labels) != n_buckets:
         raise ValueError(
             f"labels must have n_buckets={n_buckets} entries, got {len(labels)}"
         )
+    from .cache import attach_cleanup, tracked_local_checkpoint
     from .ranking import quantile_normalize
 
     scored = unigram_logprob_scores(df, text_col=text_col, id_col=id_col)
-    j = df.join(scored.select(id_col, "logprob"), id_col, "left")
+    slim = df.select(id_col, stratum_col).join(
+        scored.select(id_col, "logprob"), id_col, "left"
+    )
+    release = None
+    if barrier:
+        slim, release = tracked_local_checkpoint(slim, eager=False)
     q = quantile_normalize(
-        j, "logprob", [stratum_col], k=n_buckets, out_col="__pct"
+        slim, "logprob", [stratum_col], k=n_buckets, out_col="__pct"
     )
     # __pct = (#cuts strictly below)/n ∈ {0, 1/n, …, (n−1)/n} exactly;
     # round() recovers the integer before the cast (m/n·n can land a
@@ -239,8 +256,10 @@ def perplexity_buckets(
     label = F.element_at(
         F.array(*[F.lit(x) for x in labels]), tier + F.lit(1)
     )
-    return (
+    tiers = (
         q.withColumn("ppl_tier", tier)
         .withColumn("ppl_bucket", label)
-        .drop("__pct")
+        .select(id_col, "logprob", "ppl_tier", "ppl_bucket")
     )
+    out = df.join(tiers, id_col, "left")
+    return attach_cleanup(out, release) if release is not None else out

@@ -374,12 +374,27 @@ def q16_doc_profile(spark: SparkSession, sf: str) -> SparkDataFrame:
     round 10 per the registry-ceiling policy): hashed-bag-of-words
     linear score + sigmoid probability, seeded weights so the oracle
     recomputes the fold bit-for-bit (rounded at output only). All
-    JVM-side expressions, no Python in the hot path."""
+    JVM-side expressions, no Python in the hot path.
+
+    r13 fold (the r12 IOU): the CCNet head/middle/tail perplexity
+    split (operators/lm.py:perplexity_buckets) — per-lang strata cut
+    at exact tercile points of the corpus's own unigram logprob
+    (q72's scoring machinery + q91's cut-point machinery, both
+    already oracle-proven shapes). The oracle chains them and
+    replays the strict-below tie rule: a doc whose rounded logprob
+    TIES a cut point lands in the lower tier."""
     from pandasql_spark.operators.classifier import score_column, sigmoid
+    from pandasql_spark.operators.lm import perplexity_buckets
 
     d = spark.read.parquet(f"{sf}/documents.parquet")
     clf = score_column("text", n_buckets=1 << 18, seed=0, bias=0.0)
-    return d.select(
+    # perplexity_buckets carries (doc_id, text, lang) through, so the
+    # profile projection rides ITS output — no second documents scan
+    # and no extra profile⋈tier join.
+    ppl = perplexity_buckets(
+        d.select("doc_id", "text", "lang"), n_buckets=3, stratum_col="lang"
+    )
+    return ppl.select(
         "doc_id",
         text.char_count("text").cast("long").alias("n_chars_calc"),
         text.token_count("text").cast("long").alias("n_tokens"),
@@ -392,6 +407,9 @@ def q16_doc_profile(spark: SparkSession, sf: str) -> SparkDataFrame:
         F.round(sigmoid(clf), 6).alias("clf_prob"),
         "lang",
         text.lang_id("text").alias("lang_pred"),
+        "logprob",
+        F.col("ppl_tier").cast("int").alias("ppl_tier"),
+        "ppl_bucket",
     )
 
 
@@ -418,6 +436,35 @@ _CLF = (
 )
 
 Q16_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+n AS (SELECT count(*) AS n FROM toks),
+scored AS (
+  SELECT doc_id,
+         round(avg(ln(cnt / CAST(n.n AS DOUBLE))), 6) AS logprob
+  FROM toks JOIN counts USING (token), n
+  GROUP BY doc_id
+),
+sl AS (
+  SELECT d.doc_id, d.lang, s.logprob,
+         row_number() OVER (PARTITION BY d.lang ORDER BY s.logprob) AS rn,
+         count(*) OVER (PARTITION BY d.lang) AS nn
+  FROM documents d JOIN scored s USING (doc_id)
+),
+cuts AS (
+  SELECT lang, logprob AS v
+  FROM sl JOIN (SELECT unnest(range(1, 3)) AS i) qs
+    ON rn = CAST(ceil(i / 3.0 * nn) AS BIGINT)
+),
+cuta AS (SELECT lang, list(v ORDER BY v) AS cut_arr FROM cuts GROUP BY lang),
+tiers AS (
+  SELECT sl.doc_id, sl.logprob,
+         CAST(2 - len(list_filter(a.cut_arr, c -> c < sl.logprob))
+              AS INTEGER) AS ppl_tier
+  FROM sl JOIN cuta a USING (lang)
+)
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars_calc,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -439,8 +486,12 @@ SELECT doc_id,
     WHEN {_S_FR} >= 1 AND {_S_FR} >= {_S_DE} THEN 'fr'
     WHEN {_S_DE} >= 1 THEN 'de'
     ELSE 'unk'
-  END AS lang_pred
-FROM documents
+  END AS lang_pred,
+       t.logprob,
+       t.ppl_tier,
+       CASE t.ppl_tier WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM documents JOIN tiers t USING (doc_id)
 """
 
 

@@ -207,7 +207,23 @@ def q80_audio(spark: SparkSession, sf: str) -> SparkDataFrame:
     Exact-float cross-engine recipe: every RMS is sqrt of a ratio of
     exact-in-float64 integers, so numpy's mean-then-sqrt and DuckDB's
     closed-form division are the SAME correctly-rounded float64;
-    rates are 1000·2^k so durations are exact 6-decimal values."""
+    rates are 1000·2^k so durations are exact 6-decimal values.
+
+    r13 fold (VERDICT r12 task 3): the host also carries the AUDIO
+    perceptual fingerprint (operators/dedup.py:audio_fingerprint —
+    the full WAV decode → hann/FFT → 9 log-band → 8×9 grid →
+    gradient-bit pipeline, a third independent decode stage). The
+    closed form: an int16 ramp is a monotone low-pass signal — its
+    power concentrates in the lowest bands and decays across the 9
+    log-spaced bands, so every strict adjacent-band comparison is
+    false and afp = 0 (the flat contract silence shares; verified
+    exhaustively over all 600 (ns, rate, ch) combos this corpus can
+    render). Corrupt payloads → NULL afp. Discriminative behavior
+    (resampled/volume-scaled copies pair, distinct clips stay ~32
+    bits apart) is pinned by test_image_dedup.py's planted audio
+    tests — structured clips can't ride this host because its ramp
+    render is deliberately spectral-monotone."""
+    from pandasql_spark.operators.dedup import audio_fingerprint
     from pandasql_spark.operators.multimodal import audio_frame_rms, audio_meta
 
     d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
@@ -243,18 +259,24 @@ def q80_audio(spark: SparkSession, sf: str) -> SparkDataFrame:
         F.count(F.lit(1)).cast("int").alias("n_frames"),
         F.max("frame_rms").alias("max_frame_rms"),
     )
-    return meta.join(fagg, "media_id", "left").select(
-        "media_id",
-        "size_bytes",
-        "sample_rate",
-        "n_channels",
-        "n_samples",
-        "duration_s",
-        "rms",
-        "peak",
-        "decode_ok",
-        "n_frames",
-        "max_frame_rms",
+    afp = audio_fingerprint(media).select("media_id", "afp")
+    return (
+        meta.join(fagg, "media_id", "left")
+        .join(afp, "media_id", "left")
+        .select(
+            "media_id",
+            "size_bytes",
+            "sample_rate",
+            "n_channels",
+            "n_samples",
+            "duration_s",
+            "rms",
+            "peak",
+            "decode_ok",
+            "n_frames",
+            "max_frame_rms",
+            "afp",
+        )
     )
 
 
@@ -289,7 +311,8 @@ SELECT doc_id AS media_id,
   CASE WHEN bad THEN NULL
        ELSE round(sqrt(
          CAST((ns-1)*ns*(2*ns-1)//6 - (f0-1)*f0*(2*f0-1)//6 AS DOUBLE)
-         / (ns - f0)), 6) END AS max_frame_rms
+         / (ns - f0)), 6) END AS max_frame_rms,
+  CAST(CASE WHEN bad THEN NULL ELSE 0 END AS BIGINT) AS afp
 FROM calc
 """
 
@@ -1364,7 +1387,28 @@ def q96_video_frames(spark: SparkSession, sf: str) -> SparkDataFrame:
     emitting err_ok which the oracle demands TRUE along with exact
     dims and the exact sampled index set. Docs with len(text) % 11
     == 0 carry garbage bytes — the corrupt-media contract (one
-    decode_ok=false row, NULL stats, job survives)."""
+    decode_ok=false row, NULL stats, job survives).
+
+    r13 fold (VERDICT r12 task 4): the host also carries the VIDEO
+    perceptual signature (operators/dedup.py:
+    video_signature_from_frames over the SAME persisted frames — no
+    second decode pass, the single-scan discipline holds): n_frames
+    is stated in closed form for every video ((nf+1)//2 sampled, 0
+    for corrupt), and vhash in closed form where it is derivable:
+    DIB videos have luma affine in x (slope exactly 1), so each
+    dHash cell mean is (lo+hi−1)/2 over integer cell bounds
+    lo=(c·w)//9, hi=max(lo+1, ((c+1)·w)//9) — the 8-bit row pattern
+    p(w) repeats at every byte (all rows share the profile; the +5i
+    frame shift cancels in the strict comparisons, so every frame
+    votes identically), giving vhash = p(w)·0x0101010101010101 with
+    signed wrap, which the oracle computes from w in HUGEINT; flat
+    single-tile MJPEG videos (bw=bh=1) majority-vote to exactly 0
+    (the flat contract); corrupt → NULL. Multi-tile MJPEG vhash is
+    masked NULL on BOTH sides: its comparisons sit within the DC
+    quant error of tile-value ties, so it is deliberately outside
+    the oracle (discriminative behavior is pinned by
+    test_image_dedup.py's planted re-encode pairs)."""
+    from pandasql_spark.operators.dedup import video_signature_from_frames
     from pandasql_spark.operators.multimodal import image_meta, sample_frames
 
     d = _codec_corpus(spark, sf, "doc_id", "text")
@@ -1517,7 +1561,28 @@ def q96_video_frames(spark: SparkSession, sf: str) -> SparkDataFrame:
         F.lit(None).cast("double").alias("mean_px"),
         F.lit(None).cast("boolean").alias("err_ok"),
     )
-    return good_dib.unionByName(good_mjpg).unionByName(bad)
+    # r13 fold: per-video signature from the SAME persisted frames
+    # (no second decode pass); multi-tile MJPEG vhash masked NULL —
+    # outside the oracle's closed forms (see docstring).
+    vids = fr.select("media_id", "n").distinct()
+    sig = (
+        video_signature_from_frames(fr)
+        .join(vids, "media_id")
+        .select(
+            "media_id",
+            F.col("n_frames").cast("long").alias("n_frames"),
+            F.when(
+                (F.col("n") % 2 == 1)
+                | ((F.col("n") % 3 == 0) & ((F.col("n") / 2).cast("long") % 2 == 0)),
+                F.col("vhash"),
+            ).alias("vhash"),
+        )
+    )
+    out = good_dib.unionByName(good_mjpg).unionByName(bad)
+    return (
+        out.join(sig, "media_id", "left")
+        .withColumn("n_frames", F.coalesce("n_frames", F.lit(0)).cast("long"))
+    )
 
 
 Q96_SQL = """
@@ -1528,8 +1593,25 @@ p AS (
   SELECT doc_id, 4 + n % 5 AS w, 3 + n % 7 AS h, 2 + n % 5 AS nf
   FROM t WHERE n % 11 <> 0 AND n % 2 = 1
 ),
+-- DIB vhash closed form: luma is affine in x (slope 1), so dHash cell
+-- means order exactly as lo+hi over the integer cell bounds
+-- lo=(c*w)//9, hi=max(lo+1, ((c+1)*w)//9); the 8-bit row pattern
+-- repeats at every byte of the 64-bit hash (signed wrap via HUGEINT).
+pv AS (
+  SELECT *,
+         list_sum(list_transform(range(8), c ->
+           CASE WHEN ((c+1)*w)//9 + greatest(((c+1)*w)//9 + 1, ((c+2)*w)//9)
+                   > (c*w)//9 + greatest((c*w)//9 + 1, ((c+1)*w)//9)
+                THEN 1 << c ELSE 0 END))
+         * CAST(72340172838076673 AS HUGEINT) AS vraw
+  FROM p
+),
 fr AS (
-  SELECT doc_id, w, h, unnest(range((nf + 1) // 2)) AS k FROM p
+  SELECT doc_id, w, h, nf,
+         CAST(CASE WHEN vraw > 9223372036854775807
+              THEN vraw - 18446744073709551616 ELSE vraw END AS BIGINT) AS vh,
+         unnest(range((nf + 1) // 2)) AS k
+  FROM pv
 ),
 mp AS (
   SELECT doc_id, 8 * (1 + n % 3) AS w, 8 * (1 + (n // 2) % 2) AS h,
@@ -1537,7 +1619,10 @@ mp AS (
   FROM t WHERE n % 11 <> 0 AND n % 2 = 0
 ),
 mfr AS (
-  SELECT doc_id, w, h, unnest(range((nf + 1) // 2)) AS k FROM mp
+  SELECT doc_id, w, h, nf,
+         CASE WHEN w = 8 AND h = 8 THEN CAST(0 AS BIGINT) END AS vh,
+         unnest(range((nf + 1) // 2)) AS k
+  FROM mp
 )
 SELECT doc_id AS media_id, TRUE AS decode_ok,
        CAST(2 * k AS INT) AS frame_idx,
@@ -1545,14 +1630,18 @@ SELECT doc_id AS media_id, TRUE AS decode_ok,
        CAST(w AS INT) AS width, CAST(h AS INT) AS height,
        round((3 * (w - 1) + 9 * (h - 1) + 102 + 30 * (2 * k))
              / CAST(6 AS DOUBLE), 6) AS mean_px,
-       CAST(NULL AS BOOLEAN) AS err_ok
+       CAST(NULL AS BOOLEAN) AS err_ok,
+       CAST((nf + 1) // 2 AS BIGINT) AS n_frames,
+       vh AS vhash
 FROM fr
 UNION ALL
 SELECT doc_id, TRUE, CAST(2 * k AS INT), CAST(2 * k * 250 AS BIGINT),
-       CAST(w AS INT), CAST(h AS INT), CAST(NULL AS DOUBLE), TRUE
+       CAST(w AS INT), CAST(h AS INT), CAST(NULL AS DOUBLE), TRUE,
+       CAST((nf + 1) // 2 AS BIGINT), vh
 FROM mfr
 UNION ALL
-SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL, NULL
+SELECT doc_id, FALSE, NULL, NULL, NULL, NULL, NULL, NULL,
+       CAST(0 AS BIGINT), NULL
 FROM t WHERE n % 11 = 0
 """
 

@@ -225,15 +225,27 @@ def test_bpe_pair_stats_vocab_sized_tail(spark):
     assert ops.index("Window") > ops.index("TakeOrderedAndProject"), ops
 
 
-def test_doc_profile_with_classifier_stays_zero_shuffle(spark):
-    """q16 + the folded classifier: still ONE scan of documents reading
-    only (doc_id, text, lang), zero exchanges — the learned scorer is a
-    pure codegen projection, exactly the 100 TB contract
-    (operators/classifier.py score_column)."""
+def test_doc_profile_perplexity_fold_plan(spark):
+    """q16 + the folded classifier + the r13 perplexity fold: the
+    profile/classifier projection stays pure codegen riding the
+    perplexity output (no second documents scan, no profile⋈tier
+    join — exactly ONE parquet scan in the visible plan, reading only
+    doc_id/text/lang), and perplexity_buckets' barrier hides the
+    scoring subtree behind a localCheckpoint RDD so the cut-point and
+    assignment branches share it instead of re-deriving three corpus
+    scans each (the curation 4^k lesson). The visible plan: ≤1 data
+    shuffle (the score join), broadcast cut table, no cartesian."""
+    from collections import Counter
+
     df = _q(spark, "q16_doc_profile")
-    assert shuffle_count(df) == 0, operator_names(df)
     schemas = read_schemas(df)
     assert len(schemas) == 1 and schemas[0].count(":") == 3, schemas
+    ops = Counter(operator_names(df))
+    assert ops.get("CartesianProduct", 0) == 0, dict(ops)
+    # exactly one parquet ReadSchema above, so any further Scan is the
+    # checkpointed slim RDD feeding both quantile branches
+    assert ops.get("Scan", 0) >= 2, dict(ops)
+    assert shuffle_count(df) <= 2, operator_names(df)
 
 
 def test_multimodal_resize_fold_single_corpus_render(spark):
