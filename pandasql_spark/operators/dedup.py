@@ -1113,7 +1113,17 @@ def dedup_images(
     Payloads that do not decode are untouchable by stages 2–4 and
     SURVIVE (they can still be exact-collapsed byte-wise) — the
     corrupt-media contract; route them to quarantine separately via
-    `image_dhash`'s decode_ok if desired."""
+    `image_dhash`'s decode_ok if desired.
+
+    Non-convergence contract (VERDICT r12): ``max_iter`` bounds the
+    min-label-propagation rounds, which need the label-graph
+    DIAMETER — tiny (2–4) for real near-dup clumps, which are dense,
+    but unbounded for an adversarial CHAIN of pairwise-near images. A
+    diameter past ``max_iter`` RAISES (`connected_components`'s
+    pinned contract, tests/test_dedup.py) rather than silently
+    emitting split clusters that would leak duplicate copies through
+    the keep filter; raise ``max_iter`` for chain-shaped corpora —
+    each extra round is one join+groupBy, so the cost is linear."""
     from .cluster import connected_components
 
     if keep not in ("min_id", "best"):

@@ -582,8 +582,6 @@ def q41_multimodal(spark: SparkSession, sf: str) -> SparkDataFrame:
     unrelated images stay apart, banded hamming join) is pinned by
     test_image_dedup.py — planted near-dups can't ride this host
     because its render is deliberately flat."""
-    from pyspark import StorageLevel
-
     from pandasql_spark.operators.dedup import image_dhash
     from pandasql_spark.operators.multimodal import image_meta, resize_images
 
@@ -615,16 +613,10 @@ def q41_multimodal(spark: SparkSession, sf: str) -> SparkDataFrame:
                 {"media_id": pdf["doc_id"].astype("int64"), "payload": payloads}
             )
 
+    from ._shared import swap_session_cache
+
     media = d.mapInPandas(render, "media_id long, payload binary")
-    with _Q41_MEDIA_LOCK:
-        prev = _Q41_MEDIA_CACHE.pop(spark, None)
-        if prev is not None:
-            try:
-                prev.unpersist()
-            except Exception:
-                pass  # session of the old cache may already be stopped
-        media = media.persist(StorageLevel.MEMORY_AND_DISK)
-        _Q41_MEDIA_CACHE[spark] = media
+    media = swap_session_cache(_Q41_MEDIA_CACHE, _Q41_MEDIA_LOCK, spark, media)
     stats = image_meta(media, decode_pixels=True)
     resized = resize_images(media, height=8, width=8, method="nearest")
     rs_meta = image_meta(

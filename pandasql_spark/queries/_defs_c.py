@@ -1467,19 +1467,14 @@ def q96_video_frames(spark: SparkSession, sf: str) -> SparkDataFrame:
     # lazy union), so it can't be unpersisted here; instead each call
     # unpersists the PREVIOUS call's cache, bounding a session to one
     # resident q96 cache instead of an unbounded leak (ADVICE r9).
-    from pyspark import StorageLevel
+    from ._shared import swap_session_cache
 
-    with _Q96_FRAMES_LOCK:
-        prev = _Q96_FRAMES_CACHE.pop(spark, None)
-        if prev is not None:
-            try:
-                prev.unpersist()
-            except Exception:
-                pass  # session of the old cache may already be stopped
-        fr = sample_frames(media, every_ms=500, keep_cols=["n"]).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        _Q96_FRAMES_CACHE[spark] = fr
+    fr = swap_session_cache(
+        _Q96_FRAMES_CACHE,
+        _Q96_FRAMES_LOCK,
+        spark,
+        sample_frames(media, every_ms=500, keep_cols=["n"]),
+    )
     okdib = fr.filter(F.col("decode_ok") & (F.col("n") % 2 == 1)).withColumn(
         # composite per-frame id: frame_idx < 16 always (nf <= 6)
         "fid", F.col("media_id") * 16 + F.col("frame_idx")

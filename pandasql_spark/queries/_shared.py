@@ -101,3 +101,49 @@ def _codec_corpus(spark: SparkSession, sf: str, *cols: str) -> SparkDataFrame:
         .select(*cols)
         .repartition(spark.sparkContext.defaultParallelism)
     )
+
+
+def swap_session_cache(cache, lock, spark, new_df) -> SparkDataFrame:
+    """Persist ``new_df`` as ``spark``'s one resident cache in
+    ``cache`` (a WeakKeyDictionary keyed by session), unpersisting the
+    previous holder — the q41/q96 media-cache pattern, centralized.
+
+    Sessions-sharing-a-JVM hazard (VERDICT r12): the weak key means a
+    session that is GARBAGE-COLLECTED without ``stop()`` (a dropped
+    ``newSession()``) silently erases the dict entry — losing the only
+    handle to the persisted blocks, which live in the SHARED
+    SparkContext storage pool until context shutdown (disk blocks of
+    MEMORY_AND_DISK are not LRU-reclaimed). So each swap also registers
+    a ``weakref.finalize`` on the session that unpersists through the
+    JAVA DataFrame handle — a py4j object that does not root the
+    Python session, so collection still happens. Two LIVE sessions on
+    one JVM each hold one cache by design; the finalizer closes the
+    dead-session leak. Caveat (pinned in test_cache_hooks.py):
+    pyspark's global ``RDD.toDF`` monkey-patch closure roots the most
+    recently CREATED session, so a dropped session's finalizer fires
+    once any newer session displaces that patch (or at shutdown) —
+    eventual, not instant, release."""
+    import weakref
+
+    from pyspark import StorageLevel
+
+    with lock:
+        fin_prev = cache.pop(spark, None)
+        if fin_prev is not None:
+            fin_prev()  # unpersist prev through its java handle; idempotent
+        new_df = new_df.persist(StorageLevel.MEMORY_AND_DISK)
+        jdf = new_df._jdf
+
+        def _release(j=jdf):
+            try:
+                j.unpersist(False)
+            except Exception:
+                pass  # JVM already gone at interpreter shutdown
+
+        fin = weakref.finalize(spark, _release)
+        fin.atexit = False  # blocks die with the JVM anyway
+        # value holds ONLY the finalizer (callback → java handle): a
+        # DataFrame value would root the session through df.sparkSession
+        # and make the weak key immortal — the leak this helper closes.
+        cache[spark] = fin
+    return new_df

@@ -142,3 +142,51 @@ def test_pack_bpe_corpus_cleanup(spark):
     assert mine
     out.cleanup(blocking=True)
     assert not (_ids(spark) & mine)
+
+
+def test_session_cache_swap_and_dead_session_finalizer(spark):
+    """swap_session_cache (queries/_shared.py): each swap unpersists
+    the previous holder's frame, and a session GARBAGE-COLLECTED
+    without stop() still releases its blocks through the registered
+    weakref.finalize on the JAVA handle (VERDICT r12: the weak dict
+    entry alone would vanish and orphan the blocks in the shared
+    JVM's storage pool)."""
+    import gc
+    import threading
+    import weakref
+
+    from pandasql_spark.queries._shared import swap_session_cache
+
+    cache = weakref.WeakKeyDictionary()
+    lock = threading.Lock()
+
+    def storage_count(s):
+        return len(s.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    base = storage_count(spark)
+    a = swap_session_cache(cache, lock, spark, spark.range(100))
+    a.count()
+    assert storage_count(spark) == base + 1
+    # swap: previous frame unpersisted, new one resident
+    b = swap_session_cache(cache, lock, spark, spark.range(200))
+    b.count()
+    assert storage_count(spark) == base + 1
+    assert cache[spark].alive
+
+    # dead-session path: a sibling session sharing the JVM, dropped
+    # without stop() — the finalizer must release its blocks
+    s2 = spark.newSession()
+    c = swap_session_cache(cache, lock, s2, s2.range(300))
+    c.count()
+    assert storage_count(spark) == base + 2
+    fin = cache[s2]
+    del s2, c
+    # pyspark's global RDD.toDF monkey-patch closure roots the MOST
+    # RECENT session; a new session displaces it, letting s2 collect
+    spark.newSession()
+    gc.collect()
+    assert not fin.alive, "finalizer must fire when the session is GC'd"
+    assert storage_count(spark) == base + 1
+    # cleanup the surviving entry for test hygiene
+    cache[spark]()
+    assert storage_count(spark) == base
