@@ -925,6 +925,79 @@ def _audio_fp64(samples, rate: int) -> int:
     return _pack_bits(grid[:, 1:] > grid[:, :-1])
 
 
+def _audio_fp64_batch(clips) -> list:
+    """Batched `_audio_fp64` over ``[(samples, rate), ...]`` —
+    BIT-IDENTICAL outputs (pinned by test_image_dedup.py's
+    differential), ~5× fewer numpy dispatches per clip: windowed
+    frames from every clip sharing a (win, rate) are stacked into ONE
+    rfft call (pocketfft reduces each row independently, so per-row
+    results equal the scalar path's), band energies come from the
+    same per-band `.sum(axis=1)` on the stacked spec, and the hann
+    window / band edges / log-spaced boundaries are computed once per
+    (win, rate) instead of per clip. The per-clip tail (log + 8×9
+    grid + bit pack) is unchanged scalar code on the clip's own rows,
+    so reduction operand ORDER never changes anywhere."""
+    import numpy as np
+
+    # per-clip windowing metadata, frames grouped by (win, rate)
+    groups: dict = {}  # (win, rate) -> [frames arrays]
+    offsets: dict = {}  # (win, rate) -> running frame count
+    meta = []  # (key, offset_in_group, n_frames)
+    hann_cache: dict = {}
+    for samples, rate in clips:
+        x = np.asarray(samples, dtype=np.float64)
+        if x.ndim == 2:
+            x = x.mean(axis=1)
+        win = max(256, int(2 ** round(np.log2(rate * 0.064))))
+        hop = win // 2
+        if len(x) < win:
+            x = np.pad(x, (0, win - len(x)))
+        n_frames = 1 + (len(x) - win) // hop
+        idx = np.arange(win)[None, :] + hop * np.arange(n_frames)[:, None]
+        hann = hann_cache.get(win)
+        if hann is None:
+            hann = hann_cache[win] = 0.5 - 0.5 * np.cos(
+                2 * np.pi * np.arange(win) / win
+            )
+        key = (win, rate)
+        off = offsets.get(key, 0)
+        offsets[key] = off + n_frames
+        groups.setdefault(key, []).append(x[idx] * hann)
+        meta.append((key, off, n_frames))
+
+    # one FFT + one band-sum pass per (win, rate) group
+    band_rows: dict = {}
+    for (win, rate), frames in groups.items():
+        spec = np.abs(np.fft.rfft(np.vstack(frames), axis=1)) ** 2
+        freqs = np.fft.rfftfreq(win, 1.0 / rate)
+        edges = np.logspace(np.log10(100.0), np.log10(4000.0), 10)
+        bands = np.empty((spec.shape[0], 9), dtype=np.float64)
+        for b in range(9):
+            sel = (freqs >= edges[b]) & (freqs < edges[b + 1])
+            bands[:, b] = spec[:, sel].sum(axis=1) if sel.any() else 0.0
+        band_rows[(win, rate)] = bands
+
+    # vectorized log per group (elementwise — identical per value), then
+    # the per-clip grid. Single-frame clips (every clip shorter than
+    # ~win·1.5 — the common short-payload case) collapse EXACTLY: the
+    # 8×9 area-mean grid of a 1-row image is that row repeated (a
+    # one-element mean is the element), so the row-major 8×8 bit pack
+    # is the 8-bit gradient pattern replicated at every byte.
+    logb = {k: np.log(v + 1e-12) for k, v in band_rows.items()}
+    out = []
+    for key, off, n_frames in meta:
+        rows = logb[key][off : off + n_frames]
+        if n_frames == 1:
+            r = rows[0]
+            p = int(sum(1 << c for c in range(8) if r[c + 1] > r[c]))
+            full = p * 0x0101010101010101
+            out.append(full - (1 << 64) if full >= (1 << 63) else full)
+        else:
+            grid = _luma_grid(rows, 8, 9)
+            out.append(_pack_bits(grid[:, 1:] > grid[:, :-1]))
+    return out
+
+
 def audio_fingerprint(
     df: DataFrame,
     payload_col: str = "payload",
@@ -942,17 +1015,18 @@ def audio_fingerprint(
         from ..functions.audiocodec import AudioDecodeError, decode_wav
 
         for pdf in it:
-            ids, oks, hs = [], [], []
+            ids, oks, clips = [], [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 ids.append(int(mid))
                 try:
                     rate, arr = decode_wav(bytes(payload))
                 except AudioDecodeError:
                     oks.append(False)
-                    hs.append(None)
                     continue
                 oks.append(True)
-                hs.append(_audio_fp64(arr, rate))
+                clips.append((arr, rate))
+            fps = iter(_audio_fp64_batch(clips))
+            hs = [next(fps) if ok else None for ok in oks]
             yield pd.DataFrame(
                 {
                     id_col: pd.array(ids, dtype="int64"),

@@ -37,6 +37,13 @@ from ._defs_b import _IVF_CACHE  # shared build-once/probe-many index (q40/q87)
 _Q96_FRAMES_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 _Q96_FRAMES_LOCK = threading.Lock()
 
+# q80's rendered WAV corpus (<1 KB/doc): three independent decode
+# stages (audio_meta, audio_frame_rms, audio_fingerprint — the r13
+# fold) would otherwise re-render per branch; same one-cache-per-live-
+# session discipline as q41/q96 (queries/_shared.swap_session_cache).
+_Q80_MEDIA_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_Q80_MEDIA_LOCK = threading.Lock()
+
 def q77_source_caps(spark: SparkSession, sf: str) -> SparkDataFrame:
     """Per-source document caps (operators/caps.py:cap_per_group): keep
     the top 10 documents of each source by (n_chars desc, doc_id asc)
@@ -252,7 +259,14 @@ def q80_audio(spark: SparkSession, sf: str) -> SparkDataFrame:
                 {"media_id": pdf["doc_id"].astype("int64"), "payload": payloads}
             )
 
-    media = d.mapInPandas(render, "media_id long, payload binary")
+    from ._shared import swap_session_cache
+
+    media = swap_session_cache(
+        _Q80_MEDIA_CACHE,
+        _Q80_MEDIA_LOCK,
+        spark,
+        d.mapInPandas(render, "media_id long, payload binary"),
+    )
     meta = audio_meta(media)
     frames = audio_frame_rms(media, frame_len=32)
     fagg = frames.groupBy("media_id").agg(

@@ -333,3 +333,53 @@ def test_media_pair_plan_contracts(spark):
         assert "BroadcastNestedLoop" not in plan
         assert "BatchEvalPython" not in plan
     assert "Window" not in operator_names(video_neardup_pairs(df))
+
+
+def test_audio_fp_batch_bit_identical():
+    """_audio_fp64_batch (the r13 vectorized kernel behind
+    audio_fingerprint) must be BIT-IDENTICAL to the scalar reference
+    _audio_fp64 on an adversarial clip mix — ramps, silence, noise,
+    pure tones, multi-channel, reversed ramps, across rates including
+    ones that change the FFT window — plus the q80 closed-form corpus
+    (spectrally-monotone ramps hash to exactly 0). The batch path
+    stacks frames across clips into one rfft per (win, rate) group and
+    collapses the single-frame grid to a byte-replicated row pattern;
+    any reduction-order drift would break the q80 oracle silently."""
+    import random
+
+    import numpy as np
+
+    from pandasql_spark.operators.dedup import _audio_fp64, _audio_fp64_batch
+
+    rng = np.random.default_rng(3)
+    random.seed(3)
+    clips = []
+    for i in range(240):
+        kind = i % 6
+        rate = random.choice([1000, 2000, 4000, 8000, 16000, 44100])
+        n = random.randint(10, 3000)
+        if kind == 0:
+            arr = np.arange(n, dtype=np.int16)
+        elif kind == 1:
+            arr = np.zeros(n, dtype=np.int16)
+        elif kind == 2:
+            arr = rng.integers(-32768, 32767, n).astype(np.int16)
+        elif kind == 3:
+            t = np.arange(n) / rate
+            hz = random.choice([120, 440, 1800, 3900])
+            arr = (10000 * np.sin(2 * np.pi * hz * t)).astype(np.int16)
+        elif kind == 4:
+            arr = rng.integers(-100, 100, (n, random.randint(2, 4))).astype(
+                np.int16
+            )
+        else:
+            arr = (np.arange(n, dtype=np.int16)[::-1]).copy()
+        clips.append((arr, rate))
+    assert _audio_fp64_batch(clips) == [_audio_fp64(a, r) for a, r in clips]
+    # the q80 closed form: every renderable ramp combo hashes to 0
+    ramps = [
+        (np.repeat(np.arange(64 + m, dtype=np.int16)[:, None], ch, axis=1),
+         1000 * (1 << k))
+        for m in range(0, 50, 7) for k in range(4) for ch in (1, 3)
+    ]
+    assert set(_audio_fp64_batch(ramps)) == {0}
