@@ -770,6 +770,60 @@ def _dhash64(px) -> int:
     return _pack_bits(grid[:, 1:] > grid[:, :-1])
 
 
+def _dhash64_batch(pxs) -> list:
+    """Batched `_dhash64` over a list of decoded pixel arrays —
+    BIT-IDENTICAL outputs (pinned by test_image_dedup.py's
+    differential). Frames sharing a (shape, ndim) stack into one
+    3-D array: the Rec.601 luma is one vectorized expression, each
+    of the 72 grid cells is ONE `mean(axis=(1, 2))` over the whole
+    stack (per output element numpy reduces the same cell elements
+    in the same order as the scalar path's 2-D `.mean()` — probed
+    across shapes and magnitudes), and the row-major bit pack is an
+    exact uint64 dot with the power-of-two vector. 72 reductions per
+    SHAPE GROUP instead of per frame — the frame-hash pass behind
+    video_signature/q96 is ~35 shapes over tens of thousands of
+    frames at sf0.1."""
+    import numpy as np
+
+    groups: dict = {}
+    order: dict = {}
+    for i, px in enumerate(pxs):
+        a = np.asarray(px)
+        groups.setdefault(a.shape, []).append(a)
+        order.setdefault(a.shape, []).append(i)
+    out = [0] * len(pxs)
+    pow2 = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    for shape, arrs in groups.items():
+        if len(arrs) == 1:
+            # singleton group: the stack/axis machinery only adds
+            # dispatch overhead — scalar path, identical by definition
+            out[order[shape][0]] = _dhash64(arrs[0])
+            continue
+        stack = np.stack(arrs).astype(np.float64)
+        if stack.ndim == 4:
+            stack = (
+                stack[..., 0] * 0.299
+                + stack[..., 1] * 0.587
+                + stack[..., 2] * 0.114
+            )
+        k, h, w = stack.shape
+        grid = np.empty((k, 8, 9), dtype=np.float64)
+        for r in range(8):
+            lo_r = (r * h) // 8
+            hi_r = max(lo_r + 1, ((r + 1) * h) // 8)
+            for c in range(9):
+                lo_c = (c * w) // 9
+                hi_c = max(lo_c + 1, ((c + 1) * w) // 9)
+                grid[:, r, c] = stack[:, lo_r:hi_r, lo_c:hi_c].mean(
+                    axis=(1, 2)
+                )
+        bits = (grid[:, :, 1:] > grid[:, :, :-1]).reshape(k, 64)
+        packed = (bits.astype(np.uint64) * pow2).sum(axis=1).view(np.int64)
+        for idx, val in zip(order[shape], packed):
+            out[idx] = int(val)
+    return out
+
+
 def _phash64(px) -> int:
     """64-bit DCT perceptual hash (pHash): 32×32 area-mean luma grid →
     orthonormal 2-D DCT-II (numpy matmul against the cosine basis — no
@@ -836,17 +890,21 @@ def image_dhash(
         from ..functions.imagecodec import ImageDecodeError, decode_image
 
         for pdf in it:
-            ids, oks, hs = [], [], []
+            ids, oks, pxs = [], [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 ids.append(int(mid))
                 try:
                     px = decode_image(bytes(payload))
                 except ImageDecodeError:
                     oks.append(False)
-                    hs.append(None)
                     continue
                 oks.append(True)
-                hs.append(hash_fn(px))
+                pxs.append(px)
+            if method == "dhash":
+                fps = iter(_dhash64_batch(pxs))  # bit-identical, batched
+            else:
+                fps = iter([hash_fn(px) for px in pxs])
+            hs = [next(fps) if ok else None for ok in oks]
             yield pd.DataFrame(
                 {
                     id_col: pd.array(ids, dtype="int64"),

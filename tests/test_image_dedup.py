@@ -383,3 +383,38 @@ def test_audio_fp_batch_bit_identical():
         for m in range(0, 50, 7) for k in range(4) for ch in (1, 3)
     ]
     assert set(_audio_fp64_batch(ramps)) == {0}
+
+
+def test_dhash_batch_bit_identical():
+    """_dhash64_batch (the r13 frame-hash kernel behind image_dhash
+    method='dhash' — and therefore q41's fold and q96's video
+    signature) must be BIT-IDENTICAL to scalar _dhash64 across grey /
+    RGB / flat images of many shapes, including singleton shape
+    groups (which route through the scalar path directly). Flat
+    images must keep hashing to exactly 0 — the q41 closed form."""
+    import random
+
+    import numpy as np
+
+    from pandasql_spark.operators.dedup import _dhash64, _dhash64_batch
+
+    rng = np.random.default_rng(13)
+    random.seed(13)
+    pxs = []
+    for i in range(500):
+        h, w = random.randint(1, 40), random.randint(1, 40)
+        if i % 3 == 0:
+            pxs.append(rng.integers(0, 256, (h, w)).astype(np.uint8))
+        elif i % 3 == 1:
+            pxs.append(rng.integers(0, 256, (h, w, 3)).astype(np.uint8))
+        else:
+            pxs.append(
+                np.full((3 + i % 14, 4 + i % 17, 3), i % 251, np.uint8)
+            )
+    got = _dhash64_batch(pxs)
+    assert got == [_dhash64(p) for p in pxs]
+    assert all(
+        v == 0
+        for v, p in zip(got, pxs)
+        if p.ndim == 3 and np.all(p == p.flat[0])
+    )
