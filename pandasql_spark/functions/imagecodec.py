@@ -190,6 +190,14 @@ def _decode_png(b: bytes) -> np.ndarray:
         raise ImageDecodeError("PNG pixel payload has wrong length")
     raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     filters = raw[:, 0]
+    if not filters.any():
+        # all scanlines filter 0 (None): the unfilter is the identity,
+        # so skip the per-row loop entirely — the common case for
+        # machine-written PNGs (encode_png's default, and therefore
+        # every sample_frames/resize_images round-trip). Bit-exact:
+        # filter 0 never reads the previous row. copy() detaches from
+        # the zlib buffer so the result stays writable like the loop's.
+        return raw[:, 1:].reshape(h, w, ch).copy()
     rows = raw[:, 1:].astype(np.int32)  # int32: unfilter sums exceed uint8
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
