@@ -205,3 +205,88 @@ def test_mjpeg_avi_mutation_never_garbles_silently(nf, seed, data):
         assert out.ndim == 4 and out.shape[3] == 3
     except VideoDecodeError:
         pass
+
+
+# ------------------------- r13 batched perceptual-kernel differentials
+
+
+@st.composite
+def _pixel_batch(draw):
+    """A small batch of decoded images with DELIBERATE shape reuse so
+    both the stacked groups and the singleton fallback are exercised
+    in one example."""
+    n = draw(st.integers(1, 8))
+    shapes = draw(
+        st.lists(
+            st.tuples(st.integers(1, 20), st.integers(1, 20)),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        h, w = shapes[i % len(shapes)]
+        if i % 3 == 0:
+            out.append(rng.integers(0, 256, (h, w), dtype=np.uint8))
+        elif i % 3 == 1:
+            out.append(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+        else:
+            out.append(np.full((h, w, 3), int(rng.integers(0, 256)), np.uint8))
+    return out
+
+
+@settings(max_examples=soak_examples(40), **_SETTINGS)
+@given(pxs=_pixel_batch())
+def test_dhash_batch_equals_scalar_property(pxs):
+    """_dhash64_batch == per-image _dhash64 bit-for-bit on arbitrary
+    grey/RGB/flat batches with mixed shape-group sizes (the q41/q96
+    oracle closed forms depend on this identity)."""
+    from pandasql_spark.operators.dedup import _dhash64, _dhash64_batch
+
+    assert _dhash64_batch(pxs) == [_dhash64(p) for p in pxs]
+
+
+@st.composite
+def _clip_batch(draw):
+    n = draw(st.integers(1, 6))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    clips = []
+    for _ in range(n):
+        rate = draw(
+            st.sampled_from([1000, 2000, 4000, 8000, 16000, 44100])
+        )
+        ln = draw(st.integers(1, 2500))
+        ch = draw(st.integers(1, 3))
+        kind = draw(st.integers(0, 3))
+        if kind == 0:
+            arr = np.zeros((ln, ch), dtype=np.int16)
+        elif kind == 1:
+            arr = np.repeat(
+                np.arange(ln, dtype=np.int16)[:, None], ch, axis=1
+            )
+        elif kind == 2:
+            arr = rng.integers(-32768, 32767, (ln, ch)).astype(np.int16)
+        else:
+            t = np.arange(ln) / rate
+            hz = draw(st.sampled_from([50, 440, 1900, 3900]))
+            arr = np.repeat(
+                (9000 * np.sin(2 * np.pi * hz * t)).astype(np.int16)[:, None],
+                ch,
+                axis=1,
+            )
+        clips.append((arr, rate))
+    return clips
+
+
+@settings(max_examples=soak_examples(30), **_SETTINGS)
+@given(clips=_clip_batch())
+def test_audio_fp_batch_equals_scalar_property(clips):
+    """_audio_fp64_batch == per-clip _audio_fp64 bit-for-bit on
+    arbitrary clip batches across rates that change the FFT window
+    (the q80 oracle closed form depends on this identity)."""
+    from pandasql_spark.operators.dedup import _audio_fp64, _audio_fp64_batch
+
+    assert _audio_fp64_batch(clips) == [_audio_fp64(a, r) for a, r in clips]
