@@ -64,3 +64,69 @@ def cap_per_group(
         .filter(F.col(_RN) <= n)
         .drop(_RN)
     )
+
+
+def cap_tokens_per_group(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[tuple[str, bool]],
+    budget: int,
+    token_col: str,
+    min_tokens_per_doc: int = 1,
+) -> DataFrame:
+    """Keep each ``keys``-group's maximal ORDER-PREFIX whose running
+    ``token_col`` sum stays ≤ ``budget`` — the token-budget version of
+    `cap_per_group`: training mixes are balanced in TOKENS, not
+    documents (a domain of ten-word pages and a domain of books are
+    wildly different corpora at equal doc counts).
+
+    Semantics (deterministic, reproducible): walk the group in
+    ``order_by`` order (rank your docs best-first) and keep rows while
+    the cumulative token count INCLUDING the current row is ≤ budget.
+    The first overflowing doc is dropped and so is everything after it
+    — prefix semantics, not greedy knapsack: a later small doc never
+    "jumps the queue" past a dropped larger one, so the output is a
+    rank-threshold cut that survives re-runs and audits. A zero-token
+    doc before the cut is kept and consumes nothing.
+
+    Scale shape: the running sum is a partitioned window, which needs
+    each group in one task — the hot-key hazard `cap_per_group`'s
+    WindowGroupLimit avoids. Restored here with a PREFILTER: when
+    every doc carries ≥ ``min_tokens_per_doc`` tokens (default 1), no
+    more than budget // min_tokens_per_doc docs can ever fit, so a
+    native WindowGroupLimit cap at that count runs FIRST and bounds
+    the cumsum window's input per group regardless of how hot the key
+    is. Pass ``min_tokens_per_doc=0`` for corpora with zero-token rows
+    past that depth (drops the prefilter, keeps exactness).
+
+    Oracle status: pytest-gated this round (pandas-reference
+    differential + edge cases in test_caps_delta.py); r14 IOU — fold
+    into q77's host oracle when it returns (the SQL is the same
+    rank window + a SUM ... ROWS UNBOUNDED PRECEDING cumsum, both
+    oracle-proven shapes)."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if min_tokens_per_doc < 0:
+        raise ValueError(
+            f"min_tokens_per_doc must be >= 0, got {min_tokens_per_doc}"
+        )
+    if not keys or not order_by:
+        raise ValueError("keys and order_by must be non-empty")
+    if min_tokens_per_doc >= 1:
+        df = cap_per_group(
+            df, keys, order_by, max(1, budget // min_tokens_per_doc)
+        )
+    order_cols: list[Column] = [
+        F.col(c).asc() if a else F.col(c).desc() for c, a in order_by
+    ]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = "__cap_cum"
+    return (
+        df.withColumn(cum, F.sum(F.col(token_col)).over(w))
+        .filter(F.col(cum) <= F.lit(budget))
+        .drop(cum)
+    )

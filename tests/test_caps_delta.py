@@ -8,7 +8,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from pandasql_spark.operators.caps import cap_per_group
+from pandasql_spark.operators.caps import cap_per_group, cap_tokens_per_group
 from pandasql_spark.operators.delta import (
     diff_summary,
     fingerprints,
@@ -243,3 +243,101 @@ def test_scd2_merge_validation(spark):
         scd2_merge(hist, snap, "k", [], as_of=1)
     with pytest.raises(ValueError, match="valid_from"):
         scd2_merge(hist.drop("valid_from"), snap, "k", ["text"], as_of=1)
+
+
+def _py_token_cap(pdf, keys, order, budget, token_col):
+    """Pure-pandas reference for cap_tokens_per_group's prefix
+    semantics: per group, sort, cumsum, keep while <= budget."""
+    cols, asc = [c for c, _ in order], [a for _, a in order]
+    out = []
+    for _, g in pdf.groupby(keys, sort=False):
+        g = g.sort_values(cols, ascending=asc)
+        keep = g[token_col].cumsum() <= budget
+        out.append(g[keep])
+    return pd.concat(out) if out else pdf.iloc[:0]
+
+
+def test_token_cap_matches_pandas_oracle(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "tok", F.size(F.split("text", " "))
+    )
+    order = [("n_chars", False), ("doc_id", True)]
+    got = _sorted(
+        cap_tokens_per_group(
+            docs, ["source"], order, budget=3000, token_col="tok"
+        ).toPandas()
+    )
+    exp = _sorted(
+        _py_token_cap(docs.toPandas(), ["source"], order, 3000, "tok")
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_token_cap_edges(spark):
+    """Prefix semantics pinned: the first overflowing doc is dropped
+    AND everything after it (no knapsack jump-ahead); an exact-budget
+    hit is kept; zero-token docs before the cut are kept with
+    min_tokens_per_doc=0; prefilter path == unfiltered path."""
+    rows = [
+        # (id, src, tok): order by id asc; budget 10
+        (1, "a", 4),   # cum 4  keep
+        (2, "a", 6),   # cum 10 keep (exact hit)
+        (3, "a", 1),   # cum 11 drop
+        (4, "a", 1),   # cum 12 drop — even though it alone would fit
+        (1, "b", 20),  # cum 20 drop (first doc already overflows)
+        (2, "b", 3),   # cum 23 drop — prefix, not knapsack
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, tok long")
+    got = {
+        (r.src, r.doc_id)
+        for r in cap_tokens_per_group(
+            df, ["src"], [("doc_id", True)], 10, "tok"
+        ).collect()
+    }
+    assert got == {("a", 1), ("a", 2)}
+
+    zrows = [(1, "a", 0), (2, "a", 10), (3, "a", 0)]
+    zdf = spark.createDataFrame(zrows, "doc_id long, src string, tok long")
+    kept = {
+        r.doc_id
+        for r in cap_tokens_per_group(
+            zdf, ["src"], [("doc_id", True)], 10, "tok",
+            min_tokens_per_doc=0,
+        ).collect()
+    }
+    assert kept == {1, 2, 3}  # zero-token docs ride along
+
+    # prefilter equivalence on data satisfying min_tokens_per_doc
+    docs = spark.createDataFrame(
+        [(i, "s" + str(i % 3), 1 + i % 5) for i in range(200)],
+        "doc_id long, src string, tok long",
+    )
+    a = _sorted(cap_tokens_per_group(
+        docs, ["src"], [("doc_id", True)], 25, "tok").toPandas())
+    b = _sorted(cap_tokens_per_group(
+        docs, ["src"], [("doc_id", True)], 25, "tok",
+        min_tokens_per_doc=0).toPandas())
+    pd.testing.assert_frame_equal(a, b)
+
+    with pytest.raises(ValueError, match="budget"):
+        cap_tokens_per_group(docs, ["src"], [("doc_id", True)], -1, "tok")
+
+
+def test_token_cap_prefilter_plan(spark):
+    """The hot-key prefilter must appear as a native WindowGroupLimit
+    below the cumsum window when min_tokens_per_doc >= 1, and must be
+    ABSENT with min_tokens_per_doc=0 (zero-token correctness mode)."""
+    from pandasql_spark.plans.explain import operator_names
+
+    docs = spark.createDataFrame(
+        [(i, "s", 1) for i in range(50)], "doc_id long, src string, tok long"
+    )
+    with_pf = cap_tokens_per_group(
+        docs, ["src"], [("doc_id", True)], 10, "tok"
+    )
+    ops = operator_names(with_pf)
+    assert "WindowGroupLimit" in ops, ops
+    without = cap_tokens_per_group(
+        docs, ["src"], [("doc_id", True)], 10, "tok", min_tokens_per_doc=0
+    )
+    assert "WindowGroupLimit" not in operator_names(without)
