@@ -2,7 +2,7 @@
 the reference has no streaming at all — this is the Spark-native
 north-star addition over the `events` table)."""
 
-from .admission import admit_per_key_stream
+from .admission import admit_per_key_stream, admit_tokens_per_key_stream
 from .crawl_ingest import (
     crawl_ingest_stream,
     replay_crawl_ingest,
@@ -41,6 +41,7 @@ __all__ = [
     "windowed_kmv_distinct",
     "replay_windowed_kmv",
     "admit_per_key_stream",
+    "admit_tokens_per_key_stream",
     "crawl_ingest_stream",
     "replay_crawl_ingest",
     "bounded_replay_shuffle",

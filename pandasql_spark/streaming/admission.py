@@ -69,3 +69,61 @@ def admit_per_key_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def admit_tokens_per_key_stream(
+    events: DataFrame,
+    key_col: str,
+    budget: int,
+    token_col: str,
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Token-budget admission — the streaming twin of
+    operators/caps.cap_tokens_per_group, with the SAME prefix
+    semantics: rows are admitted per ``key_col`` while the lifetime
+    running ``token_col`` sum (including the current row) stays ≤
+    ``budget``; the first overflowing row CLOSES the key permanently —
+    later smaller rows never jump a dropped larger one, so a
+    time-ordered replay of a bounded corpus equals the batch
+    token-cap pick, which is how the tests oracle it. Zero-token rows
+    ride through while the key is open.
+
+    State per key: (consumed tokens, closed flag) — two scalars, no
+    row retention, no watermark. Output mode append; output schema ==
+    input schema."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    schema = events.schema
+    cols = [f.name for f in schema.fields]
+    missing = [c for c in (key_col, token_col, *order_cols) if c not in cols]
+    if missing:
+        raise ValueError(f"columns not in stream: {missing}")
+
+    def _fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        consumed, closed = (
+            state.get if state.exists else (0, False)
+        )
+        if closed:
+            for _ in pdfs:  # drain; the key's prefix ended in the past
+                pass
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(list(order_cols), ignore_index=True)
+        toks = batch[token_col].to_numpy()
+        ok = (consumed + toks.cumsum()) <= budget
+        k = len(batch) if bool(ok.all()) else int(ok.argmin())
+        state.update(
+            (int(consumed + toks[:k].sum()), bool(k < len(batch)))
+        )
+        if k:
+            yield batch.head(k)[cols]
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        _fn,
+        outputStructType=schema,
+        stateStructType="consumed long, closed boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

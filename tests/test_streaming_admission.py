@@ -199,3 +199,87 @@ def test_bounded_replay_shuffle_restores(spark):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _replay_tokens(spark, src_dir, budget, max_files=None):
+    from pandasql_spark.streaming import admit_tokens_per_key_stream
+
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    stream = reader.parquet(src_dir).withColumn(
+        "value", F.coalesce(F.col("value"), F.lit(0.0))
+    )
+    name = "tadm" + uuid.uuid4().hex[:8]
+    q = (
+        admit_tokens_per_key_stream(stream, "event_type", budget, "value")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).toPandas()
+
+
+def _batch_token_cap(spark, budget):
+    from pandasql_spark.operators.caps import cap_tokens_per_group
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "value", F.coalesce(F.col("value"), F.lit(0.0))
+    )
+    return cap_tokens_per_group(
+        ev,
+        ["event_type"],
+        [("ts", True), ("event_id", True)],
+        budget,
+        "value",
+        min_tokens_per_doc=0,  # amounts are fractional/zero-capable
+    )
+
+
+def test_token_admission_single_batch_equals_batch_cap(spark, staged_single):
+    """One micro-batch + intra-batch (ts, id) sort ⇒ streaming
+    token-budget admission equals the batch cap_tokens_per_group
+    prefix pick — the batch/streaming parity contract."""
+    budget = 500
+    got = _replay_tokens(spark, staged_single, budget)
+    exp = _batch_token_cap(spark, budget).toPandas()
+    got_s = got.sort_values(["event_id"], ignore_index=True)[exp.columns]
+    exp_s = exp.sort_values(["event_id"], ignore_index=True)
+    pd.testing.assert_frame_equal(got_s, exp_s)
+
+
+def test_token_admission_chrono_continuation_and_closure(
+    spark, staged_chrono
+):
+    """Cross-batch: consumed tokens CONTINUE across micro-batches (a
+    reset would re-admit a full budget per batch) and an overflow in
+    an early batch keeps the key CLOSED in later batches even for
+    rows that would individually fit — the prefix contract."""
+    budget = 500
+    got = _replay_tokens(spark, staged_chrono, budget, max_files=1)
+    exp = _batch_token_cap(spark, budget).toPandas()
+    assert len(got) == len(exp)
+    got_s = got.sort_values(["event_id"], ignore_index=True)[exp.columns]
+    exp_s = exp.sort_values(["event_id"], ignore_index=True)
+    pd.testing.assert_frame_equal(got_s, exp_s)
+    # the budget is actually binding for at least one key in this
+    # corpus (otherwise the closure branch never ran)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["value"] = ev["value"].fillna(0.0)
+    totals = ev.groupby("event_type")["value"].sum()
+    assert (totals > budget).any()
+
+
+def test_token_admission_validates_args(spark, staged_single):
+    from pandasql_spark.streaming import admit_tokens_per_key_stream
+
+    ev = spark.readStream.schema(EVENT_SCHEMA).parquet(staged_single)
+    with pytest.raises(ValueError, match="budget"):
+        admit_tokens_per_key_stream(ev, "event_type", -1, "value")
+    with pytest.raises(ValueError, match="columns not in stream"):
+        admit_tokens_per_key_stream(ev, "event_type", 10, "missing_col")
