@@ -193,3 +193,63 @@ def test_sampled_quantile_rank_error_bound(spark, seed, rate):
     rank = int((values < est).sum())
     tol = 4 * math.sqrt(n / rate)
     assert abs(rank - n / 2) <= tol, (rank, n / 2, tol)
+
+
+# ---------------------------------------------------------------------------
+# cap_tokens_per_group == pandas prefix-cumsum reference (r13)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=soak_examples(12), **_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # key: few groups
+            st.integers(min_value=0, max_value=7),   # tokens incl. zero
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    budget=st.integers(min_value=0, max_value=30),
+    prefilter=st.booleans(),
+    parts=st.integers(min_value=1, max_value=4),
+)
+def test_cap_tokens_matches_prefix_reference(
+    spark, rows, budget, prefilter, parts
+):
+    """Prefix semantics under arbitrary group shapes, zero-token rows,
+    zero budgets, and both prefilter modes (min_tokens_per_doc=1 is
+    only claimed for corpora honoring it, so the prefilter arm bumps
+    zero-token rows to 1)."""
+    from pandasql_spark.operators.caps import cap_tokens_per_group
+
+    pdf = pd.DataFrame(
+        [
+            (k, t + 1 if prefilter else t, i)
+            for i, (k, t) in enumerate(rows)
+        ],
+        columns=["k", "tok", "id"],
+    )
+    df = spark.createDataFrame(pdf).repartition(parts)
+    got = (
+        cap_tokens_per_group(
+            df,
+            ["k"],
+            [("id", True)],
+            budget,
+            "tok",
+            min_tokens_per_doc=1 if prefilter else 0,
+        )
+        .toPandas()
+        .sort_values("id", ignore_index=True)
+    )
+    keep = []
+    for _, g in pdf.groupby("k", sort=False):
+        g = g.sort_values("id")
+        keep.append(g[g["tok"].cumsum() <= budget])
+    exp = (
+        pd.concat(keep).sort_values("id", ignore_index=True)
+        if keep
+        else pdf.iloc[:0]
+    )
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
