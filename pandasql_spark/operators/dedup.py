@@ -850,6 +850,62 @@ def _phash64(px) -> int:
     return _pack_bits(bits)
 
 
+def _phash64_batch(pxs) -> list:
+    """Batched `_phash64` — BIT-IDENTICAL outputs (differential in
+    test_image_dedup.py), same grouping design as `_dhash64_batch`:
+    frames sharing a shape stack, the 32×32 grid is 1024 reductions
+    per GROUP instead of per image, the cosine basis is built once,
+    and each image keeps its own two-GEMM DCT + round + median tail
+    (per-image matmuls, not a batched GEMM, so the BLAS blocking —
+    and therefore the floats — match the scalar path exactly)."""
+    import numpy as np
+
+    n = 32
+    k = np.arange(n)[:, None]
+    basis = np.sqrt(2.0 / n) * np.cos(
+        np.pi * (2 * np.arange(n) + 1) * k / (2 * n)
+    )
+    basis[0] = np.sqrt(1.0 / n)
+
+    groups: dict = {}
+    order: dict = {}
+    for i, px in enumerate(pxs):
+        a = np.asarray(px)
+        groups.setdefault(a.shape, []).append(a)
+        order.setdefault(a.shape, []).append(i)
+    out = [0] * len(pxs)
+    for shape, arrs in groups.items():
+        if len(arrs) == 1:
+            out[order[shape][0]] = _phash64(arrs[0])
+            continue
+        stack = np.stack(arrs).astype(np.float64)
+        if stack.ndim == 4:
+            stack = (
+                stack[..., 0] * 0.299
+                + stack[..., 1] * 0.587
+                + stack[..., 2] * 0.114
+            )
+        kk, h, w = stack.shape
+        grid = np.empty((kk, n, n), dtype=np.float64)
+        for r in range(n):
+            lo_r = (r * h) // n
+            hi_r = max(lo_r + 1, ((r + 1) * h) // n)
+            for c in range(n):
+                lo_c = (c * w) // n
+                hi_c = max(lo_c + 1, ((c + 1) * w) // n)
+                grid[:, r, c] = stack[:, lo_r:hi_r, lo_c:hi_c].mean(
+                    axis=(1, 2)
+                )
+        for idx, g in zip(order[shape], grid):
+            low = np.round((basis @ g @ basis.T)[:8, :8], 8)
+            ac = np.delete(low.ravel(), 0)
+            med = np.median(ac)
+            bits = low.ravel() > med
+            bits[0] = False
+            out[idx] = _pack_bits(bits)
+    return out
+
+
 #: perceptual-hash kernels: name → pure-Python hash of a decoded
 #: pixel array. dhash = gradient structure (cheap, resize/re-encode
 #: robust); phash = DCT low-frequency structure (more robust to
@@ -902,6 +958,8 @@ def image_dhash(
                 pxs.append(px)
             if method == "dhash":
                 fps = iter(_dhash64_batch(pxs))  # bit-identical, batched
+            elif method == "phash":
+                fps = iter(_phash64_batch(pxs))  # bit-identical, batched
             else:
                 fps = iter([hash_fn(px) for px in pxs])
             hs = [next(fps) if ok else None for ok in oks]

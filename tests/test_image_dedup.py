@@ -418,3 +418,14 @@ def test_dhash_batch_bit_identical():
         for v, p in zip(got, pxs)
         if p.ndim == 3 and np.all(p == p.flat[0])
     )
+    # same contract for the pHash batch (DCT path, r13): identical to
+    # scalar, flat images keep the exact-zero closed form
+    from pandasql_spark.operators.dedup import _phash64, _phash64_batch
+
+    gotp = _phash64_batch(pxs)
+    assert gotp == [_phash64(p) for p in pxs]
+    assert all(
+        v == 0
+        for v, p in zip(gotp, pxs)
+        if p.ndim == 3 and np.all(p == p.flat[0])
+    )
