@@ -54,9 +54,13 @@ def unigram_logprob_scores(
     are quality-filter candidates."""
     counts = unigram_counts(df, text_col)
     vocab = F.broadcast(counts) if broadcast_vocab else counts
-    n_total = df.select(
-        F.sum(F.size(tokens(text_col))).alias("n")
-    )  # 1-row frame; crossJoin broadcasts it
+    # N = Σcnt off the counts table — the SAME integer as a direct
+    # sum-of-token-counts corpus pass, but expressed over the counts
+    # subtree so Spark's exchange reuse serves both consumers from ONE
+    # count shuffle: the plan carries TWO corpus scans (tokens + the
+    # count pass), not three (plan-pinned in test_lm.py). 1-row frame;
+    # crossJoin broadcasts it.
+    n_total = counts.agg(F.sum("cnt").alias("n"))
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     return (
         toks.join(vocab, on="token")
@@ -191,6 +195,7 @@ def perplexity_buckets(
     id_col: str = "doc_id",
     labels: tuple = ("head", "middle", "tail"),
     barrier: bool = True,
+    attach_input: bool = True,
 ) -> DataFrame:
     """CCNet-style corpus partition by LM quality (Wenzek et al. 2020:
     the head/middle/tail split that decides what gets kept, reviewed,
@@ -213,6 +218,15 @@ def perplexity_buckets(
     single-reducer window ever touches the data. A document whose
     score ties a cut point lands in the lower tier (strictly-below
     counting), deterministically.
+
+    ``attach_input`` (default True) joins the tier columns back onto
+    the full input — the profile-fold shape (q16 rides the output's
+    text column). A caller that only needs the per-doc tier verdict
+    (id → tier, e.g. to drive a downstream keep/drop filter joined on
+    the id) should pass ``attach_input=False``: the wide input columns
+    then never enter the tier join at all — at 100 TB that join is a
+    full-corpus shuffle-or-broadcast of every payload column, paid for
+    nothing (ADVICE r13).
 
     ``barrier`` (default True) localCheckpoints the slim
     (id, stratum, logprob) frame before the quantile stage — without
@@ -261,5 +275,5 @@ def perplexity_buckets(
         .withColumn("ppl_bucket", label)
         .select(id_col, "logprob", "ppl_tier", "ppl_bucket")
     )
-    out = df.join(tiers, id_col, "left")
+    out = df.join(tiers, id_col, "left") if attach_input else tiers
     return attach_cleanup(out, release) if release is not None else out

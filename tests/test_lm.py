@@ -86,6 +86,42 @@ def test_count_pass_partial_aggregation(spark):
     assert plan.count("HashAggregate") >= 2 and "Exchange" in plan, plan
 
 
+def test_score_pass_reuses_count_exchange(spark):
+    """unigram_logprob_scores derives N = Σcnt off the counts table, so
+    the EXECUTED plan serves both the vocab join and the N aggregate
+    from ONE count shuffle (AQE ReusedExchange): exactly TWO parquet
+    scans run — the score pass's token explode and the count pass's
+    map side — never a third corpus pass for the total (r13 VERDICT
+    item; the op backs q72, q71's floors and q16's perplexity fold)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = unigram_logprob_scores(docs)
+    out.collect()  # exchange reuse is finalized by AQE at runtime
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 2, final
+    assert "ReusedExchange" in final, final
+
+
+def test_perplexity_buckets_tiers_only(spark):
+    """attach_input=False returns just (id, logprob, tier, bucket) —
+    same verdicts as the attached shape, no payload columns in the
+    tier join (the downstream-filter caller's shape)."""
+    from pandasql_spark.operators.lm import perplexity_buckets
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    slim = perplexity_buckets(docs, attach_input=False)
+    assert slim.columns == ["doc_id", "logprob", "ppl_tier", "ppl_bucket"]
+    got = {
+        r.doc_id: (r.ppl_tier, r.ppl_bucket)
+        for r in slim.collect()
+    }
+    want = {
+        r.doc_id: (r.ppl_tier, r.ppl_bucket)
+        for r in perplexity_buckets(docs).collect()
+    }
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # bigram conditional scoring
 
