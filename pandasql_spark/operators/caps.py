@@ -72,7 +72,7 @@ def cap_tokens_per_group(
     order_by: list[tuple[str, bool]],
     budget: int,
     token_col: str,
-    min_tokens_per_doc: int = 1,
+    min_tokens_per_doc: int = 0,
 ) -> DataFrame:
     """Keep each ``keys``-group's maximal ORDER-PREFIX whose running
     ``token_col`` sum stays ≤ ``budget`` — the token-budget version of
@@ -87,23 +87,30 @@ def cap_tokens_per_group(
     — prefix semantics, not greedy knapsack: a later small doc never
     "jumps the queue" past a dropped larger one, so the output is a
     rank-threshold cut that survives re-runs and audits. A zero-token
-    doc before the cut is kept and consumes nothing.
+    doc before the cut is kept and consumes nothing — the same default
+    the streaming twin (`admit_tokens_per_key_stream`) has always had,
+    so batch/streaming parity holds with no arguments (ADVICE r13: the
+    old default-1 prefilter silently dropped zero-token rows the
+    documented prefix would keep whenever the corpus violated its
+    unvalidated precondition).
 
-    Scale shape: the running sum is a partitioned window, which needs
-    each group in one task — the hot-key hazard `cap_per_group`'s
-    WindowGroupLimit avoids. Restored here with a PREFILTER: when
-    every doc carries ≥ ``min_tokens_per_doc`` tokens (default 1), no
-    more than budget // min_tokens_per_doc docs can ever fit, so a
-    native WindowGroupLimit cap at that count runs FIRST and bounds
-    the cumsum window's input per group regardless of how hot the key
-    is. Pass ``min_tokens_per_doc=0`` for corpora with zero-token rows
-    past that depth (drops the prefilter, keeps exactness).
+    ``min_tokens_per_doc`` ≥ 1 is an explicit QUALITY FLOOR, not a
+    hint: rows with fewer tokens are dropped from the walk entirely
+    (sub-floor docs are exactly what a token-balanced mix excludes),
+    and the floor is what makes the hot-key prefilter sound — with
+    every surviving doc ≥ min tokens, no more than
+    budget // min_tokens_per_doc docs can ever fit, so a native
+    WindowGroupLimit cap at that count runs FIRST and bounds the
+    cumsum window's input per group regardless of how hot the key is
+    (the running sum itself is a partitioned window — each group in
+    one task — which the prefilter makes safe at any key heat).
 
-    Oracle status: pytest-gated this round (pandas-reference
-    differential + edge cases in test_caps_delta.py); r14 IOU — fold
-    into q77's host oracle when it returns (the SQL is the same
-    rank window + a SUM ... ROWS UNBOUNDED PRECEDING cumsum, both
-    oracle-proven shapes)."""
+    Oracle status: driver-gated since r14 via the q77 token-cap fold
+    (queries/_defs_c.py — rank window + SUM ... ROWS UNBOUNDED
+    PRECEDING cumsum in SQL, zero-token rows riding through); the
+    pandas-reference differential + edge cases in test_caps_delta.py
+    and the property suite carry the adversarial shapes (exact-budget
+    tie kept, first overflow closes the prefix, floor semantics)."""
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
     if min_tokens_per_doc < 0:
@@ -114,7 +121,10 @@ def cap_tokens_per_group(
         raise ValueError("keys and order_by must be non-empty")
     if min_tokens_per_doc >= 1:
         df = cap_per_group(
-            df, keys, order_by, max(1, budget // min_tokens_per_doc)
+            df.filter(F.col(token_col) >= F.lit(min_tokens_per_doc)),
+            keys,
+            order_by,
+            max(1, budget // min_tokens_per_doc),
         )
     order_cols: list[Column] = [
         F.col(c).asc() if a else F.col(c).desc() for c, a in order_by

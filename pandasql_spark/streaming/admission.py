@@ -86,11 +86,16 @@ def admit_tokens_per_key_stream(
     later smaller rows never jump a dropped larger one, so a
     time-ordered replay of a bounded corpus equals the batch
     token-cap pick, which is how the tests oracle it. Zero-token rows
-    ride through while the key is open.
+    ride through while the key is open — cap_tokens_per_group's
+    default exactly (batch/streaming parity with no arguments).
 
     State per key: (consumed tokens, closed flag) — two scalars, no
-    row retention, no watermark. Output mode append; output schema ==
-    input schema."""
+    row retention, no watermark. ``consumed`` is a DOUBLE carried by
+    sequential accumulation (the running cumsum's last value), so
+    fractional token columns keep exact batch parity across
+    micro-batch boundaries (ADVICE r13: a long state truncated the
+    running sum at each batch edge, admitting rows the batch op
+    drops). Output mode append; output schema == input schema."""
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
     schema = events.schema
@@ -103,7 +108,7 @@ def admit_tokens_per_key_stream(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
         consumed, closed = (
-            state.get if state.exists else (0, False)
+            state.get if state.exists else (0.0, False)
         )
         if closed:
             for _ in pdfs:  # drain; the key's prefix ended in the past
@@ -112,10 +117,12 @@ def admit_tokens_per_key_stream(
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(list(order_cols), ignore_index=True)
         toks = batch[token_col].to_numpy()
-        ok = (consumed + toks.cumsum()) <= budget
+        cum = consumed + toks.cumsum()  # sequential, like the batch window
+        ok = cum <= budget
         k = len(batch) if bool(ok.all()) else int(ok.argmin())
         state.update(
-            (int(consumed + toks[:k].sum()), bool(k < len(batch)))
+            (float(cum[k - 1]) if k else float(consumed),
+             bool(k < len(batch)))
         )
         if k:
             yield batch.head(k)[cols]
@@ -123,7 +130,7 @@ def admit_tokens_per_key_stream(
     return events.groupBy(key_col).applyInPandasWithState(
         _fn,
         outputStructType=schema,
-        stateStructType="consumed long, closed boolean",
+        stateStructType="consumed double, closed boolean",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

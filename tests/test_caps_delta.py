@@ -301,11 +301,25 @@ def test_token_cap_edges(spark):
     kept = {
         r.doc_id
         for r in cap_tokens_per_group(
-            zdf, ["src"], [("doc_id", True)], 10, "tok",
-            min_tokens_per_doc=0,
+            zdf, ["src"], [("doc_id", True)], 10, "tok"
         ).collect()
     }
-    assert kept == {1, 2, 3}  # zero-token docs ride along
+    assert kept == {1, 2, 3}  # zero-token docs ride along BY DEFAULT
+
+    # min_tokens_per_doc >= 1 is an explicit quality floor: sub-floor
+    # rows are dropped from the walk entirely (they neither consume
+    # budget nor ride through), never silently position-dependent
+    # (ADVICE r13)
+    frows = [(1, "a", 1), (2, "a", 5), (3, "a", 2), (4, "a", 5)]
+    fdf = spark.createDataFrame(frows, "doc_id long, src string, tok long")
+    floored = {
+        r.doc_id
+        for r in cap_tokens_per_group(
+            fdf, ["src"], [("doc_id", True)], 10, "tok",
+            min_tokens_per_doc=2,
+        ).collect()
+    }
+    assert floored == {2, 3}  # 1 and 4 sub-floor-or-overflow: 5+2+5>10
 
     # prefilter equivalence on data satisfying min_tokens_per_doc
     docs = spark.createDataFrame(
@@ -313,10 +327,10 @@ def test_token_cap_edges(spark):
         "doc_id long, src string, tok long",
     )
     a = _sorted(cap_tokens_per_group(
-        docs, ["src"], [("doc_id", True)], 25, "tok").toPandas())
-    b = _sorted(cap_tokens_per_group(
         docs, ["src"], [("doc_id", True)], 25, "tok",
-        min_tokens_per_doc=0).toPandas())
+        min_tokens_per_doc=1).toPandas())
+    b = _sorted(cap_tokens_per_group(
+        docs, ["src"], [("doc_id", True)], 25, "tok").toPandas())
     pd.testing.assert_frame_equal(a, b)
 
     with pytest.raises(ValueError, match="budget"):
@@ -333,11 +347,11 @@ def test_token_cap_prefilter_plan(spark):
         [(i, "s", 1) for i in range(50)], "doc_id long, src string, tok long"
     )
     with_pf = cap_tokens_per_group(
-        docs, ["src"], [("doc_id", True)], 10, "tok"
+        docs, ["src"], [("doc_id", True)], 10, "tok", min_tokens_per_doc=1
     )
     ops = operator_names(with_pf)
     assert "WindowGroupLimit" in ops, ops
     without = cap_tokens_per_group(
-        docs, ["src"], [("doc_id", True)], 10, "tok", min_tokens_per_doc=0
+        docs, ["src"], [("doc_id", True)], 10, "tok"
     )
     assert "WindowGroupLimit" not in operator_names(without)

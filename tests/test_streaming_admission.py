@@ -275,6 +275,32 @@ def test_token_admission_chrono_continuation_and_closure(
     assert (totals > budget).any()
 
 
+def test_token_admission_fractional_straddle(spark, staged_chrono):
+    """Every key stays OPEN across the first micro-batch boundary with
+    a FRACTIONAL token column — the carried ``consumed`` state must
+    keep its fractional part (double state; ADVICE r13: a long state
+    truncated the running sum at each batch edge, so the stream
+    admitted rows the batch op drops whenever the true cum crossed the
+    budget inside the truncated gap)."""
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["value"] = ev["value"].fillna(0.0)
+    totals = ev.groupby("event_type")["value"].sum()
+    budget = float(round(totals.min() * 0.7, 2))
+    # the scenario precondition: every key is open entering batch 2
+    # (batch-1 sum < budget) and closes before the stream ends
+    mid = ev["ts"].sort_values().iloc[len(ev) // 2]
+    b1 = ev[ev["ts"] <= mid].groupby("event_type")["value"].sum()
+    assert (b1 < budget).all() and (totals > budget).all(), (b1, budget)
+    # the carried boundary state is genuinely fractional somewhere
+    assert (b1 != b1.round()).any(), b1
+    got = _replay_tokens(spark, staged_chrono, budget, max_files=1)
+    exp = _batch_token_cap(spark, budget).toPandas()
+    assert len(got) == len(exp)
+    got_s = got.sort_values(["event_id"], ignore_index=True)[exp.columns]
+    exp_s = exp.sort_values(["event_id"], ignore_index=True)
+    pd.testing.assert_frame_equal(got_s, exp_s)
+
+
 def test_token_admission_validates_args(spark, staged_single):
     from pandasql_spark.streaming import admit_tokens_per_key_stream
 
