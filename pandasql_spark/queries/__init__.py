@@ -163,7 +163,7 @@ REGISTRY: dict[str, QueryDef] = {
     ),
     "q77_source_caps": QueryDef(
         q77_source_caps, Q77_SQL,
-        "per-source document caps: hot-key-safe two-phase exact top-n per group",
+        "per-source caps, doc-count + token-budget prefix (hot-key-safe)",
     ),
     "q78_sampled_quantiles": QueryDef(
         q78_sampled_quantiles, Q78_SQL,

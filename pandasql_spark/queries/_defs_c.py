@@ -45,27 +45,57 @@ _Q80_MEDIA_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 _Q80_MEDIA_LOCK = threading.Lock()
 
 def q77_source_caps(spark: SparkSession, sf: str) -> SparkDataFrame:
-    """Per-source document caps (operators/caps.py:cap_per_group): keep
-    the top 10 documents of each source by (n_chars desc, doc_id asc)
-    — the cap binds at every SF (sources hold 25 docs at sf0.01).
-    The implementation is the hot-key-safe two-phase selection — a
-    no-shuffle partial top-n per partition, then the rank window over
-    ≤ n×P survivors — and the oracle is the NAIVE window in SQL, so a
-    green row proves the two-phase plan is row-for-row exact."""
-    from pandasql_spark.operators.caps import cap_per_group
+    """Per-source corpus caps, both budget kinds (operators/caps.py):
+
+    - stage ``doc_cap`` — cap_per_group: the top 10 documents of each
+      source by (n_chars desc, doc_id asc). The cap binds at every SF
+      (sources hold 25 docs at sf0.01). The implementation is the
+      hot-key-safe two-phase selection — a no-shuffle partial top-n
+      per partition (native WindowGroupLimit), then the rank window
+      over ≤ n×P survivors — and the oracle is the NAIVE window in
+      SQL, so a green row proves the two-phase plan is row-for-row
+      exact.
+    - stage ``tok_cap`` — cap_tokens_per_group (the r14 IOU,
+      collected): each source's maximal order-prefix whose running
+      token sum stays ≤ 400, walked in the same (n_chars desc,
+      doc_id asc) order over a deterministic token column
+      (n_chars % 89 — includes genuine zero-token rows, which ride
+      through under the default min_tokens_per_doc=0). The oracle is
+      the SUM ... ROWS UNBOUNDED PRECEDING cumsum filter; probed on
+      this corpus: the budget binds at every SF, a zero-token row is
+      kept inside the prefix at sf0.001/sf0.1, and an EXACT-budget
+      tie (cum == 400, kept by ≤) occurs at sf0.001 and sf0.1 — the
+      boundary cases the property suite pins, live under the
+      driver's gate."""
+    from pandasql_spark.operators.caps import cap_per_group, cap_tokens_per_group
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    capped = cap_per_group(
-        docs,
+    order = [("n_chars", False), ("doc_id", True)]
+    capped = cap_per_group(docs, keys=["source"], order_by=order, n=10)
+    toked = cap_tokens_per_group(
+        docs.withColumn("toks", (F.col("n_chars") % 89).cast("long")),
         keys=["source"],
-        order_by=[("n_chars", False), ("doc_id", True)],
-        n=10,
+        order_by=order,
+        budget=400,
+        token_col="toks",
     )
-    return capped.select("doc_id", "source", "n_chars")
+    return capped.select(
+        F.lit("doc_cap").alias("stage"),
+        "doc_id",
+        "source",
+        "n_chars",
+        F.lit(None).cast("long").alias("toks"),
+    ).unionByName(
+        toked.select(
+            F.lit("tok_cap").alias("stage"), "doc_id", "source",
+            "n_chars", "toks",
+        )
+    )
 
 
 Q77_SQL = """
-SELECT doc_id, source, n_chars
+SELECT 'doc_cap' AS stage, doc_id, source, n_chars,
+       CAST(NULL AS BIGINT) AS toks
 FROM (
   SELECT doc_id, source, n_chars,
          row_number() OVER (
@@ -74,6 +104,17 @@ FROM (
   FROM documents
 )
 WHERE rn <= 10
+UNION ALL
+SELECT 'tok_cap', doc_id, source, n_chars, toks
+FROM (
+  SELECT doc_id, source, n_chars, n_chars % 89 AS toks,
+         sum(n_chars % 89) OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS cum
+  FROM documents
+)
+WHERE cum <= 400
 """
 
 
