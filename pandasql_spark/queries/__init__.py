@@ -243,7 +243,7 @@ REGISTRY: dict[str, QueryDef] = {
     ),
     "q97_stream_admission": QueryDef(
         q97_stream_admission, Q97_SQL,
-        "streaming per-key admission caps (counter state, append mode)",
+        "streaming admission caps: first-n counter + cross-batch token budget",
     ),
     "q98_bigram_lm": QueryDef(
         q98_bigram_lm, Q98_SQL,

@@ -1698,35 +1698,77 @@ FROM t WHERE n % 11 = 0
 
 def q97_stream_admission(spark: SparkSession, sf: str) -> SparkDataFrame:
     """Streaming per-key admission caps through the REAL streaming
-    engine (streaming/admission.py:admit_per_key_stream —
-    applyInPandasWithState with ONE counter per key, append mode): the
-    first 40 events per event_type are admitted, the rest dropped at
-    the door. The single-file testdata replays as one micro-batch
-    whose per-group rows are sorted by (ts, event_id) before
-    admission, so the result equals the batch first-n-by-(ts,
-    event_id) pick — which the oracle computes with a rank window.
-    Cross-batch counter continuation (the state part) is pinned by
-    tests/test_streaming_admission.py's chronological two-file replay.
-    Tenth gate-checked streaming surface."""
-    from pandasql_spark.streaming.admission import admit_per_key_stream
-    from pandasql_spark.streaming.events import _replay
+    engine (streaming/admission.py), both budget kinds:
 
-    return _replay(
+    - stage ``first_n`` — admit_per_key_stream
+      (applyInPandasWithState, ONE counter per key, append mode): the
+      first 40 events per event_type are admitted, the rest dropped
+      at the door. Single-file replay = one micro-batch whose
+      per-group rows sort by (ts, event_id) before admission, so the
+      result equals the batch first-n pick (rank-window oracle).
+    - stage ``token_budget`` — admit_tokens_per_key_stream (the r14
+      fold): lifetime running sum of ``value`` per event_type, key
+      closed at first overflow, replayed as THREE (ts, event_id)-
+      ordered micro-batches (events.replay_time_ordered, the q99
+      recipe) so the budget genuinely STRADDLES batch boundaries —
+      the fractional `consumed` double state carries across batch
+      edges (ADVICE r13 fix, now under the driver's oracle). The
+      budget is scale-adaptive — round(Σvalue/10), ~half of each
+      key's total, so every key is open after batch 1 and closes in
+      batch 2 at every SF; probed: min |cum − budget| ≥ 0.6 and the
+      round() boundary distance ≥ 0.08 across SFs — orders of
+      magnitude beyond cross-engine float drift. With monotone
+      chunking the replay equals the batch closed form the oracle's
+      cumsum window recomputes. Tenth gate-checked streaming
+      surface."""
+    from pandasql_spark.streaming.admission import (
+        admit_per_key_stream,
+        admit_tokens_per_key_stream,
+    )
+    from pandasql_spark.streaming.events import _replay, replay_time_ordered
+
+    path = f"{sf}/events.parquet"
+    first_n = _replay(
         spark,
-        f"{sf}/events.parquet",
+        path,
         lambda ev: admit_per_key_stream(ev, "event_type", 40),
         "q97_admission_replay",
         output_mode="append",
     )
+    total = spark.read.parquet(path).agg(F.sum("value")).first()[0]
+    budget = float(round(total / 10))
+    tokens = replay_time_ordered(
+        spark,
+        path,
+        lambda ev: admit_tokens_per_key_stream(
+            ev, "event_type", budget, "value"
+        ),
+        "q97_token_admission_replay",
+        n_batches=3,
+    )
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    return first_n.select(F.lit("first_n").alias("stage"), *cols).unionByName(
+        tokens.select(F.lit("token_budget").alias("stage"), *cols)
+    )
 
 
 Q97_SQL = """
-SELECT event_id, ts, user_id, event_type, value, props FROM (
+SELECT 'first_n' AS stage, event_id, ts, user_id, event_type, value, props
+FROM (
   SELECT *, row_number() OVER (
     PARTITION BY event_type ORDER BY ts, event_id
   ) AS rn
   FROM events
 ) WHERE rn <= 40
+UNION ALL
+SELECT 'token_budget', event_id, ts, user_id, event_type, value, props
+FROM (
+  SELECT *, sum(value) OVER (
+    PARTITION BY event_type ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING
+  ) AS cum
+  FROM events
+) WHERE cum <= (SELECT round(sum(value) / 10) FROM events)
 """
 
 

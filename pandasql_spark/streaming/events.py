@@ -445,6 +445,46 @@ def replay_stream_dedup(
     return spark.table(query_name)
 
 
+def replay_time_ordered(
+    spark: SparkSession,
+    events_path: str,
+    build_agg,
+    query_name: str,
+    n_batches: int = 3,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Time-ordered MULTI-batch replay: stage the bounded events table
+    as ``n_batches`` (ts, event_id)-ordered single-file chunks
+    (`stage_ordered_chunks`) and stream them one per micro-batch
+    (``maxFilesPerTrigger=1``) through ``build_agg`` into a memory
+    sink. Where `_replay` collapses the corpus into ONE micro-batch,
+    this replay makes cross-batch state real: lifetime counters/budgets
+    straddle batch boundaries, and monotone (ts, event_id) chunking
+    means the result still equals the batch closed form — the q99
+    recipe, reusable for any events-table stateful operator."""
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="evchunks_")
+    ev = spark.read.parquet(events_path)
+    stage_ordered_chunks(ev, n_batches, ["ts", "event_id"], stage)
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    agg = build_agg(stream)
+    with bounded_replay_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(query_name)
+
+
 def _replay(spark, events_path, build_agg, query_name, output_mode="complete") -> DataFrame:
     """Shared bounded-replay harness: stage the file, pick a stream
     schema off the file's physical ts type, run build_agg(stream) into a
