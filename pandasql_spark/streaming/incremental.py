@@ -61,6 +61,60 @@ from pandasql_spark.operators.dedup import (
 
 DOC_SCHEMA = "doc_id long, text string"
 
+# Fingerprint-method VERSIONS: the r13 fold-order fix (dedup.py — the
+# perturbing literal now hashes first) changed every xxhash128 value,
+# so a store persisted before it silently loses ALL history on upgrade
+# (no fp ever matches again; every duplicate resurfaces). The store
+# carries a `_FP_METHOD` marker naming method+version; a mismatch
+# raises instead of silently degrading (ADVICE r13). xxhash (64-bit)
+# values never changed, so legacy marker-less xxhash stores adopt the
+# marker in place.
+_FP_METHOD_VERSION = {"xxhash": "xxhash", "xxhash128": "xxhash128-v2"}
+
+
+def _check_store_fp_method(store_dir: str, fingerprint: str) -> None:
+    """Enforce the store's fingerprint method/version marker; adopt it
+    for new (or legacy-compatible) stores. Local filesystems only —
+    on a remote store (hdfs://, s3a://) the marker is skipped and the
+    version contract is the operator docstring's (use a table format
+    with schema/properties there)."""
+    local = store_dir
+    if local.startswith("file:"):
+        from urllib.parse import urlparse
+
+        local = urlparse(local).path or local[len("file:"):]
+    elif "://" in local:
+        return
+    marker = os.path.join(local, "_FP_METHOD")
+    want = _FP_METHOD_VERSION[fingerprint]
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            have = fh.read().strip()
+        if have != want:
+            raise ValueError(
+                f"substring-dedup store {store_dir!r} was written with "
+                f"fingerprint method {have!r} but this run uses {want!r}: "
+                "fingerprints would never match and every historical "
+                "duplicate would silently resurface. Re-ingest into a "
+                "fresh store_dir, or pass the store's original "
+                "fingerprint."
+            )
+        return
+    if fingerprint == "xxhash128" and os.path.isdir(
+        os.path.join(local, "winfps")
+    ):
+        raise ValueError(
+            f"substring-dedup store {store_dir!r} has xxhash128 history "
+            "but no _FP_METHOD marker — it predates the xxhash128 "
+            "fold-order fix and its fingerprint values are incompatible "
+            "with this version (history would be silently lost). "
+            "Re-ingest into a fresh store_dir."
+        )
+    os.makedirs(local, exist_ok=True)
+    with open(marker + ".tmp", "w") as fh:
+        fh.write(want)
+    os.replace(marker + ".tmp", marker)
+
 
 def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """Read a store table, or an empty frame before the first batch.
@@ -363,6 +417,7 @@ def process_substring_batch(
             "store fingerprints must be JVM-hash keys: 'xxhash' or "
             f"'xxhash128', got {fingerprint!r}"
         )
+    _check_store_fp_method(store_dir, fingerprint)
     fp_of, fp_arr_type = _WINDOW_FP[fingerprint]
     fp_store_type = (
         "long" if fingerprint == "xxhash" else "struct<h1:bigint,h2:bigint>"
@@ -497,7 +552,16 @@ def compact_substring_store(
     which is exactly the between-runs condition."""
     import shutil
 
-    if "://" in store_dir and not store_dir.startswith("file:"):
+    if store_dir.startswith("file:"):
+        # normalize to a plain local path: every os/shutil call below
+        # treats store_dir as one, and a raw file:// URI would make
+        # isdir() False → a silent no-op, the exact failure the
+        # non-local guard exists to prevent (ADVICE r13). Spark reads
+        # the plain path identically.
+        from urllib.parse import urlparse
+
+        store_dir = urlparse(store_dir).path or store_dir[len("file:"):]
+    elif "://" in store_dir:
         raise ValueError(
             "compact_substring_store manipulates the store with local "
             f"os/shutil calls; non-local store_dir {store_dir!r} is not "
@@ -522,13 +586,24 @@ def compact_substring_store(
         os.remove(marker)
 
     if os.path.exists(marker):
-        # previous compaction crashed mid-swap — finish or clear it
-        with open(marker) as fh:
-            prev_target = int(fh.read().strip())
-        if os.path.isdir(tmp):
-            _finish_swap(prev_target)
+        # previous compaction crashed mid-swap — finish or clear it.
+        # The marker is written atomically (temp + rename below), so a
+        # parse failure means a FOREIGN/corrupt file, not a mid-write
+        # crash; and since partitions are only deleted after a valid
+        # marker exists, an unparsable marker implies the store is
+        # intact — clear the debris and start fresh rather than wedge
+        # every later call (ADVICE r13).
+        try:
+            with open(marker) as fh:
+                prev_target = int(fh.read().strip())
+        except ValueError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.remove(marker)
         else:
-            os.remove(marker)  # swap had completed; only cleanup died
+            if os.path.isdir(tmp):
+                _finish_swap(prev_target)
+            else:
+                os.remove(marker)  # swap had completed; only cleanup died
     if not os.path.isdir(path):
         return 0
     ids = sorted(
@@ -545,8 +620,13 @@ def compact_substring_store(
     shutil.rmtree(tmp, ignore_errors=True)
     store.select("fp").distinct().write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
-    with open(marker, "w") as fh:
+    # atomic marker: a crash mid-write must never leave a partial file
+    # that wedges recovery — write aside, fsync, rename into place
+    with open(marker + ".tmp", "w") as fh:
         fh.write(str(target))
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(marker + ".tmp", marker)
     _finish_swap(target)
     return n
 

@@ -340,3 +340,96 @@ def test_compaction_crash_recovery(spark, tmp_path):
         fh.write("1")
     assert compact_substring_store(spark, store) == before
     assert not os.path.exists(marker)
+
+
+def test_compaction_file_uri_and_corrupt_marker(spark, tmp_path):
+    """r14 hardening: a file:// store_dir is normalized to a local
+    path (previously isdir() on the URI was False and compaction
+    silently returned 0 — the no-op the non-local guard exists to
+    prevent); an unparsable _COMPACTING marker with staging debris is
+    cleared and compaction proceeds instead of wedging every later
+    call on int()."""
+    import os
+
+    from pandasql_spark.streaming.incremental import (
+        compact_substring_store,
+        process_substring_batch,
+    )
+
+    store, surv = str(tmp_path / "store"), str(tmp_path / "surv")
+    passage = " ".join(f"w{i}" for i in range(5))
+    for i, text in enumerate(
+        [f"alpha {passage} beta", f"gamma {passage} delta"]
+    ):
+        b = spark.createDataFrame([(i, text)], "doc_id long, text string")
+        process_substring_batch(b, i, store, surv, k=5)
+    path = os.path.join(store, "winfps")
+    before = spark.read.parquet(path).select("fp").distinct().count()
+
+    n = compact_substring_store(spark, "file://" + store)
+    assert n == before, "file: URI must compact, not silently no-op"
+    parts = [d for d in os.listdir(path) if d.startswith("batch_id=")]
+    assert parts == ["batch_id=1"]
+
+    # corrupt (empty) marker, no staging dir: the store is intact by
+    # construction (partitions are deleted only after a VALID marker
+    # exists) — recovery clears the debris and compaction proceeds
+    marker = os.path.join(store, "_COMPACTING")
+    open(marker, "w").close()
+    os.makedirs(path + "_compact_tmp", exist_ok=True)
+    assert compact_substring_store(spark, store) == before
+    assert not os.path.exists(marker)
+    assert not os.path.exists(path + "_compact_tmp")
+
+
+def test_store_fp_method_marker(spark, tmp_path):
+    """The substring store records its fingerprint method+version
+    (_FP_METHOD): mixing methods raises; a marker-less store with
+    xxhash128 history predates the r13 fold-order fix (its values are
+    incompatible) and raises instead of silently resurfacing every
+    duplicate; marker-less xxhash history is value-compatible and
+    adopts the marker in place."""
+    import os
+
+    import pytest
+
+    from pandasql_spark.streaming.incremental import (
+        process_substring_batch,
+    )
+
+    passage = " ".join(f"w{i}" for i in range(5))
+
+    def batch(i):
+        return spark.createDataFrame(
+            [(i, f"doc{i} {passage} tail{i}")], "doc_id long, text string"
+        )
+
+    # method mismatch on a marked store raises
+    store, surv = str(tmp_path / "a"), str(tmp_path / "a_surv")
+    process_substring_batch(batch(0), 0, store, surv, k=5)
+    assert open(os.path.join(store, "_FP_METHOD")).read() == "xxhash"
+    with pytest.raises(ValueError, match="fingerprint method"):
+        process_substring_batch(
+            batch(1), 1, store, surv, k=5, fingerprint="xxhash128"
+        )
+
+    # marker-less xxhash128 history: incompatible legacy store, raises
+    store2, surv2 = str(tmp_path / "b"), str(tmp_path / "b_surv")
+    process_substring_batch(
+        batch(0), 0, store2, surv2, k=5, fingerprint="xxhash128"
+    )
+    assert (
+        open(os.path.join(store2, "_FP_METHOD")).read() == "xxhash128-v2"
+    )
+    os.remove(os.path.join(store2, "_FP_METHOD"))
+    with pytest.raises(ValueError, match="fold-order"):
+        process_substring_batch(
+            batch(1), 1, store2, surv2, k=5, fingerprint="xxhash128"
+        )
+
+    # marker-less xxhash history: values never changed — adopts marker
+    store3, surv3 = str(tmp_path / "c"), str(tmp_path / "c_surv")
+    process_substring_batch(batch(0), 0, store3, surv3, k=5)
+    os.remove(os.path.join(store3, "_FP_METHOD"))
+    process_substring_batch(batch(1), 1, store3, surv3, k=5)
+    assert open(os.path.join(store3, "_FP_METHOD")).read() == "xxhash"
