@@ -1685,14 +1685,25 @@ FROM a3 LEFT JOIN dropped d ON a3.vec_id = d.vec_id
 
 
 def q70_mixture_resample(spark: SparkSession, sf: str) -> SparkDataFrame:
-    """Domain-mixture resampling (operators/sampling.py
-    resample_to_mixture): apply a weight recipe (en:de:es:fr:zh =
-    2:2:3:2:1) to a 400-row budget over the documents corpus.
-    Largest-remainder apportionment (deterministic, integer weights ⇒
-    bit-identical float arithmetic cross-engine), md5-rank row
-    selection within strata, and an undersized stratum (es target 120 >
-    73 available) exercising the no-redistribution cap. The oracle
-    reproduces apportionment AND selection in SQL."""
+    """Two data-selection recipes over the documents corpus, staged:
+
+    - stage ``mixture`` — resample_to_mixture (operators/sampling.py):
+      apply a weight recipe (en:de:es:fr:zh = 2:2:3:2:1) to a 400-row
+      budget. Largest-remainder apportionment (deterministic, integer
+      weights ⇒ bit-identical float arithmetic cross-engine), md5-rank
+      row selection within strata, and an undersized stratum (es
+      target 120 > 73 available) exercising the no-redistribution
+      cap. The oracle reproduces apportionment AND selection in SQL.
+    - stage ``dsir`` — dsir_select (operators/dsir.py, the r14 fold):
+      the 60 most target-like documents under hashed-n-gram
+      importance weights (Xie et al. 2023), target = the corpus's own
+      en slice. The oracle recomputes the full method in SQL —
+      md5-bucket featurizer (8192 buckets), add-1 bucket models,
+      per-doc Σ c·λ log-weight rounded to 6 (the q72 recipe), top-60
+      by (logweight desc, doc_id). Probed cross-engine before the
+      fold: 0 round-6 mismatches at sf0.001/sf0.01 and a k-boundary
+      gap of 0.25/0.06 — orders of magnitude beyond ln/sum drift."""
+    from pandasql_spark.operators.dsir import dsir_select
     from pandasql_spark.operators.sampling import resample_to_mixture
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
@@ -1703,7 +1714,17 @@ def q70_mixture_resample(spark: SparkSession, sf: str) -> SparkDataFrame:
         total_n=400,
         id_col="doc_id",
     )
-    return out.select("doc_id", "lang")
+    mix = out.select(
+        F.lit("mixture").alias("stage"),
+        "doc_id",
+        "lang",
+        F.lit(None).cast("double").alias("logweight"),
+    )
+    sel = dsir_select(docs, docs.filter(F.col("lang") == "en"), k=60)
+    dsir = docs.join(F.broadcast(sel), "doc_id").select(
+        F.lit("dsir").alias("stage"), "doc_id", "lang", "logweight"
+    )
+    return mix.unionByName(dsir)
 
 
 Q70_SQL = """
@@ -1729,10 +1750,54 @@ ranked AS (
            PARTITION BY lang
            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
   FROM documents
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+uni AS (SELECT doc_id, unnest(ts) AS g FROM toks),
+bi0 AS (SELECT doc_id, unnest(ts[1:len(ts)-1]) AS w1, unnest(ts[2:len(ts)]) AS w2
+        FROM toks WHERE len(ts) >= 2),
+grams AS (SELECT doc_id, g FROM uni
+          UNION ALL SELECT doc_id, w1 || ' ' || w2 FROM bi0),
+db AS (SELECT doc_id,
+              CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 8192
+                AS bucket
+       FROM grams),
+rawc AS (SELECT doc_id, bucket, count(*) AS c FROM db GROUP BY doc_id, bucket),
+r AS (SELECT bucket, sum(c) AS rcnt FROM rawc GROUP BY bucket),
+ttoks AS (SELECT string_split(text, ' ') AS ts FROM documents WHERE lang = 'en'),
+tuni AS (SELECT unnest(ts) AS g FROM ttoks),
+tbi0 AS (SELECT unnest(ts[1:len(ts)-1]) AS w1, unnest(ts[2:len(ts)]) AS w2
+         FROM ttoks WHERE len(ts) >= 2),
+tgrams AS (SELECT g FROM tuni UNION ALL SELECT w1 || ' ' || w2 FROM tbi0),
+t AS (SELECT CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 8192
+               AS bucket,
+             count(*) AS cnt
+      FROM tgrams GROUP BY 1),
+lam AS (
+  SELECT r.bucket,
+         ln(coalesce(t.cnt, 0) + 1.0)
+         - ln((SELECT sum(cnt) FROM t) + 8192.0)
+         - ln(r.rcnt + 1.0)
+         + ln((SELECT sum(rcnt) FROM r) + 8192.0) AS lam
+  FROM r LEFT JOIN t USING (bucket)
+),
+lw AS (
+  SELECT doc_id, round(sum(c * lam), 6) AS logweight
+  FROM rawc JOIN lam USING (bucket)
+  GROUP BY doc_id
+),
+sel AS (
+  SELECT doc_id, logweight,
+         row_number() OVER (ORDER BY logweight DESC, doc_id) AS rk
+  FROM lw
 )
-SELECT r.doc_id, r.lang
+SELECT 'mixture' AS stage, r.doc_id, r.lang,
+       CAST(NULL AS DOUBLE) AS logweight
 FROM ranked r JOIN tgt USING (lang)
 WHERE r.rk <= tgt.n
+UNION ALL
+SELECT 'dsir', d.doc_id, d.lang, s.logweight
+FROM sel s JOIN documents d USING (doc_id)
+WHERE s.rk <= 60
 """
 
 
