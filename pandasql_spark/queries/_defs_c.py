@@ -1725,26 +1725,31 @@ def q97_stream_admission(spark: SparkSession, sf: str) -> SparkDataFrame:
         admit_per_key_stream,
         admit_tokens_per_key_stream,
     )
-    from pandasql_spark.streaming.events import _replay, replay_time_ordered
+    from pandasql_spark.streaming.events import replay_staged, stage_time_ordered
 
     path = f"{sf}/events.parquet"
-    first_n = _replay(
+    # ONE staging write serves both replays (staging = a full sort+write
+    # of the table, the biggest fixed cost here): first_n collapses the
+    # staged chunks into a single micro-batch (files_per_trigger=None —
+    # the original _replay shape, intra-batch order from the operator's
+    # per-group sort), the token stage streams them one per batch.
+    stage = stage_time_ordered(spark, path, n_batches=3)
+    first_n = replay_staged(
         spark,
-        path,
+        stage,
         lambda ev: admit_per_key_stream(ev, "event_type", 40),
         "q97_admission_replay",
-        output_mode="append",
+        files_per_trigger=None,
     )
     total = spark.read.parquet(path).agg(F.sum("value")).first()[0]
     budget = float(round(total / 10))
-    tokens = replay_time_ordered(
+    tokens = replay_staged(
         spark,
-        path,
+        stage,
         lambda ev: admit_tokens_per_key_stream(
             ev, "event_type", budget, "value"
         ),
         "q97_token_admission_replay",
-        n_batches=3,
     )
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     return first_n.select(F.lit("first_n").alias("stage"), *cols).unionByName(

@@ -445,6 +445,53 @@ def replay_stream_dedup(
     return spark.table(query_name)
 
 
+def stage_time_ordered(
+    spark: SparkSession, events_path: str, n_batches: int
+) -> str:
+    """Stage the bounded events table as ``n_batches`` (ts, event_id)-
+    ordered single-file chunks in a temp dir and return the dir —
+    split out of `replay_time_ordered` so several replays over the
+    same corpus can SHARE one staging write (staging is the single
+    biggest fixed cost of a bounded replay: one full sort+write of
+    the table)."""
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="evchunks_")
+    ev = spark.read.parquet(events_path)
+    stage_ordered_chunks(ev, n_batches, ["ts", "event_id"], stage)
+    return stage
+
+
+def replay_staged(
+    spark: SparkSession,
+    stage_dir: str,
+    build_agg,
+    query_name: str,
+    output_mode: str = "append",
+    files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Replay an already-staged chunk dir through ``build_agg`` into a
+    memory sink. ``files_per_trigger=1`` streams one chunk per
+    micro-batch (cross-batch state real); ``None`` collapses every
+    staged file into ONE micro-batch (the `_replay` shape, without
+    re-staging — intra-batch determinism then comes from the
+    operator's own per-group sort)."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", files_per_trigger)
+    agg = build_agg(reader.parquet(stage_dir))
+    with bounded_replay_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(query_name)
+
+
 def replay_time_ordered(
     spark: SparkSession,
     events_path: str,
@@ -462,27 +509,8 @@ def replay_time_ordered(
     straddle batch boundaries, and monotone (ts, event_id) chunking
     means the result still equals the batch closed form — the q99
     recipe, reusable for any events-table stateful operator."""
-    import tempfile
-
-    stage = tempfile.mkdtemp(prefix="evchunks_")
-    ev = spark.read.parquet(events_path)
-    stage_ordered_chunks(ev, n_batches, ["ts", "event_id"], stage)
-    stream = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-    )
-    agg = build_agg(stream)
-    with bounded_replay_shuffle(spark):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(query_name)
+    stage = stage_time_ordered(spark, events_path, n_batches)
+    return replay_staged(spark, stage, build_agg, query_name, output_mode)
 
 
 def _replay(spark, events_path, build_agg, query_name, output_mode="complete") -> DataFrame:
