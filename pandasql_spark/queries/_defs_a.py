@@ -1139,25 +1139,55 @@ WHERE l_orderkey <= (SELECT CAST(floor(CAST(max(l_orderkey) AS DOUBLE) * 0.2) AS
 
 
 def q61_stratified_sample(spark: SparkSession, sf: str) -> SparkDataFrame:
-    """Deterministic exact stratified sampling
-    (operators/sampling.py:stratified_sample_exact): exactly 40 docs per
-    language, chosen by md5-rank of the doc id — an order uncorrelated
-    with content but identical on every engine, so the oracle reproduces
-    the SAME sample row-for-row in DuckDB. The curation primitive for
-    balanced training mixes; the approximate scale path (native
-    sampleBy) is covered in tests/test_sampling.py."""
+    """Deterministic uniform sampling, batch AND streaming, staged:
+
+    - stage ``strata`` — stratified_sample_exact
+      (operators/sampling.py): exactly 40 docs per language, chosen by
+      md5-rank of the doc id — an order uncorrelated with content but
+      identical on every engine, so the oracle reproduces the SAME
+      sample row-for-row in DuckDB. The curation primitive for
+      balanced training mixes; the approximate scale path (native
+      sampleBy) is covered in tests/test_sampling.py.
+    - stage ``stream_sample`` — priority_sample_per_key
+      (streaming/sample.py, the r14 fold): the SAME md5-priority
+      bottom-k semantics run through the REAL streaming engine
+      (applyInPandasWithState, ≤k (priority, id) pairs of state per
+      key, update mode — the q76 KMV recipe) over the events table,
+      k=25 per event_type. Membership is fully value-checked through
+      n/Σid/min/max of the sampled ids (any membership flip moves
+      Σid); the oracle recomputes the bottom-k pick with the rank
+      window. Twelfth gate-checked streaming surface; multi-batch
+      merge equivalence pinned in tests/test_streaming_sample.py."""
     from pandasql_spark.operators.sampling import stratified_sample_exact
+    from pandasql_spark.streaming.sample import replay_priority_sample
 
     docs = spark.read.parquet(f"{sf}/documents.parquet").select(
         "doc_id", "lang", "n_chars"
     )
     samp = stratified_sample_exact(docs, "lang", 40, "doc_id")
-    return samp.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("sum_chars"),
+    strata = samp.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("total"),
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
+    ).select(
+        F.lit("strata").alias("stage"), F.col("lang").alias("key"),
+        "n", "total", "min_id", "max_id",
     )
+    stream = replay_priority_sample(
+        spark, f"{sf}/events.parquet", k=25,
+        query_name="q61_priority_sample_replay",
+    ).select(
+        F.lit("stream_sample").alias("stage"),
+        F.col("event_type").alias("key"),
+        F.col("n_sample").alias("n"),
+        F.aggregate(
+            "sample_ids", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("total"),
+        F.array_min("sample_ids").alias("min_id"),
+        F.array_max("sample_ids").alias("max_id"),
+    )
+    return strata.unionByName(stream)
 
 
 Q61_SQL = """
@@ -1166,13 +1196,26 @@ WITH ranked AS (
          row_number() OVER (PARTITION BY lang
                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
   FROM documents
+),
+eranked AS (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY md5(CAST(event_id AS VARCHAR)),
+                                     event_id) AS r
+  FROM events WHERE event_id IS NOT NULL
 )
-SELECT lang,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+SELECT 'strata' AS stage, lang AS key,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS total,
        min(doc_id) AS min_id,
        max(doc_id) AS max_id
 FROM ranked WHERE r <= 40 GROUP BY lang
+UNION ALL
+SELECT 'stream_sample', event_type,
+       CAST(count(*) AS BIGINT),
+       CAST(sum(event_id) AS BIGINT),
+       min(event_id), max(event_id)
+FROM eranked WHERE r <= 25 GROUP BY event_type
 """
 
 
