@@ -112,7 +112,18 @@ def score_against(
 
 def bigram_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(w1, w2) adjacent-token pairs, one row per occurrence — the
-    JVM-side explode both bigram passes share."""
+    JVM-side explode both bigram passes share.
+
+    The coalesce wrappers are NULLABILITY declarations, not semantics:
+    split-token array elements are never null, but Catalyst can't
+    prove it, and nullable join keys made the model join inject
+    isnotnull filters asymmetrically below the pair-counts exchange —
+    its two consumers (context counts and the model probe) then
+    canonicalized differently and AQE exchange reuse silently died,
+    re-running the whole corpus explode+count for the context pass
+    (caught r14 by reading the executed plan: 3 corpus scans where
+    the docstring promised 2; the dsir.py bucket column hit the same
+    trap). Plan-pinned in test_lm.py."""
     toks = tokens(text_col)
     n = F.size(toks)
     pairs = F.arrays_zip(
@@ -122,7 +133,10 @@ def bigram_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         df.filter(n >= 2)
         .select(F.explode(pairs).alias("p"))
-        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .select(
+            F.coalesce(F.col("p.w1"), F.lit("")).alias("w1"),
+            F.coalesce(F.col("p.w2"), F.lit("")).alias("w2"),
+        )
     )
 
 

@@ -312,3 +312,23 @@ FROM j JOIN cuts USING (lang)
     for d, t in want.items():
         assert got[d][0] == t, (d, got[d], t)
         assert got[d][1] == ("head", "middle", "tail")[t]
+
+
+def test_bigram_context_pass_reuses_pair_exchange(spark):
+    """bigram_logprob_scores derives context counts c(w1,·) off the
+    pair-counts table; the EXECUTED plan must serve both the model
+    probe and the context pass from ONE pair-count shuffle (AQE
+    ReusedExchange): exactly TWO parquet scans — the score pass's
+    pair explode and the count pass's map side — never a third corpus
+    pass for the contexts. Regression pin for the r14 nullability
+    fix in bigram_pairs (nullable join keys broke exchange-reuse
+    canonicalization and silently re-ran the corpus explode)."""
+    from pandasql_spark.operators.lm import bigram_logprob_scores
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = bigram_logprob_scores(docs)
+    out.collect()  # exchange reuse is finalized by AQE at runtime
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 2, final
+    assert "ReusedExchange" in final, final
