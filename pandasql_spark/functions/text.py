@@ -242,20 +242,32 @@ def tfidf_top_terms(
     """Per-document top-k TF-IDF terms — the classic keyword-extraction
     pass of a corpus pipeline. Returns (id, term, tf, df_ct, tfidf, rank).
 
-    Plan: explode tokens → TF per (doc, term) [one shuffle] → DF per
-    term [reuses the same exchange] → smooth-idf score → per-doc window
-    top-k. Ties broken lexicographically for determinism. All JVM-side;
-    at 100 TB the (doc, term) table is the big intermediate — it is
-    never wider than (id, term, count) and aggregates map-side first.
+    Plan: explode tokens → TF per (doc, term) [one shuffle, slim
+    (id, term, count) rows, map-side combined] → localCheckpoint
+    barrier → DF per term + the scoring join both read the barrier →
+    smooth-idf score → per-doc window top-k. Ties broken
+    lexicographically for determinism. All JVM-side.
+
+    The barrier is load-bearing, not a cache hint: the DF branch
+    prunes the unused tf count out of ITS copy of the TF aggregate,
+    so the two subtrees canonicalize differently and exchange reuse
+    can never unify them — without the barrier the plan re-ran the
+    full corpus scan+explode just to count document frequencies
+    (caught r14 by reading the executed plan; the retrieval.py BM25
+    df-count had the identical bug). Plan-pinned in
+    test_retrieval.py.
 
     tfidf = tf * ln((N + 1) / (df + 1)) (smooth idf, sklearn-style
     minus the +1 floor), rounded to 6 for cross-engine comparison.
     """
     from pyspark.sql.window import Window
 
+    from ..operators.cache import attach_cleanup, tracked_local_checkpoint
+
     n_docs = df.count()
     tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term"))
     tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf, release = tracked_local_checkpoint(tf, eager=False)
     dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_ct"))
     scored = tf.join(dfq, "term").select(
         "id",
@@ -268,7 +280,8 @@ def tfidf_top_terms(
         ).alias("tfidf"),
     )
     w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+    return attach_cleanup(out, release)

@@ -43,6 +43,7 @@ def bm25_scores(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    barrier: bool = True,
 ) -> DataFrame:
     """Score every document matching ≥1 query term.
 
@@ -52,6 +53,12 @@ def bm25_scores(
     partition orders/engines).
 
     score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+
+    ``barrier`` (default True) localCheckpoints the query-pruned
+    (doc, term, tf) table so the df-count branch and the scoring join
+    share one computation — see the inline note; barrier=False keeps
+    the full lineage (plan-inspection / debugging shape) at the cost
+    of a second corpus scan for the df counts.
     """
     terms = list(dict.fromkeys(query_terms))
     if not terms:
@@ -86,6 +93,20 @@ def bm25_scores(
     tf = tok.groupBy("doc_id", "dl", "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
+    # Barrier: tf feeds BOTH the df-count aggregate and the scoring
+    # join, but exchange reuse CANNOT unify them — column pruning
+    # rewrites the df-count branch's copy of the tf aggregate (the
+    # unused tf count is pruned out of it), so the two subtrees
+    # genuinely differ and the plan re-ran the whole corpus
+    # scan+explode for a |terms|-row count table (caught r14 by
+    # reading the executed plan; plan-pinned in test_retrieval.py).
+    # The checkpointed frame is the QUERY-PRUNED (doc, term) table —
+    # proportional to matching documents, never the corpus.
+    from .cache import attach_cleanup, tracked_local_checkpoint
+
+    release = None
+    if barrier:
+        tf, release = tracked_local_checkpoint(tf, eager=False)
     dfq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df_ct"))
 
     n = F.lit(float(n_docs))
@@ -96,7 +117,7 @@ def bm25_scores(
     denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
     per_term = idf * (F.col("tf") * (k1 + 1.0)) / denom
 
-    return (
+    out = (
         tf.join(dfq, "term")  # |query| rows — broadcast by AQE
         .groupBy("doc_id")
         .agg(
@@ -104,6 +125,7 @@ def bm25_scores(
             F.round(F.sum(per_term), 6).alias("bm25"),
         )
     )
+    return attach_cleanup(out, release) if release is not None else out
 
 
 def bm25_topk(

@@ -113,7 +113,9 @@ def test_filter_precedes_aggregation(corpus_df):
     # the isin prune must sit below the (doc, term) aggregate: the
     # optimized plan filters the exploded stream, so non-query terms
     # never reach the shuffle.
-    sdf = bm25_scores(corpus_df, ["join"])
+    # barrier=False keeps full lineage so the optimized plan is
+    # inspectable below the (doc, term) aggregate
+    sdf = bm25_scores(corpus_df, ["join"], barrier=False)
     opt = sdf._jdf.queryExecution().optimizedPlan().toString()
     agg_pos = opt.find("Aggregate")
     filt_pos = opt.find("Filter")
@@ -126,3 +128,29 @@ def test_empty_corpus_returns_empty_frame(spark):
     assert out.count() == 0
     assert out.columns == ["doc_id", "hit_terms", "bm25"]
     assert bm25_topk(empty, ["join"], k=3).count() == 0
+
+
+def test_df_count_branches_run_one_corpus_scan(spark):
+    """The df-count branch prunes the unused tf aggregate out of its
+    copy of the TF subtree, so exchange reuse can never unify it with
+    the scoring branch — the localCheckpoint barrier is what keeps
+    BM25 and TF-IDF at ONE corpus scan in the returned plan (r14
+    regression pin; without it both re-ran the full scan+explode to
+    count document frequencies). `Scan ExistingRDD` is the barrier."""
+    from pandasql_spark.functions.text import tfidf_top_terms
+    from pandasql_spark.operators.retrieval import bm25_scores
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for out in (
+        bm25_scores(docs, ["the", "data", "model"]),
+        tfidf_top_terms(docs, k=3),
+    ):
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        # the corpus scan runs exactly once, INSIDE the checkpoint
+        # materialization (RDD semantics); the returned plan reads the
+        # barrier on both branches and touches parquet zero times
+        assert final.count("Scan parquet") == 0, final
+        assert final.count("Scan ExistingRDD") == 2, final
+        out.cleanup()
