@@ -421,13 +421,18 @@ def jaccard_verified_neardup_pairs(
     # hashed shingle sets (not strings): the verify join ships both docs'
     # full sets per candidate pair, and 8-byte longs are ~3× smaller than
     # shingle strings on the wire — same rationale (and same negligible
-    # 64-bit-collision caveat) as ngram_jaccard_pairs
+    # 64-bit-collision caveat) as ngram_jaccard_pairs.
+    # persist(): the a-side and b-side joins otherwise each re-run the
+    # corpus scan + shingle + per-shingle xxhash64 — the heaviest
+    # per-row compute in the operator, done twice (r14, caught by the
+    # executed-plan scan audit; same family as the BM25 df-count
+    # re-scan).
     shs = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(
             F.transform(word_shingles(text_col, shingle_k), lambda s: F.xxhash64(s))
         ).alias("sh"),
-    )
+    ).persist()
     a = shs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = shs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -442,7 +447,7 @@ def jaccard_verified_neardup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return attach_cleanup(out, sigs)
+    return attach_cleanup(out, sigs, shs)
 
 
 def dedup_corpus(
