@@ -159,38 +159,47 @@ def dsir_importance_weights(
         raise ValueError(f"alpha must be > 0 (smoothing), got {alpha}")
     from pyspark.sql import Window
 
+    from .cache import attach_cleanup
+
     raw_counts = hashed_ngram_doc_counts(raw_df, text_col, id_col, n_buckets)
     r = raw_counts.groupBy("bucket").agg(F.sum("c").alias("rcnt"))
-    # T rides the t-table as a window sum BEFORE the join (t must count
-    # target mass in buckets no raw doc hits, which the left join would
-    # otherwise drop); after the join, max-over-the-frame fills the
-    # NULLs of buckets absent from t. All three windows run over ≤ B
-    # model rows — single-partition is free at that size.
+    # The t-table is ≤ B rows — persist it so T (its total, which must
+    # count target mass in buckets NO raw doc hits, including the
+    # zero-overlap corner where the left join carries no t row at all)
+    # and the λ join share one target scan via the cache. R instead
+    # rides the joined frame as a window sum (every r row is present
+    # there by construction) — keeping R inside the main job is what
+    # lets the raw doc-counts exchange serve both the marginal and the
+    # scoring join (a separate R aggregate re-derived the whole raw
+    # subtree; exchange reuse does not span jobs or pruned-copy
+    # rewrites). Single-partition windows over ≤ B model rows are free.
     whole = Window.partitionBy()
     t = hashed_ngram_bucket_counts(
         target_df, text_col, id_col, n_buckets
-    ).withColumn("t_total", F.sum("cnt").over(whole))
+    ).persist()
+    T = t.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("t_total"))
     ab = float(alpha) * n_buckets
     lam = (
         r.join(t, "bucket", "left")
         .na.fill({"cnt": 0})
-        .withColumn("t_tot", F.max("t_total").over(whole))
+        .crossJoin(F.broadcast(T))  # 1-row frame
         .withColumn("r_total", F.sum("rcnt").over(whole))
         .select(
             "bucket",
             (
                 F.log(F.col("cnt") + F.lit(float(alpha)))
-                - F.log(F.col("t_tot") + F.lit(ab))
+                - F.log(F.col("t_total") + F.lit(ab))
                 - F.log(F.col("rcnt") + F.lit(float(alpha)))
                 + F.log(F.col("r_total") + F.lit(ab))
             ).alias("lam"),
         )
     )
-    return (
+    out = (
         raw_counts.join(F.broadcast(lam), "bucket")
         .groupBy(id_col)
         .agg(F.round(F.sum(F.col("c") * F.col("lam")), 6).alias("logweight"))
     )
+    return attach_cleanup(out, t)
 
 
 def dsir_select(
