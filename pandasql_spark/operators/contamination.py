@@ -243,3 +243,112 @@ def decontaminate(
         train_df, eval_df, n, text_col, id_col, hashed, **kwargs
     ).select(id_col)
     return train_df.join(flagged, id_col, "anti")
+
+
+def fuzzy_contaminated_docs(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    num_bands: int = 32,
+    shingle_k: int = 3,
+    seed: int = 42,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """(id_col, eval_id, jaccard): training documents whose shingle-set
+    Jaccard with SOME eval document is ≥ ``threshold`` — NEAR-DUP
+    contamination, the complement of `contaminated_docs`' exact n-gram
+    check. Exact matching misses what fuzzy benchmarks leak most:
+    light paraphrase, whitespace/punctuation edits, re-tokenized
+    copies. The Dolma/DataComp-style hygiene pass runs both.
+
+    Plan shape — the eval side is SMALL by contract (benchmarks), so
+    like the exact check this is a broadcast problem; the corpus is
+    scanned twice (signatures, shingle sets) and NEVER shuffled:
+
+    1. MinHash signatures both sides (dedup.py machinery — same
+       seeded permutations, so the two corpora bucket identically);
+    2. band tables; the eval band table broadcasts into one equi-join
+       against the train bands → candidate (train, eval) id pairs
+       (map-side, no corpus shuffle);
+    3. exact Jaccard verification from hashed shingle sets: the
+       candidate ids broadcast back onto the train shingle table,
+       eval shingle sets broadcast — per-pair array_intersect, round
+       6, threshold filter. LSH only proposes; every reported pair
+       carries its TRUE Jaccard (q50's verify discipline).
+
+    Default 32 bands × 2 rows: P(miss) = (1−J²)³² — ≈1e-30 at the
+    J≈0.9 of a lightly edited copy, ≈1e-4 at exactly J=0.5; raise
+    num_bands when hunting weaker overlap. Deterministic end-to-end
+    (seeded permutations, hash shingles).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from ..functions.text import word_shingles
+    from .dedup import band_table, minhash_signatures
+
+    tsig = minhash_signatures(
+        train_df, text_col, id_col, num_hashes, shingle_k, seed, base_hash
+    )
+    esig = minhash_signatures(
+        eval_df, text_col, id_col, num_hashes, shingle_k, seed, base_hash
+    )
+    tb = band_table(tsig, num_bands, num_hashes)
+    eb = band_table(esig, num_bands, num_hashes).select(
+        F.col("id").alias("eval_id"), "band_idx", "band_hash"
+    )
+    cands = (
+        tb.join(F.broadcast(eb), ["band_idx", "band_hash"])
+        .select(F.col("id"), F.col("eval_id"))
+        .dropDuplicates(["id", "eval_id"])
+    )
+
+    def _sh(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(
+                F.transform(
+                    word_shingles(text_col, shingle_k), lambda s: F.xxhash64(s)
+                )
+            ).alias("sh"),
+        )
+
+    tsh = _sh(train_df)
+    esh = _sh(eval_df).select(
+        F.col("id").alias("eval_id"), F.col("sh").alias("sh_e")
+    )
+    inter = F.size(F.array_intersect("sh", "sh_e"))
+    union = F.size("sh") + F.size("sh_e") - inter
+    return (
+        tsh.join(F.broadcast(cands), "id")  # corpus side stays in place
+        .join(F.broadcast(esh), "eval_id")
+        .select(
+            F.col("id").alias(id_col),
+            "eval_id",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def decontaminate_fuzzy(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """``train_df`` minus every fuzzily contaminated document (anti-join
+    on the flagged id list). Extra kwargs pass through to
+    :func:`fuzzy_contaminated_docs`."""
+    flagged = (
+        fuzzy_contaminated_docs(
+            train_df, eval_df, threshold, text_col, id_col, **kwargs
+        )
+        .select(F.col(id_col))
+        .distinct()
+    )
+    return train_df.join(flagged, id_col, "anti")

@@ -1470,13 +1470,53 @@ def q66_contamination(spark: SparkSession, sf: str) -> SparkDataFrame:
     measured 11× confirm-join shuffle-byte cut, SCALING.md). The
     result is exact either way (bloom false positives die in the
     confirm join, no false negatives), so the same oracle pins both
-    the prefilter and the join."""
-    from pandasql_spark.operators.contamination import contaminated_docs
+    the prefilter and the join.
+
+    Stage ``fuzzy`` (the r14 fold) runs the NEAR-DUP complement —
+    fuzzy_contaminated_docs: MinHash banding proposes cross-corpus
+    candidates (eval side broadcast end-to-end, corpus never
+    shuffles), exact shingle-Jaccard ≥ 0.5 verifies. The fuzzy train
+    side plants a lightly-edited twin of every eval doc (text + ' zz',
+    negative-id keyspace — the q79 convention) so the stage has
+    genuine near-dup leaks to catch that the exact n-gram stage's
+    input does NOT contain. The oracle recomputes true Jaccard over
+    ALL cross pairs brute-force; probed before the fold: Spark ==
+    brute force at both gate SFs with margins min-above 0.909 /
+    max-below 0.049 from the threshold (LSH miss ~1e-30 there)."""
+    from pandasql_spark.operators.contamination import (
+        contaminated_docs,
+        fuzzy_contaminated_docs,
+    )
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     ev = docs.filter(F.col("doc_id") % 50 == 0)
     tr = docs.filter(F.col("doc_id") % 50 != 0)
-    return contaminated_docs(tr, ev, n=3, hashed=False, prefilter="bloom")
+    ngram = contaminated_docs(tr, ev, n=3, hashed=False, prefilter="bloom")
+    planted = ev.select(
+        (-(F.col("doc_id") + 1)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    fuzzy = fuzzy_contaminated_docs(tr.unionByName(planted), ev, threshold=0.5)
+    return ngram.select(
+        F.lit("ngram").alias("stage"),
+        "doc_id",
+        "n_hits",
+        "n_distinct_hits",
+        F.lit(None).cast("long").alias("eval_id"),
+        F.lit(None).cast("double").alias("jaccard"),
+    ).unionByName(
+        fuzzy.select(
+            F.lit("fuzzy").alias("stage"),
+            "doc_id",
+            F.lit(None).cast("long").alias("n_hits"),
+            F.lit(None).cast("long").alias("n_distinct_hits"),
+            "eval_id",
+            "jaccard",
+        )
+    )
 
 
 Q66_SQL = """
@@ -1490,12 +1530,43 @@ WITH g AS (
   SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0
 ), tr AS (
   SELECT doc_id, g FROM g WHERE doc_id % 50 <> 0
+),
+ftr AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+  UNION ALL
+  SELECT -(doc_id + 1), text || ' zz' FROM documents WHERE doc_id % 50 = 0
+),
+fev AS (SELECT doc_id AS eval_id, text FROM documents WHERE doc_id % 50 = 0),
+tsh AS (
+  SELECT doc_id AS id, unnest(list_distinct(list_transform(
+      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS sh
+  FROM ftr
+),
+esh AS (
+  SELECT eval_id, unnest(list_distinct(list_transform(
+      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS sh
+  FROM fev
+),
+ts AS (SELECT id, count(*) AS n FROM tsh GROUP BY id),
+es AS (SELECT eval_id, count(*) AS n FROM esh GROUP BY eval_id),
+common AS (
+  SELECT t.id, e.eval_id, count(*) AS c
+  FROM tsh t JOIN esh e USING (sh) GROUP BY 1, 2
 )
-SELECT tr.doc_id,
+SELECT 'ngram' AS stage, tr.doc_id,
        CAST(count(*) AS BIGINT) AS n_hits,
-       CAST(count(DISTINCT tr.g) AS BIGINT) AS n_distinct_hits
+       CAST(count(DISTINCT tr.g) AS BIGINT) AS n_distinct_hits,
+       CAST(NULL AS BIGINT) AS eval_id,
+       CAST(NULL AS DOUBLE) AS jaccard
 FROM tr JOIN ev USING (g)
 GROUP BY tr.doc_id
+UNION ALL
+SELECT 'fuzzy', c.id, NULL, NULL, c.eval_id,
+       round(c.c / (ts.n + es.n - c.c), 6)
+FROM common c JOIN ts ON c.id = ts.id JOIN es ON c.eval_id = es.eval_id
+WHERE round(c.c / (ts.n + es.n - c.c), 6) >= 0.5
 """
 
 

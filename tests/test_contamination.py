@@ -222,3 +222,57 @@ def test_bloom_bitmap_selectivity(corpora, spark):
             assert m  # no false negatives, ever
     # at 2^20 bits for ~10 grams, a false positive is ~impossible
     assert sum(m for g, m in got.items() if g not in eval_grams) == 0
+
+
+# ---------------------------------------------------------------------------
+# fuzzy (near-dup) contamination
+# ---------------------------------------------------------------------------
+
+
+def _fdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_fuzzy_flags_edited_copies_not_strangers(spark):
+    ev = _fdocs(spark, [(0, "the cat sat on the warm mat today"),
+                        (1, "a dog ran across the green park fast")])
+    tr = _fdocs(spark, [
+        (10, "the cat sat on the warm mat today folks"),  # edited copy of 0
+        (11, "a dog ran across the green park fast zz"),  # edited copy of 1
+        (12, "completely different words about spark engines here"),
+    ])
+    from pandasql_spark.operators.contamination import (
+        decontaminate_fuzzy,
+        fuzzy_contaminated_docs,
+    )
+
+    got = {(r.doc_id, r.eval_id): r.jaccard
+           for r in fuzzy_contaminated_docs(tr, ev, threshold=0.5).collect()}
+    assert set(got) == {(10, 0), (11, 1)}
+    assert all(0.5 <= j <= 1.0 for j in got.values())
+    kept = {r.doc_id for r in decontaminate_fuzzy(tr, ev, threshold=0.5).collect()}
+    assert kept == {12}
+
+
+def test_fuzzy_jaccard_matches_python(spark):
+    # true jaccard of hashed 3-shingle sets vs the reported value
+    ev = _fdocs(spark, [(0, "w x y z w x y z q r s t")])
+    tr = _fdocs(spark, [(5, "w x y z w x y z q r s u")])
+    from pandasql_spark.operators.contamination import fuzzy_contaminated_docs
+
+    def sh(t):
+        toks = t.split(" ")
+        return {" ".join(toks[i:i+3]) for i in range(max(len(toks) - 2, 1))}
+
+    a, b = sh("w x y z w x y z q r s t"), sh("w x y z w x y z q r s u")
+    exp = round(len(a & b) / len(a | b), 6)
+    rows = fuzzy_contaminated_docs(tr, ev, threshold=0.1).collect()
+    assert len(rows) == 1 and rows[0].jaccard == exp
+
+
+def test_fuzzy_threshold_validation(spark):
+    from pandasql_spark.operators.contamination import fuzzy_contaminated_docs
+
+    ev = _fdocs(spark, [(0, "a b c")])
+    with pytest.raises(ValueError):
+        fuzzy_contaminated_docs(ev, ev, threshold=0.0)
