@@ -286,14 +286,21 @@ def fuzzy_contaminated_docs(
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    from ..functions.text import word_shingles
-    from .dedup import band_table, minhash_signatures
+    from .cache import attach_cleanup
+    from .dedup import band_table, minhash_signatures, shingle_tables
 
+    # one shingling pass per corpus (shingle_tables): the signature
+    # base hashes and the verify sets share a persisted frame, the
+    # q50 discipline
+    tsh = shingle_tables(train_df, text_col, id_col, shingle_k, base_hash)
+    esh = shingle_tables(eval_df, text_col, id_col, shingle_k, base_hash)
     tsig = minhash_signatures(
-        train_df, text_col, id_col, num_hashes, shingle_k, seed, base_hash
+        train_df, text_col, id_col, num_hashes, shingle_k, seed, base_hash,
+        hashed_df=tsh.select("id", "bh"),
     )
     esig = minhash_signatures(
-        eval_df, text_col, id_col, num_hashes, shingle_k, seed, base_hash
+        eval_df, text_col, id_col, num_hashes, shingle_k, seed, base_hash,
+        hashed_df=esh.select("id", "bh"),
     )
     tb = band_table(tsig, num_bands, num_hashes)
     eb = band_table(esig, num_bands, num_hashes).select(
@@ -304,26 +311,15 @@ def fuzzy_contaminated_docs(
         .select(F.col("id"), F.col("eval_id"))
         .dropDuplicates(["id", "eval_id"])
     )
-
-    def _sh(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias("id"),
-            F.array_distinct(
-                F.transform(
-                    word_shingles(text_col, shingle_k), lambda s: F.xxhash64(s)
-                )
-            ).alias("sh"),
-        )
-
-    tsh = _sh(train_df)
-    esh = _sh(eval_df).select(
+    esets = esh.select(
         F.col("id").alias("eval_id"), F.col("sh").alias("sh_e")
     )
     inter = F.size(F.array_intersect("sh", "sh_e"))
     union = F.size("sh") + F.size("sh_e") - inter
-    return (
-        tsh.join(F.broadcast(cands), "id")  # corpus side stays in place
-        .join(F.broadcast(esh), "eval_id")
+    out = (
+        tsh.select("id", "sh")
+        .join(F.broadcast(cands), "id")  # corpus side stays in place
+        .join(F.broadcast(esets), "eval_id")
         .select(
             F.col("id").alias(id_col),
             "eval_id",
@@ -331,6 +327,7 @@ def fuzzy_contaminated_docs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    return attach_cleanup(out, tsh, esh)
 
 
 def decontaminate_fuzzy(

@@ -84,6 +84,25 @@ def lsh_hyperplanes(
     ]
 
 
+def _minhash_base(sh, base_hash: str):
+    """Nonnegative 31-bit base hashes of a (distinct) shingle array
+    (see _MERSENNE_31: ANSI-overflow-safe). md5: conv() reads the
+    first 15 hex chars as a 60-bit int — inside signed-long range on
+    BOTH engines, so the reduction runs in long arithmetic (an earlier
+    16-char variant needed decimal(20,0) for the unsigned top bit;
+    profiling showed the decimal pmod nearly doubling signature
+    time)."""
+    if base_hash == "md5":
+        return F.transform(
+            sh,
+            lambda s: F.pmod(
+                F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+                F.lit(_MERSENNE_31),
+            ),
+        )
+    return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -93,6 +112,7 @@ def minhash_signatures(
     seed: int = 42,
     base_hash: str = "xxhash64",
     impl: str = "numpy",
+    hashed_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, signature: array<long>[num_hashes]) MinHash signatures.
 
@@ -119,35 +139,32 @@ def minhash_signatures(
     ``"md5"`` — first 15 hex chars (60 bits, signed-long-safe on every
     engine) reduced mod 2^31−1. md5 is engine-portable, which lets the
     DuckDB oracle recompute the EXACT signatures; xxhash64 is
-    Spark-only. Both are uniform enough for signature minima."""
+    Spark-only. Both are uniform enough for signature minima.
+
+    ``hashed_df``: a precomputed (id, bh: array<long>) frame of
+    per-doc 31-bit base hashes (exactly the `minhash_base_hashes`
+    expression) — lets callers that ALSO need the shingle sets (the
+    LSH+verify family) shingle the corpus once and share it; text_col/
+    shingle_k/base_hash are then ignored. numpy impl only (the hof
+    path derives everything from text in one expression tree)."""
     from ..functions.text import let_bound
 
     coeffs = _hash_coefficients(num_hashes, seed)
     sh = F.array_distinct(word_shingles(text_col, shingle_k))
-    # nonnegative 31-bit base hashes (see _MERSENNE_31: ANSI-overflow-safe)
-    if base_hash == "md5":
-        # conv() reads the first 15 hex chars as a 60-bit int — inside
-        # signed-long range on BOTH engines, so the reduction runs in
-        # long arithmetic (an earlier 16-char variant needed
-        # decimal(20,0) for the unsigned top bit; profiling showed the
-        # decimal pmod nearly doubling signature time). ANSI-safe: 60-bit
-        # value, 31-bit modulus.
-        base = F.transform(
-            sh,
-            lambda s: F.pmod(
-                F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-                F.lit(_MERSENNE_31),
-            ),
-        )
-    else:
-        base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)))
+    base = _minhash_base(sh, base_hash)
 
+    if hashed_df is not None and impl != "numpy":
+        raise ValueError("hashed_df requires impl='numpy'")
     if impl == "numpy":
         import numpy as np
 
         a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
         b_vec = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
-        hashed = df.select(F.col(id_col).alias("id"), base.alias("bh"))
+        hashed = (
+            hashed_df
+            if hashed_df is not None
+            else df.select(F.col(id_col).alias("id"), base.alias("bh"))
+        )
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -414,27 +431,29 @@ def jaccard_verified_neardup_pairs(
     (50× on the same corpus), identical surviving pairs at recall
     governed by the LSH band curve (16 bands × 4 rows: ~0.99+ recall at
     J≥0.5). Returns (id_a, id_b, jaccard) with TRUE Jaccard values."""
+    # ONE shingling pass for the whole operator (r14): the signature
+    # base hashes (31-bit, for the minhash kernel) and the verify sets
+    # (64-bit xxhash — 8-byte longs, ~3× smaller than shingle strings
+    # on the wire, same negligible-collision caveat as
+    # ngram_jaccard_pairs) both derive from a single let-bound
+    # word_shingles evaluation, persisted once. Before this the
+    # operator shingled the corpus three times (signatures + the
+    # verify a-side + the verify b-side — caught by the r14
+    # executed-plan scan audit).
+    shared = shingle_tables(df, text_col, id_col, shingle_k, base_hash)
     sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_k, seed, base_hash
-    ).persist()
+        df,
+        text_col,
+        id_col,
+        num_hashes,
+        shingle_k,
+        seed,
+        base_hash,
+        hashed_df=shared.select("id", "bh"),
+    )
     cands = lsh_candidate_pairs(sigs, num_bands, num_hashes)
-    # hashed shingle sets (not strings): the verify join ships both docs'
-    # full sets per candidate pair, and 8-byte longs are ~3× smaller than
-    # shingle strings on the wire — same rationale (and same negligible
-    # 64-bit-collision caveat) as ngram_jaccard_pairs.
-    # persist(): the a-side and b-side joins otherwise each re-run the
-    # corpus scan + shingle + per-shingle xxhash64 — the heaviest
-    # per-row compute in the operator, done twice (r14, caught by the
-    # executed-plan scan audit; same family as the BM25 df-count
-    # re-scan).
-    shs = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(
-            F.transform(word_shingles(text_col, shingle_k), lambda s: F.xxhash64(s))
-        ).alias("sh"),
-    ).persist()
-    a = shs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = shs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    a = shared.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = shared.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     out = (
@@ -447,7 +466,39 @@ def jaccard_verified_neardup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return attach_cleanup(out, sigs, shs)
+    return attach_cleanup(out, shared)
+
+
+def shingle_tables(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """(id, bh: array<long>, sh: array<long>), PERSISTED: one shingling
+    pass producing BOTH minhash base hashes (31-bit, the exact
+    `minhash_signatures` expression) and exact-verify sets (64-bit
+    xxhash of each shingle, distinct) — the shared input of the
+    LSH+verify family. `let_bound` evaluates word_shingles once per
+    row for the two derivations. Callers release via the returned
+    frame's unpersist (attach_cleanup composes it)."""
+    from ..functions.text import let_bound
+
+    pair = let_bound(
+        word_shingles(text_col, shingle_k),
+        lambda s: F.struct(
+            _minhash_base(F.array_distinct(s), base_hash).alias("bh"),
+            F.array_distinct(
+                F.transform(s, lambda x: F.xxhash64(x))
+            ).alias("sh"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), pair.alias("p"))
+        .select("id", "p.bh", "p.sh")
+        .persist()
+    )
 
 
 def dedup_corpus(
