@@ -441,6 +441,10 @@ def jaccard_verified_neardup_pairs(
     # verify a-side + the verify b-side — caught by the r14
     # executed-plan scan audit).
     shared = shingle_tables(df, text_col, id_col, shingle_k, base_hash)
+    # sigs stays persisted in its own right: lsh_candidate_pairs
+    # SELF-joins the band table, so an unpersisted sigs would run the
+    # minhash kernel twice (once per join side) even with the shingle
+    # frame cached
     sigs = minhash_signatures(
         df,
         text_col,
@@ -450,7 +454,7 @@ def jaccard_verified_neardup_pairs(
         seed,
         base_hash,
         hashed_df=shared.select("id", "bh"),
-    )
+    ).persist()
     cands = lsh_candidate_pairs(sigs, num_bands, num_hashes)
     a = shared.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = shared.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -466,7 +470,7 @@ def jaccard_verified_neardup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return attach_cleanup(out, shared)
+    return attach_cleanup(out, shared, sigs)
 
 
 def shingle_tables(
