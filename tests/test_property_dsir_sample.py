@@ -116,3 +116,51 @@ def test_priority_sample_matches_python_bottom_k(spark, rows, k, salt):
         by_key.setdefault(key, []).append((px, i))
     exp = {key: [i for _, i in sorted(v)[:k]] for key, v in by_key.items()}
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# fuzzy contamination laws: every reported pair's jaccard is the true
+# hashed-shingle jaccard and clears the threshold; every HIGH-jaccard
+# cross pair is found (32x2 banding: P(miss) < 1e-12 above J=0.8)
+# ---------------------------------------------------------------------------
+
+_ftexts = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=3, max_size=8
+).map(" ".join)
+
+
+@settings(max_examples=soak_examples(8), **_SETTINGS)
+@given(
+    train=st.lists(_ftexts, min_size=1, max_size=8),
+    ev=st.lists(_ftexts, min_size=1, max_size=4),
+)
+def test_fuzzy_contamination_laws(spark, train, ev):
+    from pandasql_spark.operators.contamination import fuzzy_contaminated_docs
+
+    tdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train)], "doc_id long, text string"
+    )
+    edf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ev)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.eval_id): r.jaccard
+        for r in fuzzy_contaminated_docs(tdf, edf, threshold=0.5).collect()
+    }
+
+    def shingles(t):
+        toks = t.split(" ")
+        return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))}
+
+    truth = {}
+    for i, tt in enumerate(train):
+        for j, et in enumerate(ev):
+            a, b = shingles(tt), shingles(et)
+            truth[(i, j)] = round(len(a & b) / len(a | b), 6)
+    # soundness: every reported pair true and above threshold
+    for pair, jac in got.items():
+        assert jac == truth[pair] and jac >= 0.5, pair
+    # recall at high J: shared-band probability ~1 above 0.8
+    for pair, jac in truth.items():
+        if jac >= 0.8:
+            assert pair in got, (pair, jac)
