@@ -1460,13 +1460,28 @@ def embedding_neardup_pairs(
     cost ≈ L·n·target_bucket/2 cosine folds — linear in n. More planes
     lower per-table recall (at n=10k, b=10: ≈0.97 at cosine 0.95);
     raise ``num_tables`` to buy it back when hunting lower-similarity
-    pairs. Costs one count() job."""
+    pairs. Costs one count() job — against the cached slim frame, not
+    the source."""
     import math
 
     import numpy as np
 
+    from ..functions.similarity import dot, l2_norm
+
+    # ONE input pass (VERDICT r14 item 1 — was three: the auto-sizing
+    # count(), the bucket-kernel materialization, and the verify join
+    # each re-scanned the source). Persist the slim (id, v, nrm)
+    # projection FIRST; the count, the bucket kernel, and both verify
+    # sides all read the cache. dot()/l2_norm() cast to double
+    # internally, so hoisting the cast here is value-identical.
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    ).persist()
+
     if num_planes is None:
-        n = df.count()
+        n = vecs.count()  # materializes the cache — the only source scan
         num_planes = max(8, math.ceil(math.log2(max(n, 2) / target_bucket)))
 
     # Bucket assignment as one Arrow-batched matmul: (batch × dim) @
@@ -1504,12 +1519,9 @@ def embedding_neardup_pairs(
     # persist: the self-join would otherwise recompute the buckets for
     # each side; result.cleanup() releases it (operators/cache.py).
     # Buckets carry only (id, table, bucket) — vectors stay out of the
-    # candidate shuffle.
+    # candidate shuffle. Input = the cached slim frame, not the source.
     bucketed = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-        )
+        vecs.select("id", "v")
         .mapInPandas(
             bucket_kernel,
             # id type follows the input column (string/long/... ids all
@@ -1541,14 +1553,8 @@ def embedding_neardup_pairs(
     # norms once per VECTOR (n × dim), not twice per PAIR (2·|cands| ×
     # dim): the fold-based l2 is interpreted, and candidates outnumber
     # vectors ~100× at bucket-collision densities. Same expression tree
-    # per value → bit-identical to the inline cosine()
-    from ..functions.similarity import dot, l2_norm
-
-    vecs = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        l2_norm(F.col(vec_col)).alias("nrm"),
-    ).persist()
+    # per value → bit-identical to the inline cosine(). Both sides read
+    # the slim cache persisted above.
     va = vecs.select(
         F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")
     )
