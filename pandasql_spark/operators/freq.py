@@ -79,6 +79,20 @@ def mg_candidates(df: DataFrame, item_col: str, capacity: int) -> DataFrame:
     return df.select(item_col).mapInPandas(_mg, schema=out_schema).dropDuplicates()
 
 
+def hh_min_count(threshold: float, n: int) -> int:
+    """Exact integer cutoff for ``count >= ceil(threshold * n)``
+    without the binary-float artifact: an exact-integer product like
+    0.1 * 30 evaluates to 3.0000000000000004 in doubles, and a bare
+    ceil would bump it to 4 — silently dropping a boundary heavy
+    hitter the recall guarantee (c >= t*n) promises to keep.
+    Rounding at 9 digits restores the mathematically-exact product
+    for any realistic (t, n). Both the batch filter and the streaming
+    verify path (streaming/hitters.py) share THIS function, and the
+    q62 oracle mirrors it as ceil(round(t * n, 9)) — keep the three
+    in lockstep (ADVICE r14)."""
+    return math.ceil(round(threshold * n, 9))
+
+
 def heavy_hitters(
     df: DataFrame,
     item_col: str,
@@ -147,7 +161,7 @@ def heavy_hitters(
             .limit(0)
             .withColumn("cnt", F.lit(0).cast("long"))
         )
-    min_count = math.ceil(threshold * n)
+    min_count = hh_min_count(threshold, n)
     spark = df.sparkSession
     cand = spark.createDataFrame(
         [(v,) for v in cand_values], schema=df.select(item_col).schema

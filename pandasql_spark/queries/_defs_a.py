@@ -1220,18 +1220,56 @@ FROM eranked WHERE r <= 25 GROUP BY event_type
 
 
 def q62_heavy_hitters(spark: SparkSession, sf: str) -> SparkDataFrame:
-    """Frequent tokens via the Misra-Gries candidates-then-verify plan
-    (operators/freq.py): per-partition MG summaries (mapInPandas, no
-    shuffle) → broadcast semi-join → exact counts of candidates only.
-    With capacity ≥ ceil(1/threshold) the result is IDENTICAL to the
-    naive groupBy — which is exactly what the DuckDB oracle runs — but
-    the shuffle scales with partitions × capacity instead of the
-    distinct-item count (the n-gram/URL domain killer at 100 TB)."""
-    from pandasql_spark.operators.freq import heavy_hitter_tokens
+    """Frequent tokens, batch AND streaming, staged:
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    - stage ``batch`` — the Misra-Gries candidates-then-verify plan
+      (operators/freq.py): per-partition MG summaries (mapInPandas, no
+      shuffle) → broadcast semi-join → exact counts of candidates
+      only. With capacity ≥ ceil(1/threshold) the result is IDENTICAL
+      to the naive groupBy — which is exactly what the DuckDB oracle
+      runs — but the shuffle scales with partitions × capacity instead
+      of the distinct-item count (the n-gram/URL domain killer at
+      100 TB).
+    - stage ``stream`` — the r15 fold (the recorded r14 IOU):
+      hash-sharded MG state through the REAL streaming engine
+      (streaming/hitters.py, applyInPandasWithState, S × capacity
+      counters of state TOTAL — independent of the distinct-item
+      domain), replayed over THREE doc_id-ordered micro-batches so the
+      shard summaries genuinely fold across batch boundaries, then
+      `verify_heavy_hitters` exact counts of the streamed candidate
+      set. The sharding recall guarantee (capacity ≥ ⌈1/t⌉ ⇒ the
+      shard-summary union is a superset of every global heavy hitter)
+      makes the verified result equal the SAME naive groupBy, so both
+      stages ride one oracle. Thirteenth gate-checked streaming
+      surface. Both cutoffs use freq.hh_min_count — ceil(round(t·n,9)),
+      mirrored in the oracle — so an exact-boundary hitter survives the
+      binary-float ceil artifact on both engines (ADVICE r14)."""
+    from pandasql_spark.operators.freq import heavy_hitter_tokens
+    from pandasql_spark.streaming.hitters import (
+        replay_mg_candidates,
+        verify_heavy_hitters,
+    )
+
+    path = f"{sf}/documents.parquet"
+    docs = spark.read.parquet(path)
     out = heavy_hitter_tokens(docs, "text", threshold=0.01)
-    return out.select("token", F.col("cnt").cast("long").alias("cnt"))
+    cands = replay_mg_candidates(
+        spark, path, "text", capacity=100, num_shards=16, n_batches=3,
+        query_name="q62_hitters_replay",
+    )
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    streamed = verify_heavy_hitters(toks, cands, "token", threshold=0.01)
+    return out.select(
+        F.lit("batch").alias("stage"),
+        "token",
+        F.col("cnt").cast("long").alias("cnt"),
+    ).unionByName(
+        streamed.select(
+            F.lit("stream").alias("stage"),
+            "token",
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+    )
 
 
 Q62_SQL = """
@@ -1239,11 +1277,15 @@ WITH tok AS (
   SELECT unnest(string_split(text, ' ')) AS token FROM documents
 ), tot AS (
   SELECT count(*) AS n FROM tok WHERE token IS NOT NULL
+), hh AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+  FROM tok
+  GROUP BY token
+  HAVING count(*) >= ceil(round(0.01 * (SELECT n FROM tot), 9))
 )
-SELECT token, CAST(count(*) AS BIGINT) AS cnt
-FROM tok
-GROUP BY token
-HAVING count(*) >= ceil(0.01 * (SELECT n FROM tot))
+SELECT 'batch' AS stage, token, cnt FROM hh
+UNION ALL
+SELECT 'stream' AS stage, token, cnt FROM hh
 """
 
 

@@ -1732,25 +1732,33 @@ def q97_stream_admission(spark: SparkSession, sf: str) -> SparkDataFrame:
     # of the table, the biggest fixed cost here): first_n collapses the
     # staged chunks into a single micro-batch (files_per_trigger=None —
     # the original _replay shape, intra-batch order from the operator's
-    # per-group sort), the token stage streams them one per batch.
+    # per-group sort), the token stage streams them one per batch. The
+    # shared staging dir is removed once both replays terminate — the
+    # memory sinks hold the rows (ADVICE r14: repeated runs were
+    # accumulating sorted event-table copies on disk).
+    import shutil
+
     stage = stage_time_ordered(spark, path, n_batches=3)
-    first_n = replay_staged(
-        spark,
-        stage,
-        lambda ev: admit_per_key_stream(ev, "event_type", 40),
-        "q97_admission_replay",
-        files_per_trigger=None,
-    )
-    total = spark.read.parquet(path).agg(F.sum("value")).first()[0]
-    budget = float(round(total / 10))
-    tokens = replay_staged(
-        spark,
-        stage,
-        lambda ev: admit_tokens_per_key_stream(
-            ev, "event_type", budget, "value"
-        ),
-        "q97_token_admission_replay",
-    )
+    try:
+        first_n = replay_staged(
+            spark,
+            stage,
+            lambda ev: admit_per_key_stream(ev, "event_type", 40),
+            "q97_admission_replay",
+            files_per_trigger=None,
+        )
+        total = spark.read.parquet(path).agg(F.sum("value")).first()[0]
+        budget = float(round(total / 10))
+        tokens = replay_staged(
+            spark,
+            stage,
+            lambda ev: admit_tokens_per_key_stream(
+                ev, "event_type", budget, "value"
+            ),
+            "q97_token_admission_replay",
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     return first_n.select(F.lit("first_n").alias("stage"), *cols).unionByName(
         tokens.select(F.lit("token_budget").alias("stage"), *cols)

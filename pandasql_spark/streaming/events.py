@@ -433,15 +433,22 @@ def replay_stream_dedup(
         .parquet(stage)
     )
     deduped = dedup_event_stream(raw, keys=["event_id"], watermark="36500 days")
-    with bounded_replay_shuffle(spark):
-        q = (
-            deduped.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    try:
+        with bounded_replay_shuffle(spark):
+            q = (
+                deduped.writeStream.format("memory")
+                .queryName(query_name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        # two symlinks only, but temp dirs should not accumulate
+        # (ADVICE r14); the memory sink holds the rows
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
     return spark.table(query_name)
 
 
@@ -508,9 +515,21 @@ def replay_time_ordered(
     this replay makes cross-batch state real: lifetime counters/budgets
     straddle batch boundaries, and monotone (ts, event_id) chunking
     means the result still equals the batch closed form — the q99
-    recipe, reusable for any events-table stateful operator."""
+    recipe, reusable for any events-table stateful operator.
+
+    The staging dir (a full sorted copy of the table) is removed once
+    the replay terminates — the memory sink holds the rows, so the
+    returned frame stays queryable (ADVICE r14: repeated runs were
+    accumulating sorted copies on disk). Callers of the split
+    `stage_time_ordered` + `replay_staged` pair own that cleanup
+    themselves."""
+    import shutil
+
     stage = stage_time_ordered(spark, events_path, n_batches)
-    return replay_staged(spark, stage, build_agg, query_name, output_mode)
+    try:
+        return replay_staged(spark, stage, build_agg, query_name, output_mode)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def _replay(spark, events_path, build_agg, query_name, output_mode="complete") -> DataFrame:
@@ -525,10 +544,16 @@ def _replay(spark, events_path, build_agg, query_name, output_mode="complete") -
     import os
     import tempfile
 
+    import shutil
+
+    symlink_stage = None
     if os.path.isfile(events_path):
-        stage = tempfile.mkdtemp(prefix="evstream_")
-        os.symlink(os.path.abspath(events_path), os.path.join(stage, "events.parquet"))
-        events_path = stage
+        symlink_stage = tempfile.mkdtemp(prefix="evstream_")
+        os.symlink(
+            os.path.abspath(events_path),
+            os.path.join(symlink_stage, "events.parquet"),
+        )
+        events_path = symlink_stage
 
     try:
         spark.read.parquet(events_path).schema
@@ -574,6 +599,9 @@ def _replay(spark, events_path, build_agg, query_name, output_mode="complete") -
                 spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
             else:
                 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        if symlink_stage is not None:
+            # replay terminated; the memory sink holds the rows
+            shutil.rmtree(symlink_stage, ignore_errors=True)
     return spark.table(query_name)
 
 

@@ -134,12 +134,12 @@ def verify_heavy_hitters(
     the stream's candidate set. ``candidates`` is the final
     (shard, items, n_shard) frame; the join is a broadcast semi-join,
     so the corpus shuffles only candidate rows (the freq.py shape)."""
-    import math
+    from ..operators.freq import hh_min_count
 
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     n = df.filter(F.col(item_col).isNotNull()).count()
-    floor = math.ceil(threshold * n)
+    floor = hh_min_count(threshold, n)
     cand = candidates.select(
         F.explode("items").alias("__cand")
     ).dropDuplicates()
@@ -153,4 +153,64 @@ def verify_heavy_hitters(
         .groupBy(item_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= F.lit(floor))
+    )
+
+
+def replay_mg_candidates(
+    spark,
+    docs_path: str,
+    text_col: str = "text",
+    capacity: int = 100,
+    num_shards: int = 16,
+    n_batches: int = 3,
+    query_name: str = "mg_hitters_replay",
+) -> DataFrame:
+    """Run the sharded-MG candidate pass through the REAL streaming
+    engine over a bounded doc_id-ordered replay of a documents table:
+    stage ``n_batches`` chunk files (`stage_ordered_chunks`), stream
+    them one per micro-batch so the per-shard summaries genuinely fold
+    ACROSS batch boundaries, tokenize inside the stream, and return the
+    FINAL (shard, items, n_shard) summary per shard — selected by max
+    n_shard, which strictly increases per emission (a shard only emits
+    when it received rows). The staging dir is removed after the replay
+    terminates (the memory sink holds the rows — ADVICE r14 on staging
+    accumulation)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from .events import bounded_replay_shuffle, stage_ordered_chunks
+
+    docs = spark.read.parquet(docs_path).select("doc_id", text_col)
+    stage = tempfile.mkdtemp(prefix="hhchunks_")
+    try:
+        stage_ordered_chunks(docs, n_batches, ["doc_id"], stage)
+        stream = (
+            spark.readStream.schema(f"doc_id long, {text_col} string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(stage, "*.parquet"))
+        )
+        toks = stream.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("token")
+        )
+        with bounded_replay_shuffle(spark):
+            q = (
+                mg_stream_candidates(toks, "token", capacity, num_shards)
+                .writeStream.format("memory")
+                .queryName(query_name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    sink = spark.table(query_name)
+    w = Window.partitionBy("shard").orderBy(F.col("n_shard").desc())
+    return (
+        sink.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )

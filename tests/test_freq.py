@@ -20,7 +20,7 @@ from pandasql_spark.operators import freq
 
 def _naive(df, item_col, threshold):
     n = df.filter(F.col(item_col).isNotNull()).count()
-    mc = math.ceil(threshold * n)
+    mc = freq.hh_min_count(threshold, n)
     return (
         df.groupBy(item_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -175,3 +175,28 @@ def test_corpus_scanned_exactly_twice(spark):
     out = freq.heavy_hitters(tapped, "item", 0.01).toPandas()
     assert len(out) > 0  # force full evaluation happened above
     assert acc.value == 2 * len(pdf), acc.value
+
+
+def test_hh_min_count_no_float_artifact():
+    # 0.07 * 100 evaluates to 7.000000000000001 in doubles: a bare ceil
+    # reads 8 and silently drops a count-7 boundary heavy hitter the
+    # recall guarantee (c >= t*n) promises to keep (ADVICE r14).
+    assert math.ceil(0.07 * 100) == 8  # the artifact this helper kills
+    assert freq.hh_min_count(0.07, 100) == 7
+    assert freq.hh_min_count(0.07, 300) == 21
+    assert freq.hh_min_count(0.1, 30) == 3
+    # non-boundary values are plain ceil
+    assert freq.hh_min_count(0.01, 350) == 4
+    assert freq.hh_min_count(0.3, 10) == 3
+
+
+def test_boundary_heavy_hitter_kept(spark):
+    # exactly t*n occurrences: 7 of 100 rows at threshold 0.07 — must
+    # surface (>=, and no float-artifact bump of the cutoff to 8)
+    rows = [("hot",)] * 7 + [(f"x{i}",) for i in range(93)]
+    df = spark.createDataFrame(rows, "item string")
+    got = {
+        (r.item, r.cnt)
+        for r in freq.heavy_hitters(df, "item", threshold=0.07).collect()
+    }
+    assert got == {("hot", 7)}

@@ -73,7 +73,9 @@ def test_replayed_candidates_verify_to_naive_ground_truth(spark, token_dir):
         for r in verify_heavy_hitters(toks, cands, "token", threshold).collect()
     }
     n = toks.count()
-    floor = math.ceil(threshold * n)
+    from pandasql_spark.operators.freq import hh_min_count
+
+    floor = hh_min_count(threshold, n)
     exp = {
         (r.token, r.cnt)
         for r in toks.groupBy("token")
@@ -140,3 +142,33 @@ def test_validation(spark):
         mg_stream_candidates(ev, "token", 4, num_shards=0)
     with pytest.raises(ValueError):
         verify_heavy_hitters(ev, ev.select(F.array("token").alias("items")), "token", 0.0)
+
+
+def test_replay_mg_candidates_final_rows_and_staging_cleanup(spark):
+    """The q62 fold's replay helper: one FINAL summary row per touched
+    shard (max-n_shard selection), shard counts sum to the token count,
+    and the staging dir is removed after the replay (ADVICE r14 on
+    staging accumulation)."""
+    import glob
+
+    from pandasql_spark.streaming.hitters import replay_mg_candidates
+
+    before = set(glob.glob("/tmp/hhchunks_*"))
+    out = replay_mg_candidates(
+        spark,
+        f"{SF}/documents.parquet",
+        "text",
+        capacity=100,
+        num_shards=8,
+        n_batches=3,
+        query_name="t_mg_replay_clean",
+    ).toPandas()
+    assert set(glob.glob("/tmp/hhchunks_*")) == before  # staging removed
+    assert out["shard"].is_unique
+    n_tok = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .count()
+    )
+    assert int(out["n_shard"].sum()) == n_tok
+    assert all(len(x) <= 100 for x in out["items"])
