@@ -259,6 +259,15 @@ def tfidf_top_terms(
 
     tfidf = tf * ln((N + 1) / (df + 1)) (smooth idf, sklearn-style
     minus the +1 floor), rounded to 6 for cross-engine comparison.
+
+    Cleanup contract (ADVICE r14): the returned frame's ``cleanup()``
+    releases a localCheckpoint, which TRUNCATED lineage — the frame is
+    NOT recomputable afterwards (unlike persist-backed cleanups;
+    re-execution fails once the async unpersist lands — immediately
+    under ``cleanup(blocking=True)``), and executor loss before
+    release has no lineage fallback. Materialize (collect/write)
+    before calling cleanup(); rerun the operator if the result is
+    needed again. Pinned in test_retrieval.py.
     """
     from pyspark.sql.window import Window
 

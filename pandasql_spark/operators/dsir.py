@@ -150,9 +150,15 @@ def dsir_importance_weights(
     inside the model subtree, so neither total spawns a re-derived
     corpus subquery; separate .agg() totals defeated AQE exchange
     reuse and re-scanned both corpora — executed-plan-pinned at two
-    scans in test_dsir.py). Every raw doc appears in the output (the
-    raw marginal covers every bucket any raw doc hits, and docs
-    always hold ≥ 1 gram — `split` never returns an empty array)."""
+    scans in test_dsir.py). Every raw doc with NON-NULL text appears
+    in the output: the raw marginal covers every bucket any raw doc
+    hits, and a non-null doc always holds ≥ 1 gram (`split` never
+    returns an empty array). A NULL text row yields a NULL gram array,
+    which `explode` drops — the doc is excluded from weighting and
+    from any downstream selection, the same treat-NULL-as-absent
+    convention as the rest of the text operators (ADVICE r14: this
+    qualification IS the contract; filter upstream if NULL docs must
+    be retained)."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     if alpha <= 0:

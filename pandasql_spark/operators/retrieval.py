@@ -59,6 +59,19 @@ def bm25_scores(
     share one computation — see the inline note; barrier=False keeps
     the full lineage (plan-inspection / debugging shape) at the cost
     of a second corpus scan for the df counts.
+
+    Cleanup contract (ADVICE r14): with ``barrier=True`` the returned
+    frame's ``cleanup()`` releases a localCheckpoint, which TRUNCATED
+    lineage — unlike the persist-backed cleanups elsewhere, the frame
+    is NOT recomputable after ``cleanup()``: re-executing it fails
+    with a checkpoint-block-not-found error once the async unpersist
+    lands (immediately under ``cleanup(blocking=True)``), and an
+    executor loss before release has no lineage fallback either
+    (acceptable here: the checkpointed table is query-pruned and the
+    operator is a terminal scoring pass — rerun the OPERATOR, not the
+    frame). Materialize (collect/write) BEFORE calling cleanup(); if
+    recomputation safety matters, use ``barrier=False``. Pinned in
+    test_retrieval.py.
     """
     terms = list(dict.fromkeys(query_terms))
     if not terms:

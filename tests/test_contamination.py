@@ -276,3 +276,66 @@ def test_fuzzy_threshold_validation(spark):
     ev = _fdocs(spark, [(0, "a b c")])
     with pytest.raises(ValueError):
         fuzzy_contaminated_docs(ev, ev, threshold=0.0)
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_fuzzy_gate_margin_guard(sf):
+    """ADVICE r14: fuzzy_contaminated_docs is LSH-probabilistic
+    (P(miss) ≈ 1e-4 at exactly J=0.5) while the q66 oracle is
+    brute-force, so the gate's soundness rests on the DATA keeping a
+    wide margin around the threshold. Guard it: recompute true
+    Jaccard over ALL cross pairs of the q66 fuzzy corpus in DuckDB
+    and assert the min-above / max-below margins stay wide — a
+    testdata regeneration that erodes them fails HERE, loudly, not as
+    an oracle flake. (Documented r14 margins: 0.909 / 0.049.)"""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('/root/testdata/{sf}/documents.parquet')"
+    )
+    lo, hi = con.execute(
+        """
+        WITH ftr AS (
+          SELECT doc_id AS id, text FROM documents WHERE doc_id % 50 <> 0
+          UNION ALL
+          SELECT -(doc_id + 1), text || ' zz' FROM documents
+          WHERE doc_id % 50 = 0
+        ),
+        fev AS (
+          SELECT doc_id AS eval_id, text FROM documents WHERE doc_id % 50 = 0
+        ),
+        tsh AS (
+          SELECT id, unnest(list_distinct(list_transform(
+              range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+              i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS sh
+          FROM ftr
+        ),
+        esh AS (
+          SELECT eval_id, unnest(list_distinct(list_transform(
+              range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+              i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS sh
+          FROM fev
+        ),
+        ts AS (SELECT id, count(*) AS n FROM tsh GROUP BY id),
+        es AS (SELECT eval_id, count(*) AS n FROM esh GROUP BY eval_id),
+        common AS (
+          SELECT t.id, e.eval_id, count(*) AS c
+          FROM tsh t JOIN esh e USING (sh) GROUP BY 1, 2
+        ),
+        j AS (
+          SELECT c.c / (ts.n + es.n - c.c) AS jac
+          FROM common c JOIN ts ON c.id = ts.id
+          JOIN es ON c.eval_id = es.eval_id
+        )
+        SELECT min(jac) FILTER (jac >= 0.5), max(jac) FILTER (jac < 0.5)
+        FROM j
+        """
+    ).fetchone()
+    assert lo is not None, "no above-threshold pair — planted twins missing?"
+    # above-threshold pairs must stay far above 0.5 (LSH miss ~1e-30
+    # at J≥0.8); below-threshold pairs far below (no borderline pair
+    # whose brute-force oracle row the banding could plausibly miss)
+    assert lo >= 0.8, f"min above-threshold Jaccard eroded to {lo}"
+    assert hi is None or hi <= 0.2, f"max below-threshold Jaccard rose to {hi}"

@@ -180,3 +180,19 @@ def test_validation():
     ):
         with pytest.raises(ValueError):
             bad()
+
+
+def test_null_text_docs_excluded_by_contract(spark):
+    """A NULL-text raw doc is excluded from weighting (NULL gram array,
+    dropped by explode) — the documented treat-NULL-as-absent
+    convention (ADVICE r14); non-null docs are unaffected."""
+    raw = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None), (3, "beta gamma")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(10, "alpha beta alpha")], "doc_id long, text string"
+    )
+    out = dsir_importance_weights(raw, target, n_buckets=64)
+    ids = sorted(r.doc_id for r in out.select("doc_id").collect())
+    assert ids == [1, 3]

@@ -154,3 +154,22 @@ def test_df_count_branches_run_one_corpus_scan(spark):
         assert final.count("Scan parquet") == 0, final
         assert final.count("Scan ExistingRDD") == 2, final
         out.cleanup()
+
+
+def test_cleanup_truncates_lineage_unrecomputable_after(spark):
+    """The documented barrier-cleanup contract (ADVICE r14): cleanup()
+    on bm25_scores releases a localCheckpoint whose lineage was
+    TRUNCATED — after a blocking release, re-executing the returned
+    frame must FAIL (checkpoint blocks gone, nothing to rebuild from),
+    unlike the persist-backed cleanups elsewhere which fall back to
+    recomputation. Materialize before cleanup; rerun the operator if
+    needed again."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma " * (i % 3 + 1)) for i in range(12)],
+        "doc_id long, text string",
+    )
+    out = bm25_scores(docs, ["alpha", "gamma"])
+    assert out.count() == 12  # materialized while blocks live
+    out.cleanup(blocking=True)
+    with pytest.raises(Exception, match="[Cc]heckpoint|block"):
+        out.collect()
