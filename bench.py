@@ -102,6 +102,17 @@ HEADLINE = [
 #: because nothing recorded contemporaneous machine state).
 SENTINEL = "q02_filter_distinct"
 
+#: loaded-host guard (VERDICT r14 task 7): the sentinel's multi-round
+#: idle band at sf0.1 is 0.18–0.35 s. A start reading above the
+#: ceiling means the host is already busy when the sweep begins
+#: (BENCH_r14's driver run started at 0.49 s / load 2.9 and overstated
+#: the round by ~14 s), so the artifact self-flags `"contaminated":
+#: true` and adjudication is mechanical: prefer the committed idle
+#: twin. The band is sf0.1-specific — at other SFs only the load_avg
+#: heuristic applies.
+SENTINEL_CEILING_SF01 = 0.35
+LOAD_AVG_CEILING = 2.0
+
 #: standing drift-adjudication probe (VERDICT r10 task 1): the pinned
 #: drift-cohort members (SCALING.md round-10 table) plus the r10 bench
 #:-tail movers q73/q64/q67/q72. Re-timed min-of-3 at the END of every
@@ -323,6 +334,23 @@ def main() -> None:
             "end_s": sentinel_end,
         },
     }
+    # loaded-host self-flag: sentinel above its idle-band ceiling (at
+    # sf0.1) or a high 1-min load at start ⇒ the totals are not
+    # comparable round-over-round; record WHY so adjudication needs no
+    # forensic re-probe
+    contamination = []
+    if _sf_from_dir(SF_DIR) == 0.1 and sentinel_start > SENTINEL_CEILING_SF01:
+        contamination.append(
+            f"sentinel_start {sentinel_start} > band ceiling "
+            f"{SENTINEL_CEILING_SF01}"
+        )
+    if load_start[0] > LOAD_AVG_CEILING:
+        contamination.append(
+            f"load_avg_start {round(load_start[0], 2)} > {LOAD_AVG_CEILING}"
+        )
+    if contamination:
+        out["contaminated"] = True
+        out["contamination_reasons"] = contamination
     # standing drift probe: the pinned cohort + r10 movers re-timed at
     # the end of the run (min-of-3, load-stamped) — the adjudication
     # data every round's twin now carries by default
@@ -372,6 +400,9 @@ def main() -> None:
     }
     if "ingest" in out:
         compact["ingest"] = out["ingest"]
+    if out.get("contaminated"):
+        compact["contaminated"] = True
+        compact["contamination_reasons"] = out["contamination_reasons"]
     if errors:
         compact["partial"] = True
         compact["n_errors"] = len(errors)
