@@ -68,7 +68,15 @@ def build_ivf_index(
     max_iter: int = 20,
 ) -> IVFIndex:
     """KMeans-cluster the corpus into ``nlist`` cells and tag every row
-    with its cell id. Seeded → deterministic index."""
+    with its cell id. Seeded → deterministic index.
+
+    The featurized frame is persisted across the build so KMeans'
+    iterative passes AND the assignment transform read one cache
+    instead of re-scanning the source per pass (r15 REST probe on the
+    q87 shape: 7 corpus file reads for one build+probe vs the 1 this
+    restores); the returned ``indexed`` table is persisted and eagerly
+    materialized (build-once/probe-many is the contract), and the
+    featurized cache is released before returning."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -76,11 +84,13 @@ def build_ivf_index(
         F.col(id_col),
         F.col(vec_col),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features"),
-    )
+    ).persist()
     km = KMeans(k=nlist, seed=seed, maxIter=max_iter, featuresCol="__features",
                 predictionCol="cell_id")
-    model = km.fit(feat)
-    indexed = model.transform(feat).select(id_col, vec_col, "cell_id")
+    model = km.fit(feat)  # first fit pass fills the cache
+    indexed = model.transform(feat).select(id_col, vec_col, "cell_id").persist()
+    indexed.count()  # materialize from the feat cache, then drop it
+    feat.unpersist()
     centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
     return IVFIndex(indexed, centroids, id_col, vec_col)
 

@@ -294,6 +294,15 @@ def fuzzy_contaminated_docs(
     # q50 discipline
     tsh = shingle_tables(train_df, text_col, id_col, shingle_k, base_hash)
     esh = shingle_tables(eval_df, text_col, id_col, shingle_k, base_hash)
+    # Eagerly fill both caches BEFORE composing the consumers: the
+    # band tables and the verify-set/candidate frames build as
+    # CONCURRENT broadcast exchanges, and two builds racing a LAZY
+    # persist each miss the cache and re-run the full scan+shingle
+    # pass (r15 REST probe on the q66 fuzzy shape: 6 corpus file
+    # reads vs 3 expected; eager count() pins it at one shingling
+    # pass per side — values unchanged, it only orders the fill).
+    tsh.count()
+    esh.count()
     tsig = minhash_signatures(
         train_df, text_col, id_col, num_hashes, shingle_k, seed, base_hash,
         hashed_df=tsh.select("id", "bh"),

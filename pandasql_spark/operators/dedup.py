@@ -455,6 +455,17 @@ def jaccard_verified_neardup_pairs(
         base_hash,
         hashed_df=shared.select("id", "bh"),
     ).persist()
+    # Eagerly fill the caches IN DEPENDENCY ORDER before composing the
+    # consumers: the candidate join and the two verify joins
+    # materialize as concurrent exchange/broadcast builds, and
+    # concurrent builds racing a LAZY persist each miss the cache and
+    # re-run the full upstream pass (r15 REST probe on this operator:
+    # 6 corpus file reads vs 1 expected). shared.count() is the single
+    # corpus scan; sigs.count() then reads the shingle cache; every
+    # downstream consumer hits a warm cache. Values unchanged — this
+    # only orders the fills (the q10/embedding eager-vecs pattern).
+    shared.count()
+    sigs.count()
     cands = lsh_candidate_pairs(sigs, num_bands, num_hashes)
     a = shared.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = shared.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))

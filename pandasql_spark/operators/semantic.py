@@ -116,15 +116,28 @@ def lloyd_kmeans(
     """Deterministic Lloyd's k-means; returns (df + ``cid``, centroids).
 
     Centroid components are rounded to 6 decimals after every update so
-    the trajectory is reproducible across engines (see module doc)."""
+    the trajectory is reproducible across engines (see module doc).
+
+    The input is persisted for the whole run: Lloyd's is inherently
+    multi-pass (init collect + one stats pass per iteration + the
+    final assignment), and without the cache every pass re-scanned the
+    SOURCE — r15 REST probe on the q69 shape: 8 corpus file reads
+    (4 passes × a 2-branch union) vs the 1-per-branch floor this cache
+    restores. The returned frame's ``cleanup()`` releases it."""
     if k < 1 or n_iter < 0:
         raise ValueError(f"need k >= 1, n_iter >= 0; got k={k}, n_iter={n_iter}")
-    init_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    from .cache import attach_cleanup
+
+    src = df.persist()
+    # the init collect is the first action: it fills the cache, so the
+    # iteration/assignment passes below never touch the source again
+    init_rows = src.orderBy(id_col).limit(k).select(vec_col).collect()
     if len(init_rows) < k:
+        src.unpersist()
         raise ValueError(f"k={k} exceeds corpus size {len(init_rows)}")
     centroids = [[float(x) for x in r[0]] for r in init_rows]
     for _ in range(n_iter):
-        assigned = assign_cells(df, centroids, id_col, vec_col, impl=assign_impl)
+        assigned = assign_cells(src, centroids, id_col, vec_col, impl=assign_impl)
         stats = (
             assigned.select("cid", F.posexplode(F.col(vec_col).cast("array<double>")))
             .groupBy("cid", "pos")
@@ -140,7 +153,8 @@ def lloyd_kmeans(
             if i in by_cell else centroids[i]
             for i in range(k)
         ]
-    return assign_cells(df, centroids, id_col, vec_col, impl=assign_impl), centroids
+    final = assign_cells(src, centroids, id_col, vec_col, impl=assign_impl)
+    return attach_cleanup(final, src), centroids
 
 
 def semantic_dedup(
@@ -176,6 +190,8 @@ def semantic_dedup(
     memory is O(|cluster|·dim) for the vectors plus a row-blocked
     O(block·|cluster|) similarity slab — choose k ≈ √n to keep
     clusters reducer-sized."""
+    from .cache import attach_cleanup
+
     assigned, _ = lloyd_kmeans(
         df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
         assign_impl=assign_impl,
@@ -212,13 +228,16 @@ def semantic_dedup(
                 }
             )
 
-        return assigned.groupBy("cid").applyInPandas(kernel, out_schema)
+        return attach_cleanup(
+            assigned.groupBy("cid").applyInPandas(kernel, out_schema),
+            getattr(assigned, "cleanup", lambda: None),
+        )
     if impl != "expr":
         raise ValueError(f"impl must be 'numpy' or 'expr', got {impl!r}")
-    from .cache import attach_cleanup
-
     # referenced three times below (join left/right + keep-flag join) —
-    # persist so the assignment pass and upstream scan run once
+    # persist so the assignment pass runs once; the kmeans input cache
+    # composes through cleanup
+    upstream_cleanup = getattr(assigned, "cleanup", lambda: None)
     assigned = assigned.persist()
     from ..functions.similarity import l2_norm
 
@@ -250,4 +269,4 @@ def semantic_dedup(
             F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
         )
     )
-    return attach_cleanup(out, assigned)
+    return attach_cleanup(out, assigned, upstream_cleanup)
