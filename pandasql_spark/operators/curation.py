@@ -205,9 +205,10 @@ def curate_corpus(
         from .lm import unigram_logprob_scores
 
         out = _barrier(out)
+        scored = unigram_logprob_scores(out, text_col=text_col, id_col=id_col)
+        releases.append(getattr(scored, "cleanup", lambda: None))
         ok = (
-            unigram_logprob_scores(out, text_col=text_col, id_col=id_col)
-            .filter(F.col("logprob") >= min_logprob)
+            scored.filter(F.col("logprob") >= min_logprob)
             .select(id_col)
         )
         out = out.join(ok, on=id_col, how="semi")

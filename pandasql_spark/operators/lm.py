@@ -51,26 +51,38 @@ def unigram_logprob_scores(
     """(id_col, n_tokens, logprob): per-document mean ln(p(token))
     under the corpus's own unigram distribution, rounded to 6 places
     (cross-engine comparability). Higher is more typical; tail docs
-    are quality-filter candidates."""
-    counts = unigram_counts(df, text_col)
+    are quality-filter candidates.
+
+    N = Σcnt is computed as a driver-side action against the PERSISTED
+    counts table and embedded as a literal — the r14 shape derived N
+    from the counts exchange so AQE ReusedExchange would serve the
+    vocab join and the N aggregate from one shuffle, and the executed
+    PLAN TEXT does show the reuse, but the r15 REST file-byte audit
+    caught the runtime truth: the vocab broadcast and the N broadcast
+    compile as INDEPENDENT AQE subplans whose jobs each re-ran the
+    scan+explode+count map stage (3 real corpus reads, not the
+    plan-pinned 2). The persist makes the count pass run exactly once
+    (the N action fills the cache; the vocab broadcast reads it) —
+    same integer N, same double division, bit-identical scores. The
+    returned frame's ``cleanup()`` releases the counts cache."""
+    from .cache import attach_cleanup
+
+    counts = unigram_counts(df, text_col).persist()
+    row = counts.agg(F.sum("cnt").alias("n")).first()
+    n_total = int(row["n"]) if row["n"] is not None else 1  # empty corpus
     vocab = F.broadcast(counts) if broadcast_vocab else counts
-    # N = Σcnt off the counts table — the SAME integer as a direct
-    # sum-of-token-counts corpus pass, but expressed over the counts
-    # subtree so Spark's exchange reuse serves both consumers from ONE
-    # count shuffle: the plan carries TWO corpus scans (tokens + the
-    # count pass), not three (plan-pinned in test_lm.py). 1-row frame;
-    # crossJoin broadcasts it.
-    n_total = counts.agg(F.sum("cnt").alias("n"))
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
-    return (
+    out = (
         toks.join(vocab, on="token")
-        .crossJoin(F.broadcast(n_total))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(F.log(F.col("cnt") / F.col("n"))), 6).alias("logprob"),
+            F.round(
+                F.avg(F.log(F.col("cnt") / F.lit(n_total).cast("double"))), 6
+            ).alias("logprob"),
         )
     )
+    return attach_cleanup(out, counts)
 
 
 def score_against(
@@ -290,4 +302,8 @@ def perplexity_buckets(
         .select(id_col, "logprob", "ppl_tier", "ppl_bucket")
     )
     out = df.join(tiers, id_col, "left") if attach_input else tiers
-    return attach_cleanup(out, release) if release is not None else out
+    # compose the scorer's counts-cache release with our own barrier's
+    scored_release = getattr(scored, "cleanup", lambda blocking=False: None)
+    if release is not None:
+        return attach_cleanup(out, release, scored_release)
+    return attach_cleanup(out, scored_release)

@@ -86,20 +86,36 @@ def test_count_pass_partial_aggregation(spark):
     assert plan.count("HashAggregate") >= 2 and "Exchange" in plan, plan
 
 
-def test_score_pass_reuses_count_exchange(spark):
-    """unigram_logprob_scores derives N = Σcnt off the counts table, so
-    the EXECUTED plan serves both the vocab join and the N aggregate
-    from ONE count shuffle (AQE ReusedExchange): exactly TWO parquet
-    scans run — the score pass's token explode and the count pass's
-    map side — never a third corpus pass for the total (r13 VERDICT
-    item; the op backs q72, q71's floors and q16's perplexity fold)."""
-    docs = spark.read.parquet(f"{SF}/documents.parquet")
-    out = unigram_logprob_scores(docs)
-    out.collect()  # exchange reuse is finalized by AQE at runtime
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    final = plan.split("== Initial Plan ==")[0]
-    assert final.count("Scan parquet") == 2, final
-    assert "ReusedExchange" in final, final
+def test_score_runs_exactly_two_corpus_passes(spark):
+    """unigram_logprob_scores must read its input exactly TWICE — the
+    count pass (whose cache the N action fills and the vocab broadcast
+    reuses) and the score pass's token explode — measured with the
+    accumulator-tap pattern (REAL passes, not plan text: the r14
+    exchange-reuse shape plan-printed 2 scans but the vocab and N
+    broadcasts compiled as independent AQE subplans and RAN the count
+    stage twice — 3 real corpus reads, caught by the r15 file-byte
+    audit; the persisted-counts + literal-N shape pins it at 2)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(300),
+            "text": [f"alpha beta w{i % 17} gamma" for i in range(300)],
+        }
+    )
+    src = spark.createDataFrame(pdf).repartition(4)
+    acc = spark.sparkContext.accumulator(0)
+
+    def tap(batches):
+        for b in batches:
+            acc.add(len(b))
+            yield b
+
+    tapped = src.mapInPandas(tap, schema="doc_id long, text string")
+    out = unigram_logprob_scores(tapped)
+    assert out.count() == 300
+    assert acc.value == 2 * 300, acc.value
+    out.cleanup()
 
 
 def test_perplexity_buckets_tiers_only(spark):
