@@ -604,6 +604,14 @@ def dedup_corpus(
             )
             .select(F.col("__best.i").alias(id_col))
         )
+    # persist the slim survivor-id list and fill it eagerly: `kept` is
+    # consumed twice (the shingle pass and the final anti-join), and
+    # each consumer would otherwise rebuild the exact-keep broadcast —
+    # re-running the fingerprint groupBy's corpus scan (r15 file-byte
+    # probe: 4 corpus reads; this pins it at 3 = exact fill + one df
+    # read per kept consumer, the floor without caching full text)
+    exact_keep = exact_keep.persist()
+    exact_keep.count()
     kept = df.join(exact_keep, id_col, "leftsemi")
     pairs = jaccard_verified_neardup_pairs(
         kept,
@@ -643,10 +651,10 @@ def dedup_corpus(
             ).select(F.col("node").alias(id_col))
         )
     out = kept.join(non_reps, id_col, "anti")
-    # compose the inner stages' releases (signature cache + the
-    # component loop's final checkpoints) into this result's hook
-    # (operators/cache.py) — call only after materializing
-    return attach_cleanup(out, pairs.cleanup, clusters.cleanup)
+    # compose the inner stages' releases (survivor-id cache, signature
+    # cache, the component loop's final checkpoints) into this result's
+    # hook (operators/cache.py) — call only after materializing
+    return attach_cleanup(out, exact_keep, pairs.cleanup, clusters.cleanup)
 
 
 # ------------------------------------------------------------------ SimHash
@@ -1409,6 +1417,14 @@ def dedup_images(
             )
             .select(F.col("k.i").alias(id_col))
         )
+    # persist + eagerly fill the slim survivor-id list: `survivors` is
+    # consumed by the perceptual-pair stage AND the final anti-join
+    # (plus the keep='best' score join), and each consumer would
+    # otherwise rebuild the exact-keep broadcast — re-running the
+    # payload-md5 groupBy's full corpus read (the dedup_corpus r15
+    # fix, same shape)
+    exact_keep = exact_keep.persist()
+    exact_keep.count()
     survivors = df.join(exact_keep, id_col, "semi")
     pairs = image_neardup_pairs(
         survivors, payload_col, id_col, max_hamming, num_bands, method
@@ -1435,7 +1451,13 @@ def dedup_images(
             comp.join(best, comp["node"] == F.col("__keep"), "anti")
             .select(F.col("node").alias(id_col))
         )
-    return survivors.join(drop, id_col, "anti")
+    out = survivors.join(drop, id_col, "anti")
+    # compose the survivor-id cache and the component loop's final
+    # checkpoint releases (previously dropped — the comp blocks leaked
+    # until session end); call cleanup() only after materializing
+    return attach_cleanup(
+        out, exact_keep, getattr(comp, "cleanup", lambda: None)
+    )
 
 
 # ------------------------------------------------------ embedding near-dup
