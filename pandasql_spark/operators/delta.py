@@ -150,25 +150,38 @@ def scd2_merge(
 
     fp_col = content_fingerprint(content_cols)
 
-    closed = history.filter(F.col(valid_to_col).isNotNull())
-    open_ = history.filter(F.col(valid_to_col).isNull())
-
-    open_fp = open_.select(F.col(key_col), fp_col.alias("__fp_old"))
+    # ONE history pass for closes + pass-throughs: the old shape
+    # filtered history into closed/open branches and unioned
+    # closed ∪ closed_now ∪ still_open, so the open⋈new_fp join
+    # subtree executed once per consuming branch — the r15 file-byte
+    # probe read the q83 inputs 9× (each output branch re-derived its
+    # join). Folding the close decision into a conditional valid_to
+    # over ALL history rows (closed rows join the broadcast fp table
+    # too — one hash probe each, no shuffle; their valid_to is guarded
+    # by the isNull test) makes the whole history side one scan, and
+    # the insert side one scan per input: q83 probes at 6 = each
+    # side's content pass + fp pass, the floor without caching full
+    # content. Row-for-row identical output to the branch form.
     new_fp = snapshot.select(F.col(key_col), fp_col.alias("__fp_new"))
-
-    # closes: open content × new fingerprints
-    o = open_.withColumn("__fp_old", fp_col).join(
-        new_fp, on=key_col, how="left"
+    open_fp = history.filter(F.col(valid_to_col).isNull()).select(
+        F.col(key_col), fp_col.alias("__fp_old")
     )
+
     gone_or_changed = F.col("__fp_new").isNull() | (
         F.col("__fp_old") != F.col("__fp_new")
     )
-    closed_now = (
-        o.filter(gone_or_changed)
-        .withColumn(valid_to_col, F.lit(as_of).cast("long"))
+    merged = (
+        history.withColumn("__fp_old", fp_col)
+        .join(new_fp, on=key_col, how="left")
+        .withColumn(
+            valid_to_col,
+            F.when(
+                F.col(valid_to_col).isNull() & gone_or_changed,
+                F.lit(as_of).cast("long"),
+            ).otherwise(F.col(valid_to_col)),
+        )
         .drop("__fp_old", "__fp_new")
     )
-    still_open = o.filter(~gone_or_changed).drop("__fp_old", "__fp_new")
 
     # inserts: new content × open fingerprints
     n = snapshot.withColumn("__fp_new", fp_col).join(
@@ -184,11 +197,7 @@ def scd2_merge(
         .withColumn(valid_to_col, F.lit(None).cast("long"))
     )
 
-    return (
-        closed.unionByName(closed_now)
-        .unionByName(still_open)
-        .unionByName(inserts.select(*closed.columns))
-    )
+    return merged.unionByName(inserts.select(*merged.columns))
 
 
 def diff_summary(
