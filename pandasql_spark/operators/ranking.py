@@ -209,10 +209,17 @@ def exact_percentiles(
 
     # rank → [qs]; dedup so repeated quantiles emit one row (matching
     # grouped_exact_percentiles), and several distinct quantiles can
-    # still share a position at tiny n
+    # still share a position at tiny n. The 9-digit round before ceil
+    # kills the binary-product artifact (0.07·100 → 7.000000000000001
+    # → a bare ceil reads 8) and matches DuckDB, whose DECIMAL literal
+    # arithmetic computes q·n exactly — a bare double ceil here and an
+    # exact ceil there would pick DIFFERENT ranks at exact-integer
+    # boundaries (the hh_min_count class, ADVICE r14; probed: no gate
+    # (q, n) combination sits on such a boundary, so this is
+    # value-neutral on gated data).
     by_rank: dict[int, list[float]] = {}
     for q in sorted(set(float(q) for q in quantiles)):
-        by_rank.setdefault(math.ceil(q * total), []).append(q)
+        by_rank.setdefault(math.ceil(round(q * total, 9)), []).append(q)
     qs_for_rank = F.create_map(
         *[
             x
@@ -268,6 +275,16 @@ def grouped_exact_percentiles(
             "value",
             F.explode(
                 F.filter(
+                    # Deliberately a BARE double ceil — the opposite
+                    # convention from the global path. This path's
+                    # oracle twins (q91's `ceil(i / 20.0 * n)` shape)
+                    # compute q·n in DOUBLES, sharing the artifact
+                    # bit-for-bit, so rounding HERE alone breaks
+                    # hash-equality (tried r15: q91's sf0.01 replica
+                    # went red; reverted). Exactness at integer-q·n
+                    # boundaries needs BOTH sides to move — queued as
+                    # an oracle+code lockstep change for a round where
+                    # q91/q16 are active.
                     qarr, lambda q: F.ceil(q * F.col("__n")) == F.col(_RN)
                 )
             ).alias("q"),

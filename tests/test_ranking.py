@@ -255,3 +255,33 @@ def test_quantile_normalize_null_values_do_not_shift_cuts(spark):
     got_c = {r["v"]: r["pct"] for r in
              quantile_normalize(clean, "v", ["g"], k=5).collect()}
     assert got_n == got_c
+
+
+def test_quantile_rank_no_float_artifact(spark):
+    """ceil(q·n) at an exact-integer boundary: 0.07·100 evaluates to
+    7.000000000000001 in doubles, so a bare ceil picks rank 8 — while
+    DuckDB's DECIMAL arithmetic (every oracle's shape) computes 7
+    exactly. Both ranking paths round before ceiling (the hh_min_count
+    guard): the 0.07-quantile of 1..100 must be 7, global and
+    grouped."""
+    import pandas as pd
+
+    from pandasql_spark.operators.ranking import (
+        exact_percentiles,
+        grouped_exact_percentiles,
+    )
+
+    pdf = pd.DataFrame({"v": range(1, 101), "g": ["a"] * 100})
+    df = spark.createDataFrame(pdf)
+    got = {r.q: r.value for r in exact_percentiles(df, "v", [0.07, 0.25]).collect()}
+    assert got == {0.07: 7, 0.25: 25}, got
+    # the GROUPED path deliberately keeps the bare double ceil — its
+    # oracle twins (q91's `ceil(i / 20.0 * n)`) share the double
+    # artifact bit-for-bit, so it picks rank 8 here; pin the
+    # convention so a one-sided "fix" (which breaks the q91 oracle —
+    # tried r15) fails loudly
+    gg = {
+        r.q: r.value
+        for r in grouped_exact_percentiles(df, ["g"], "v", [0.07, 0.25]).collect()
+    }
+    assert gg == {0.07: 8, 0.25: 25}, gg
