@@ -171,7 +171,14 @@ def scd2_merge(
         F.col("__fp_old") != F.col("__fp_new")
     )
     merged = (
-        history.withColumn("__fp_old", fp_col)
+        # fp only for OPEN rows: conditional expressions short-circuit
+        # in codegen, so closed rows (the bulk of a mature history)
+        # skip the content md5 entirely — they only pay the broadcast
+        # hash probe. __fp_old is NULL for closed rows, which is safe:
+        # every use below sits under the same valid_to-isNull guard.
+        history.withColumn(
+            "__fp_old", F.when(F.col(valid_to_col).isNull(), fp_col)
+        )
         .join(new_fp, on=key_col, how="left")
         .withColumn(
             valid_to_col,
