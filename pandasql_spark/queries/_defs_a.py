@@ -1258,7 +1258,12 @@ def q62_heavy_hitters(spark: SparkSession, sf: str) -> SparkDataFrame:
         query_name="q62_hitters_replay",
     )
     toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
-    streamed = verify_heavy_hitters(toks, cands, "token", threshold=0.01)
+    # n from the shard states (Σ n_shard — exact by construction, the
+    # replay test pins it) instead of a second corpus count pass
+    n_tok = int(cands.agg(F.sum("n_shard")).first()[0])
+    streamed = verify_heavy_hitters(
+        toks, cands, "token", threshold=0.01, total_count=n_tok
+    )
     return out.select(
         F.lit("batch").alias("stage"),
         "token",

@@ -127,18 +127,32 @@ def verify_heavy_hitters(
     candidates: DataFrame,
     item_col: str,
     threshold: float,
+    total_count: int | None = None,
 ) -> DataFrame:
     """Exact (item, cnt) over ``df`` for streamed candidates clearing
     ``ceil(threshold * n)`` — the batch verify pass a bounded replay
     (or a nightly reconciliation over the landed data) runs against
     the stream's candidate set. ``candidates`` is the final
     (shard, items, n_shard) frame; the join is a broadcast semi-join,
-    so the corpus shuffles only candidate rows (the freq.py shape)."""
+    so the corpus shuffles only candidate rows (the freq.py shape).
+
+    ``total_count`` (optional) is the non-NULL item count n. When the
+    candidates came from `mg_stream_candidates`, pass
+    ``Σ n_shard`` over the final summaries — the state already carries
+    the exact per-shard row counts (NULLs were filtered before
+    sharding), so deriving n from the shard states saves a FULL corpus
+    count pass (one of the verify's two scans at 100 TB). Left None,
+    the verify counts ``df`` itself — the standalone/reconciliation
+    shape."""
     from ..operators.freq import hh_min_count
 
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    n = df.filter(F.col(item_col).isNotNull()).count()
+    n = (
+        int(total_count)
+        if total_count is not None
+        else df.filter(F.col(item_col).isNotNull()).count()
+    )
     floor = hh_min_count(threshold, n)
     cand = candidates.select(
         F.explode("items").alias("__cand")
