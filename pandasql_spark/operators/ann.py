@@ -38,6 +38,17 @@ class IVFIndex:
         self.id_col = id_col
         self.vec_col = vec_col
 
+    def cleanup(self) -> None:
+        """Release the build-time cache behind ``indexed`` (idempotent).
+
+        `build_ivf_index` persists and eagerly materializes the indexed
+        table (build-once/probe-many); callers that are done probing —
+        or that only wanted the on-disk partitioned index via
+        `write_ivf_index` — call this so the cache doesn't hold
+        storage-pool residency until session end (the repo-wide
+        cache-release discipline, see operators/cache.py)."""
+        self.indexed.unpersist()
+
     def search(self, query_vec: list[float], k: int = 10, nprobe: int = 4) -> DataFrame:
         """Top-k by cosine among vectors in the ``nprobe`` cells whose
         centroids are nearest the query. Driver computes the probe set

@@ -123,17 +123,29 @@ def lloyd_kmeans(
     final assignment), and without the cache every pass re-scanned the
     SOURCE — r15 REST probe on the q69 shape: 8 corpus file reads
     (4 passes × a 2-branch union) vs the 1-per-branch floor this cache
-    restores. The returned frame's ``cleanup()`` releases it."""
+    restores. If the CALLER already persisted the input, that cache is
+    used as-is and its lifecycle is untouched; otherwise the operator
+    persists it and the returned frame's ``cleanup()`` releases it."""
     if k < 1 or n_iter < 0:
         raise ValueError(f"need k >= 1, n_iter >= 0; got k={k}, n_iter={n_iter}")
     from .cache import attach_cleanup
 
-    src = df.persist()
+    # Cache ownership (ADVICE r15): Spark's CacheManager keys on the
+    # SEMANTIC plan, so persisting any equivalent frame (even
+    # df.select('*')) aliases the caller's cache entry — unpersisting
+    # it would evict a cache the caller owns, and re-persisting an
+    # already-persisted input at another level raises. So: if the
+    # caller already cached the input, ride that cache and leave its
+    # lifecycle alone (cleanup() is a no-op); only an uncached input
+    # is persisted here and released by the returned cleanup().
+    owns_cache = not df.is_cached
+    src = df.persist() if owns_cache else df
     # the init collect is the first action: it fills the cache, so the
     # iteration/assignment passes below never touch the source again
     init_rows = src.orderBy(id_col).limit(k).select(vec_col).collect()
     if len(init_rows) < k:
-        src.unpersist()
+        if owns_cache:
+            src.unpersist()
         raise ValueError(f"k={k} exceeds corpus size {len(init_rows)}")
     centroids = [[float(x) for x in r[0]] for r in init_rows]
     for _ in range(n_iter):
@@ -154,7 +166,9 @@ def lloyd_kmeans(
             for i in range(k)
         ]
     final = assign_cells(src, centroids, id_col, vec_col, impl=assign_impl)
-    return attach_cleanup(final, src), centroids
+    return (
+        attach_cleanup(final, src) if owns_cache else attach_cleanup(final)
+    ), centroids
 
 
 def semantic_dedup(

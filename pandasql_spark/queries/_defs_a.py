@@ -1259,8 +1259,9 @@ def q62_heavy_hitters(spark: SparkSession, sf: str) -> SparkDataFrame:
     )
     toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
     # n from the shard states (Σ n_shard — exact by construction, the
-    # replay test pins it) instead of a second corpus count pass
-    n_tok = int(cands.agg(F.sum("n_shard")).first()[0])
+    # replay test pins it) instead of a second corpus count pass;
+    # sum() is NULL over an empty sink (empty corpus) → 0 hitters
+    n_tok = int(cands.agg(F.sum("n_shard")).first()[0] or 0)
     streamed = verify_heavy_hitters(
         toks, cands, "token", threshold=0.01, total_count=n_tok
     )

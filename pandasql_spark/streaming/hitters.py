@@ -178,9 +178,10 @@ def replay_mg_candidates(
     num_shards: int = 16,
     n_batches: int = 3,
     query_name: str = "mg_hitters_replay",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Run the sharded-MG candidate pass through the REAL streaming
-    engine over a bounded doc_id-ordered replay of a documents table:
+    engine over a bounded id-ordered replay of a documents table:
     stage ``n_batches`` chunk files (`stage_ordered_chunks`), stream
     them one per micro-batch so the per-shard summaries genuinely fold
     ACROSS batch boundaries, tokenize inside the stream, and return the
@@ -197,12 +198,14 @@ def replay_mg_candidates(
 
     from .events import bounded_replay_shuffle, stage_ordered_chunks
 
-    docs = spark.read.parquet(docs_path).select("doc_id", text_col)
+    docs = spark.read.parquet(docs_path).select(id_col, text_col)
     stage = tempfile.mkdtemp(prefix="hhchunks_")
     try:
-        stage_ordered_chunks(docs, n_batches, ["doc_id"], stage)
+        stage_ordered_chunks(docs, n_batches, [id_col], stage)
+        # schema comes from the staged frame itself, not a hardcoded
+        # "doc_id long" literal — any id column name/type replays
         stream = (
-            spark.readStream.schema(f"doc_id long, {text_col} string")
+            spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(os.path.join(stage, "*.parquet"))
         )

@@ -182,3 +182,16 @@ def test_ann_join_validation(spark):
         ann_join(idx, e, k=0)
     with pytest.raises(ValueError, match="nprobe"):
         ann_join(idx, e, nprobe=0)
+
+
+def test_ivf_index_cleanup_releases_cache(spark):
+    """ADVICE r15: build_ivf_index persists + materializes `indexed`;
+    cleanup() must release that cache (idempotently) so write-only
+    callers don't hold storage-pool residency until session end."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = build_ivf_index(e, nlist=4)
+    assert idx.indexed.storageLevel.useMemory  # build persisted it
+    idx.cleanup()
+    assert not idx.indexed.storageLevel.useMemory
+    idx.cleanup()  # idempotent
+    assert not idx.indexed.storageLevel.useMemory

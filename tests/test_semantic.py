@@ -227,3 +227,28 @@ def test_assignment_is_shuffle_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_kmeans_does_not_hijack_caller_cache(spark):
+    """ADVICE r15: lloyd_kmeans persists a DERIVED frame, never the
+    caller's object — a pre-persisted input at a non-default storage
+    level must not raise 'cannot change storage level', and the
+    caller's own cache must survive the returned frame's cleanup()."""
+    from pyspark import StorageLevel
+
+    from pandasql_spark.operators.semantic import lloyd_kmeans
+
+    e = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .limit(50)
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    try:
+        e.count()
+        out, cents = lloyd_kmeans(e, k=2, n_iter=1)  # must not raise
+        assert out.count() == 50
+        out.cleanup()
+        # the caller's cache is untouched by the operator's cleanup
+        assert e.storageLevel.useDisk and not e.storageLevel.useMemory
+    finally:
+        e.unpersist()

@@ -172,3 +172,30 @@ def test_replay_mg_candidates_final_rows_and_staging_cleanup(spark):
     )
     assert int(out["n_shard"].sum()) == n_tok
     assert all(len(x) <= 100 for x in out["items"])
+
+
+def test_replay_mg_candidates_custom_id_column(spark, tmp_path):
+    """ADVICE r15: the replay's readStream schema is derived from the
+    staged frame, not a hardcoded `doc_id long` — a corpus keyed by a
+    different id column name AND type replays identically."""
+    from pandasql_spark.streaming.hitters import replay_mg_candidates
+
+    src = str(tmp_path / "alt_ids")
+    (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .limit(60)
+        .select(F.col("doc_id").cast("int").alias("docnum"), "text")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    out = replay_mg_candidates(
+        spark, src, "text", capacity=50, num_shards=4, n_batches=2,
+        query_name="t_mg_alt_id", id_col="docnum",
+    ).toPandas()
+    n_tok = (
+        spark.read.parquet(src)
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .count()
+    )
+    assert int(out["n_shard"].sum()) == n_tok
+    assert out["shard"].is_unique
