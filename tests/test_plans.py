@@ -323,3 +323,21 @@ def test_q94_unicode_fold_plan(spark):
     assert "BatchEvalPython" not in plan
     assert ops["Scan"] == 1, dict(ops)
     assert ops["ArrowEvalPython"] == 1, dict(ops)
+
+
+def test_scan_floor_watchlist_structure():
+    """The standing scan-floor gate's watchlist (tools/scan_floors.json)
+    stays well-formed: every key is a registry query, every floor is a
+    positive byte count, and the scan-sensitive shapes stay listed."""
+    import json
+    import os
+
+    from pandasql_spark.queries import REGISTRY
+
+    path = os.path.join(os.path.dirname(__file__), "..", "tools", "scan_floors.json")
+    floors = json.load(open(path))
+    assert set(floors) <= set(REGISTRY), set(floors) - set(REGISTRY)
+    assert all(isinstance(v, int) and v > 0 for v in floors.values()), floors
+    for must in ("q10_embedding_neardup", "q50_jaccard_verified",
+                 "q69_semantic_dedup", "q72_unigram_logprob"):
+        assert must in floors
