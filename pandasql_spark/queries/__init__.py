@@ -298,7 +298,10 @@ REGISTRY: dict[str, QueryDef] = {
     "q46_json_props": QueryDef(q46_json_props, Q46_SQL, "JSON props extraction + agg"),
     "q47_funnel": QueryDef(q47_funnel, Q47_SQL, "ordered funnel conversion analysis"),
     "q49_dedup_clusters": QueryDef(q49_dedup_clusters, Q49_SQL, "near-dup connected components"),
-    "q50_jaccard_verified": QueryDef(q50_jaccard_verified, Q22_SQL, "LSH + exact-Jaccard verification"),
+    "q50_jaccard_verified": QueryDef(
+        q50_jaccard_verified, Q50_SQL,
+        "LSH + exact-Jaccard verification + dedup_corpus survivors"
+    ),
     "q51_tfidf": QueryDef(q51_tfidf, Q51_SQL, "per-doc top-k TF-IDF keywords"),
     "q52_distribution": QueryDef(
         q52_distribution, Q52_SQL, "histogram × exact-ntile distribution (scale-safe ranking)"

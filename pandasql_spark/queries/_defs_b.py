@@ -900,17 +900,94 @@ FROM reach GROUP BY node
 
 
 def q50_jaccard_verified(spark: SparkSession, sf: str) -> SparkDataFrame:
-    """The dedup scale path: MinHash+LSH candidates + exact per-pair
-    Jaccard verification (operators/dedup.py:jaccard_verified_neardup_
-    pairs). Same oracle as q22 — the composition returns the identical
-    pair set with TRUE Jaccard values (16×4 band curve ≈0.99+ recall at
-    J≥0.5; equality verified at both gate SFs), while scaling
-    near-linearly on duplicate-rich corpora where the exact self-join
-    is quadratic (measured 131 s → 21 s at the 10× scale test)."""
-    from pandasql_spark.operators.dedup import jaccard_verified_neardup_pairs
+    """The dedup scale path, two-staged (r16 fold — VERDICT r15 task 7,
+    the first ORACLE-GATED one-call composition):
+
+    - stage ``pairs`` — MinHash+LSH candidates + exact per-pair Jaccard
+      verification (operators/dedup.py:jaccard_verified_neardup_pairs).
+      Same pair set as the exact all-pairs oracle with TRUE Jaccard
+      values (32-band curve ≈0.999 recall at J≥0.5; equality verified
+      at both gate SFs), while scaling near-linearly on duplicate-rich
+      corpora where the exact self-join is quadratic (measured
+      131 s → 21 s at the 10× scale test).
+    - stage ``survivors`` — the one-call `dedup_corpus` composition
+      (exact dedup → verified pairs over exact survivors → connected
+      components → keep min id per cluster). The oracle recomputes the
+      whole chain in SQL: fingerprint min-id groups, the exact pair
+      set restricted to exact survivors (LSH candidacy is pairwise —
+      band-slice equality doesn't depend on other docs — so the
+      restriction equals re-running LSH on the survivor subset), and
+      min-label connected components via a recursive CTE. This gates
+      the composition GLUE (stage ordering, survivor anti-join,
+      cleanup composition), not just its stages."""
+    from pandasql_spark.operators.dedup import (
+        dedup_corpus,
+        jaccard_verified_neardup_pairs,
+    )
 
     d = spark.read.parquet(f"{sf}/documents.parquet")
-    return jaccard_verified_neardup_pairs(d, threshold=0.5, num_bands=32)
+    pairs = jaccard_verified_neardup_pairs(d, threshold=0.5, num_bands=32)
+    surv = dedup_corpus(d, threshold=0.5, num_bands=32)
+    return pairs.select(
+        F.lit("pairs").alias("stage"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    ).unionByName(
+        surv.select(
+            F.lit("survivors").alias("stage"),
+            F.col("doc_id").cast("long").alias("id_a"),
+            F.lit(None).cast("long").alias("id_b"),
+            F.lit(None).cast("double").alias("jaccard"),
+        )
+    )
+
+
+Q50_SQL = r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS id, unnest(list_distinct(list_transform(
+      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS sh
+  FROM documents
+), sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b,
+         round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON id_a = sa.id
+  JOIN sizes sb ON id_b = sb.id
+  WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
+),
+ek AS (
+  SELECT min(doc_id) AS id
+  FROM documents
+  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+),
+sedges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  WHERE id_a IN (SELECT id FROM ek) AND id_b IN (SELECT id FROM ek)
+),
+edges AS (SELECT u, v FROM sedges UNION SELECT v AS u, u AS v FROM sedges),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+nonreps AS (
+  SELECT u FROM reach GROUP BY u HAVING least(u, min(v)) <> u
+)
+SELECT 'pairs' AS stage, CAST(id_a AS BIGINT) AS id_a,
+       CAST(id_b AS BIGINT) AS id_b, jaccard FROM pairs
+UNION ALL
+SELECT 'survivors' AS stage, CAST(id AS BIGINT) AS id_a,
+       CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS DOUBLE) AS jaccard
+FROM ek WHERE id NOT IN (SELECT u FROM nonreps)
+"""
 
 
 def q51_tfidf(spark: SparkSession, sf: str) -> SparkDataFrame:
