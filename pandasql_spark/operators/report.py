@@ -55,7 +55,19 @@ def corpus_report(
     Tie-break for the percentiles is (value, id) so the picked row is
     deterministic and engine-portable."""
     tc = token_count(text_col).alias("__tc")
-    base = df.select(F.col(id_col), tc, fingerprint(text_col).alias("__fp"))
+    # ONE corpus pass feeds every text-side metric (r16, the q73 REST
+    # probe's own adjudication): the slim (id, token_count, fp[,
+    # stratum]) base is persisted and EAGERLY filled — count() first,
+    # the r15 lazy-persist-race discipline — so the volumes agg, the
+    # percentile ranking, and the stratum mix all read the cache
+    # instead of re-scanning the corpus (3 real reads -> 1; the audio
+    # branch still reads the payload column separately — binary
+    # payloads don't belong in a metrics cache).
+    base_cols = [F.col(id_col), tc, fingerprint(text_col).alias("__fp")]
+    if stratum_col is not None:
+        base_cols.append(F.col(stratum_col))
+    base = df.select(*base_cols).persist()
+    base.count()
 
     volumes = base.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -80,7 +92,7 @@ def corpus_report(
     out = tall.unionByName(pct)
 
     if stratum_col is not None:
-        mix = df.groupBy(stratum_col).agg(
+        mix = base.groupBy(stratum_col).agg(
             F.count(F.lit(1)).cast("double").alias("value")
         ).select(
             F.concat(
@@ -90,7 +102,7 @@ def corpus_report(
         )
         out = out.unionByName(mix)
 
-    cleanups = [pctl.cleanup]
+    cleanups = [pctl.cleanup, lambda **kw: base.unpersist()]
     if audio_col is not None:
         from .multimodal import audio_meta
 
