@@ -106,7 +106,19 @@ def corpus_report(
     if audio_col is not None:
         from .multimodal import audio_meta
 
-        am = audio_meta(df, payload_col=audio_col, id_col=id_col)
+        # same one-pass discipline as the text base (r16): the decoded
+        # METADATA (a few scalars per payload — never the payload) is
+        # persisted and eagerly filled, so the volume agg, the duration
+        # percentiles, and the per-stratum duration mix run ONE decode
+        # pass over the corpus instead of one each (REST probe on the
+        # q81 query: 5.00 -> 3.00 x documents total = text base fill +
+        # this decode pass + the narrow (id, stratum) join column scan
+        # — the floor without caching the raw input)
+        am = audio_meta(df, payload_col=audio_col, id_col=id_col).select(
+            "media_id", "decode_ok", "duration_s", "rms"
+        ).persist()
+        am.count()
+        cleanups.append(lambda **kw: am.unpersist())
         avol = am.agg(
             F.sum(F.col("decode_ok").cast("double")).alias("n_audio_ok"),
             F.round(1 - F.avg(F.col("decode_ok").cast("double")), 6).alias(
