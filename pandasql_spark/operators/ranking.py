@@ -202,8 +202,13 @@ def exact_percentiles(
     ranked, total = _ranked_with_total(df, order, _RN, num_partitions)
     if total == 0:
         ranked.cleanup()  # the empty frame was still persisted+counted
-        return df.sparkSession.createDataFrame(
-            [], schema=f"q double, value {df.schema[value_col].dataType.simpleString()}"
+        # keep the cleanup contract on the empty path too — consumers
+        # (corpus_report) compose pctl.cleanup unconditionally
+        return attach_cleanup(
+            df.sparkSession.createDataFrame(
+                [],
+                schema=f"q double, value {df.schema[value_col].dataType.simpleString()}",
+            )
         )
     import math
 

@@ -111,9 +111,9 @@ def corpus_report(
         # persisted and eagerly filled, so the volume agg, the duration
         # percentiles, and the per-stratum duration mix run ONE decode
         # pass over the corpus instead of one each (REST probe on the
-        # q81 query: 5.00 -> 3.00 x documents total = text base fill +
-        # this decode pass + the narrow (id, stratum) join column scan
-        # — the floor without caching the raw input)
+        # q81 query: 5.00 -> 2.00 x documents total = text base fill +
+        # this decode pass; the stratum mix joins the persisted base —
+        # the floor without caching the raw input)
         am = audio_meta(df, payload_col=audio_col, id_col=id_col).select(
             "media_id", "decode_ok", "duration_s", "rms"
         ).persist()
@@ -150,9 +150,13 @@ def corpus_report(
         cleanups.append(apctl.cleanup)
 
         if stratum_col is not None:
+            # (id, stratum) comes off the persisted text base — joining
+            # `df` here re-ran the whole upstream pass (for the q81
+            # host that's a full WAV re-render) just to project two
+            # columns (r16 review finding; REST probe 3.00 -> 2.00)
             amix = (
                 am.join(
-                    df.select(
+                    base.select(
                         F.col(id_col).alias("media_id"), F.col(stratum_col)
                     ),
                     "media_id",

@@ -105,6 +105,24 @@ def assign_cells(
     return df.withColumn("cid", F.array_min(dists)["cid"])
 
 
+def _plan_is_cached(df: DataFrame) -> bool:
+    """True when the CacheManager holds an entry whose plan is
+    semantically equivalent to ``df``'s — the authoritative "will
+    persist() alias someone else's cache?" test. `DataFrame.is_cached`
+    is only a per-Python-object flag, so a caller that cached a
+    DIFFERENT but plan-equivalent frame (a second read of the same
+    path, a no-op projection) is invisible to it."""
+    try:
+        return (
+            df.sparkSession._jsparkSession.sharedState()
+            .cacheManager()
+            .lookupCachedData(df._jdf)
+            .isDefined()
+        )
+    except Exception:  # py4j surface shift — fall back to the local flag
+        return bool(df.is_cached)
+
+
 def lloyd_kmeans(
     df: DataFrame,
     k: int = 8,
@@ -135,10 +153,14 @@ def lloyd_kmeans(
     # df.select('*')) aliases the caller's cache entry — unpersisting
     # it would evict a cache the caller owns, and re-persisting an
     # already-persisted input at another level raises. So: if the
-    # caller already cached the input, ride that cache and leave its
-    # lifecycle alone (cleanup() is a no-op); only an uncached input
-    # is persisted here and released by the returned cleanup().
-    owns_cache = not df.is_cached
+    # caller already cached the input — or any PLAN-EQUIVALENT frame
+    # (the CacheManager lookup below; `is_cached` alone is an
+    # object-local flag and misses e.g. a cached second read of the
+    # same path, r16 review finding) — ride that cache and leave its
+    # lifecycle alone (cleanup() is a no-op); only a genuinely
+    # uncached input is persisted here and released by the returned
+    # cleanup().
+    owns_cache = not (df.is_cached or _plan_is_cached(df))
     src = df.persist() if owns_cache else df
     # the init collect is the first action: it fills the cache, so the
     # iteration/assignment passes below never touch the source again

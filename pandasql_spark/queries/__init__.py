@@ -343,6 +343,14 @@ REGISTRY: dict[str, QueryDef] = {
 #    (ADVICE r15). Execution-only on gate data (non-empty corpus,
 #    doc_id schema identical); replicas green at sf0.001 AND sf0.01
 #    pre-commit; gates on its r17 return.
+# 2. q73/q81 (rest) — corpus_report single-pass fusion, text AND
+#    audio sides (VERDICT r15 task 3, one change-set in report.py):
+#    persisted slim text base (q73 REST probe 3.00 -> 1.00 x
+#    documents) + persisted decoded audio metadata and base-joined
+#    stratum mix (q81 5.00 -> 2.00). Execution-only (same metrics off
+#    the same expressions); q73 AND q81 replicas green at sf0.001 AND
+#    sf0.01 pre-commit after each change; both gate on their r17
+#    return.
 # COVERAGE.md's roster table is the authoritative per-round record.
 _RESTING: tuple[str, ...] = (
     "q01_pricing_summary",

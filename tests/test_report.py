@@ -102,3 +102,17 @@ def test_audio_metrics_known_values(spark):
     # text metrics still present alongside
     assert m["n_docs"] == 4.0 and m["docs_source=web"] == 2.0
     out.cleanup(blocking=True)
+
+
+def test_corpus_report_empty_corpus(spark):
+    """r16 review finding: an empty corpus must produce the volume
+    metrics (zeros/NULLs) without raising — exact_percentiles' empty
+    path now carries the cleanup contract, and the base cache is
+    released."""
+    from pandasql_spark.operators.report import corpus_report
+
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string")
+    out = corpus_report(empty, stratum_col="lang")
+    rows = {r["metric"]: r["value"] for r in out.collect()}
+    assert rows["n_docs"] == 0.0
+    out.cleanup()

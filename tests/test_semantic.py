@@ -252,3 +252,25 @@ def test_kmeans_does_not_hijack_caller_cache(spark):
         assert e.storageLevel.useDisk and not e.storageLevel.useMemory
     finally:
         e.unpersist()
+
+
+def test_kmeans_respects_plan_equivalent_cache(spark):
+    """r16 review finding: the ownership check must see a cache the
+    caller registered on a DIFFERENT but plan-equivalent DataFrame
+    object (CacheManager lookup, not the object-local is_cached flag)
+    — cleanup() must not evict it."""
+    from pandasql_spark.operators.semantic import lloyd_kmeans
+
+    src = f"{SF}/embeddings.parquet"
+    cached = spark.read.parquet(src).limit(30).persist()
+    try:
+        cached.count()
+        other = spark.read.parquet(src).limit(30)  # new object, same plan
+        assert not other.is_cached  # the local flag misses it...
+        out, _ = lloyd_kmeans(other, k=2, n_iter=1)
+        assert out.count() == 30
+        out.cleanup()
+        # ...but the caller's cache survived cleanup()
+        assert cached.storageLevel.useMemory
+    finally:
+        cached.unpersist()

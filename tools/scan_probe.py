@@ -27,7 +27,13 @@ from pandasql_spark.queries import REGISTRY  # noqa: E402
 
 n = REGISTRY[qname].fn(spark, sf).count()
 
-base = f"http://localhost:{port}/api/v1/applications"
+# query the port Spark ACTUALLY bound, not the requested one: when the
+# requested port is taken, spark.port.maxRetries binds port+1 silently
+# and the REST read would attribute ANOTHER app's scan bytes to this
+# query (r16 review finding — floors could be recorded off the wrong
+# process with no error)
+ui_url = spark.sparkContext.uiWebUrl
+base = f"{ui_url}/api/v1/applications"
 app_id = json.load(urllib.request.urlopen(base))[0]["id"]
 sqls = json.load(
     urllib.request.urlopen(
