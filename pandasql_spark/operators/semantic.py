@@ -153,14 +153,17 @@ def lloyd_kmeans(
     # df.select('*')) aliases the caller's cache entry — unpersisting
     # it would evict a cache the caller owns, and re-persisting an
     # already-persisted input at another level raises. So: if the
-    # caller already cached the input — or any PLAN-EQUIVALENT frame
-    # (the CacheManager lookup below; `is_cached` alone is an
-    # object-local flag and misses e.g. a cached second read of the
-    # same path, r16 review finding) — ride that cache and leave its
-    # lifecycle alone (cleanup() is a no-op); only a genuinely
-    # uncached input is persisted here and released by the returned
-    # cleanup().
-    owns_cache = not (df.is_cached or _plan_is_cached(df))
+    # caller already cached the input — or any PLAN-EQUIVALENT frame —
+    # ride that cache and leave its lifecycle alone (cleanup() is a
+    # no-op); only a genuinely uncached input is persisted here and
+    # released by the returned cleanup(). The CacheManager lookup is
+    # the ONLY test: `is_cached` is an object-local flag that both
+    # misses plan-equivalent caches AND goes stale (clearCache() or an
+    # equivalent frame's unpersist() leave it True with no entry
+    # behind it — short-circuiting on it would skip the persist and
+    # re-scan the source every pass; r16 review). _plan_is_cached
+    # falls back to the flag only if the py4j surface shifts.
+    owns_cache = not _plan_is_cached(df)
     src = df.persist() if owns_cache else df
     # the init collect is the first action: it fills the cache, so the
     # iteration/assignment passes below never touch the source again

@@ -49,25 +49,43 @@ def probe(qname: str, port: int) -> int:
         [sys.executable, os.path.join(HERE, "scan_probe.py"), qname, str(port)],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=600,
     )
-    line = next(
-        (ln for ln in out.stdout.splitlines() if "PROBE " in ln), None
+    # primary: the exact machine-readable total scan_probe prints
+    mline = next(
+        (ln for ln in out.stdout.splitlines()
+         if ln.startswith(f"PROBE_TOTAL_BYTES {qname} ")), None
     )
-    if line is None:
-        raise RuntimeError(
-            f"{qname}: no PROBE line\n--- stdout\n{out.stdout[-2000:]}"
-            f"\n--- stderr\n{out.stderr[-2000:]}"
+    if mline is not None:
+        total = int(mline.rsplit(" ", 1)[1])
+    else:
+        # fallback: scrape the human PROBE line (older probe output)
+        line = next(
+            (ln for ln in out.stdout.splitlines() if "PROBE " in ln), None
         )
-    total = 0.0
-    for part in line.split("::", 1)[1].split("|"):
-        m = re.search(r"([\d.]+) B \(", part)
-        if m:
-            total += float(m.group(1))
-        else:
-            # "<table>: X.XX scans" form — convert back via table size
-            m2 = re.search(r"(\w+): ([\d.]+) scans", part)
-            if m2:
-                total += float(m2.group(2)) * _table_size(m2.group(1))
-    return int(total)
+        if line is None:
+            raise RuntimeError(
+                f"{qname}: no PROBE line\n--- stdout\n{out.stdout[-2000:]}"
+                f"\n--- stderr\n{out.stderr[-2000:]}"
+            )
+        total = 0.0
+        for part in line.split("::", 1)[1].split("|"):
+            m = re.search(r"([\d.]+) B \(", part)
+            if m:
+                total += float(m.group(1))
+            else:
+                # "<table>: X.XX scans" form — convert via table size
+                m2 = re.search(r"(\w+): ([\d.]+) scans", part)
+                if m2:
+                    total += float(m2.group(2)) * _table_size(m2.group(1))
+        total = int(total)
+    if total <= 0:
+        # every watchlist query reads parquet; zero means the probe or
+        # the REST metric broke, and a broken probe must NEVER read as
+        # a green gate (r16 review finding)
+        raise RuntimeError(
+            f"{qname}: probe measured 0 bytes read — probe/REST-metric "
+            f"breakage, not a real floor\n--- stdout\n{out.stdout[-2000:]}"
+        )
+    return total
 
 
 _SF = "/root/testdata/sf0.01"

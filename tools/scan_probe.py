@@ -90,6 +90,9 @@ for name, b in sorted(per.items()):
     else:
         out.append(f"{name}: {int(b)} B ({cnt[name]} nodes)")
 print(f"PROBE {qname} rows={n} :: " + " | ".join(out) if out else f"PROBE {qname} rows={n} :: no file reads")
+# machine-readable total for tools/scan_gate.py — the human PROBE line
+# above is lossy (unit-rounded, format-coupled); this is the exact sum
+print(f"PROBE_TOTAL_BYTES {qname} {int(sum(per.values()))}")
 spark.stop()
 
 # Usage: PYTHONPATH=. python tools/scan_probe.py <query_name> [ui_port]
