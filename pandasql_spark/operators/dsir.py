@@ -236,29 +236,36 @@ def dsir_select(
     w = dsir_importance_weights(
         raw_df, target_df, text_col, id_col, n_buckets, alpha
     )
+    from .cache import attach_cleanup
+
     if gumbel_salt is None:
-        return w.orderBy(F.col("logweight").desc(), F.col(id_col)).limit(k)
+        # re-attach the weights table's release hook — orderBy/limit
+        # return fresh frames and would otherwise drop it, leaving the
+        # persisted target bucket table unreleasable (r16 review)
+        return attach_cleanup(
+            w.orderBy(F.col("logweight").desc(), F.col(id_col)).limit(k),
+            w.cleanup,
+        )
     if temperature <= 0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
     # 52-bit md5 uniform in (0,1): +1 in the numerator and +2 in the
     # denominator keep u strictly inside the interval, so ln(-ln u) is
-    # always finite.
-    bits = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(gumbel_salt), F.col(id_col).cast("string"))),
-            1,
-            13,
-        ),
-        16,
-        10,
-    ).cast("double")
+    # always finite. The bit extraction is sketch._hex13_to_double —
+    # ONE definition of the md5-uniform recipe repo-wide (r16 review;
+    # the cross-engine determinism contract hangs on this expression).
+    from .sketch import _hex13_to_double
+
+    bits = _hex13_to_double(
+        F.md5(F.concat(F.lit(gumbel_salt), F.col(id_col).cast("string")))
+    )
     u = (bits + F.lit(1.0)) / F.lit(float(2**52) + 2.0)
     key = F.col("logweight") / F.lit(float(temperature)) - F.log(-F.log(u))
-    return (
+    return attach_cleanup(
         w.withColumn("__gk", key)
         .orderBy(F.col("__gk").desc(), F.col(id_col))
         .limit(k)
-        .drop("__gk")
+        .drop("__gk"),
+        w.cleanup,
     )
 
 

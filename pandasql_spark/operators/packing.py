@@ -130,7 +130,10 @@ def chunk_documents(
     LAST chunk is the first window reaching the document's end (it may
     be short, but a tail fully contained in the previous window is
     never emitted): n_chunks = 1 + floor((n - w + s - 1)/s) for n > w,
-    else 1.
+    else 1. NULL-text documents are ABSENT from the output (split(NULL)
+    is NULL and the sequence explode drops the row — the dsir.py
+    treat-NULL-as-absent convention); a pipeline reconciling chunk
+    counts against document counts must exclude NULL-text rows first.
 
     Scale shape: pure per-row arithmetic + a JVM-side
     ``explode(sequence())`` — ZERO shuffles, no Python. The explode

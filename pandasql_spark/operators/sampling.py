@@ -94,27 +94,37 @@ def resample_to_mixture(
         raise ValueError("weights must not all be zero")
     raw = {k: (w / s) * total_n for k, w in weights.items()}
     targets = {k: math.floor(v) for k, v in raw.items()}
-    leftover = total_n - sum(targets.values())
+    # max(0, ·): at huge total_n × many strata, accumulated float error
+    # in Σ(w/s)·total_n can push Σfloor past total_n, making leftover
+    # negative — and a negative slice below would increment all-but-one
+    # stratum, silently overshooting the exact-total contract (r16
+    # review; unreachable at gate scale, reachable at the module's own
+    # 100 TB framing)
+    leftover = max(0, total_n - sum(targets.values()))
     for k in sorted(raw, key=lambda k: (-(raw[k] - targets[k]), k))[:leftover]:
         targets[k] += 1
 
     spark = df.sparkSession
     # stratum type follows the input column — an int-typed domain key
     # must not join against a string target (implicit casts defeat
-    # broadcast-key pruning and vary with ANSI mode)
+    # broadcast-key pruning and vary with ANSI mode). Backtick-quote
+    # the field name (the freq.py convention): a legal column name
+    # with spaces/dashes is DDL-invalid unquoted.
     stratum_type = df.schema[stratum_col].dataType.simpleString()
     tgt = spark.createDataFrame(
         [(k, n) for k, n in targets.items()],
-        f"{stratum_col} {stratum_type}, __tgt long",
+        f"`{stratum_col}` {stratum_type}, __tgt long",
     )
     w = Window.partitionBy(stratum_col).orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
     )
-    # prune unlisted strata BEFORE the window: with a recipe covering
-    # few of many domains, ranking rows the join would discard anyway
-    # is pure wasted shuffle (and the filter pushes to the scan)
+    # prune unlisted AND zero-target strata BEFORE the window: with a
+    # recipe covering few of many domains — or zeroing one out, the
+    # stated use — ranking rows the join would discard anyway is pure
+    # wasted shuffle (and the filter pushes to the scan)
+    keep = [k for k, n in targets.items() if n > 0]
     return (
-        df.filter(F.col(stratum_col).isin(list(targets)))
+        df.filter(F.col(stratum_col).isin(keep))
         .withColumn("__srank", F.row_number().over(w))
         .join(F.broadcast(tgt), on=stratum_col)
         .filter(F.col("__srank") <= F.col("__tgt"))

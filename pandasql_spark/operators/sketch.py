@@ -211,7 +211,13 @@ def hash_sampled_quantiles(
 
     Returns (q double, value) — the same shape as exact_percentiles.
     ``key_col`` must be a stable row identity (hashing the value
-    itself would correlate the sample with the estimand)."""
+    itself would correlate the sample with the estimand). Rows with a
+    NULL key are EXCLUDED from the sample population — md5(NULL) is
+    NULL and the predicate drops it (the dsir.py treat-NULL-as-absent
+    convention; a NULL identity cannot be deterministically hashed).
+    A corpus with systematic NULL keys therefore estimates quantiles
+    of the keyed subpopulation — pre-assign surrogate keys if that is
+    not the intent."""
     if not 0 < rate <= 1:
         raise ValueError(f"rate must be in (0, 1], got {rate}")
     cut = F.lit(float(rate) * M)

@@ -196,3 +196,19 @@ def test_null_text_docs_excluded_by_contract(spark):
     out = dsir_importance_weights(raw, target, n_buckets=64)
     ids = sorted(r.doc_id for r in out.select("doc_id").collect())
     assert ids == [1, 3]
+
+
+def test_dsir_select_carries_cleanup_hook(spark):
+    """r16 review: dsir_select must re-attach the weights table's
+    release hook — orderBy/limit return fresh frames that would
+    otherwise drop it, leaving the persisted target bucket table
+    unreleasable."""
+    from pandasql_spark.operators.dsir import dsir_select
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(80)
+    tgt = docs.filter(F.col("lang") == "en")
+    for salt in (None, "s1"):
+        out = dsir_select(docs, tgt, k=5, gumbel_salt=salt)
+        rows = out.collect()
+        assert len(rows) == 5
+        out.cleanup()  # must exist and release without error

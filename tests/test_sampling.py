@@ -257,3 +257,22 @@ def test_hash_split_null_key_raises(spark):
     with pytest.raises(Exception) as ei:
         hash_split(d, {"a": 0.5, "b": 0.5}, "k").collect()
     assert "no identity" in str(ei.value)
+
+
+def test_resample_zero_weight_stratum_pruned(spark):
+    """r16 review: a zero-weight stratum contributes no rows AND its
+    rows never enter the ranking window (pruned with the unlisted
+    strata); targets still apportion exactly."""
+    from pandasql_spark.operators.sampling import resample_to_mixture
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    langs = [r["lang"] for r in df.select("lang").distinct().collect()]
+    assert len(langs) >= 2
+    zero, keep = langs[0], langs[1]
+    out = resample_to_mixture(df, "lang", {zero: 0.0, keep: 1.0}, 20, "doc_id")
+    got = out.groupBy("lang").count().collect()
+    assert {r["lang"]: r["count"] for r in got} == {keep: 20}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the zero stratum is pruned BEFORE the window: with one surviving
+    # stratum the isin collapses to an EqualTo pushed to the scan
+    assert f"EqualTo(lang,{keep})" in plan, plan
