@@ -11,21 +11,43 @@ moment; callers that skip it still fall back to Spark's LRU eviction.
 
 from __future__ import annotations
 
+import inspect
+
 from pyspark.sql import DataFrame
+
+
+def _accepts_blocking(fn) -> bool:
+    """True when ``fn(blocking=...)`` is a valid call — a ``blocking``
+    parameter or ``**kwargs``. Unsignaturable callables (some builtins)
+    conservatively get the zero-arg call."""
+    try:
+        params = inspect.signature(fn).parameters
+    except (TypeError, ValueError):
+        return False
+    return "blocking" in params or any(
+        p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
+    )
 
 
 def attach_cleanup(result: DataFrame, *cached) -> DataFrame:
     """Attach ``result.cleanup(blocking=False)`` releasing every frame in
-    ``cached``. Entries may be DataFrames to unpersist or zero-arg
-    callables (e.g. an upstream result's own ``cleanup``), so hooks
-    compose through operator pipelines like ``dedup_corpus``."""
+    ``cached``. Entries may be DataFrames to unpersist or callables
+    (e.g. an upstream result's own ``cleanup``), so hooks compose
+    through operator pipelines like ``dedup_corpus``. The blocking flag
+    propagates through composed callables too — a hook that can't take
+    it (zero-arg lambda) degrades to its own default (ADVICE r16)."""
 
     def cleanup(blocking: bool = False) -> None:
         for c in cached:
             if callable(getattr(c, "unpersist", None)):
                 c.unpersist(blocking=blocking)
             elif callable(c):
-                c()
+                # signature probe, not try/except TypeError: a TypeError
+                # raised INSIDE the hook must not trigger a second call
+                if _accepts_blocking(c):
+                    c(blocking=blocking)
+                else:
+                    c()
 
     result.cleanup = cleanup
     return result

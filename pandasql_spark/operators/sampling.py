@@ -22,6 +22,41 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _apportion(raw: dict, total_n: int) -> dict:
+    """Largest-remainder apportionment of ``total_n`` across the
+    fractional targets ``raw``: floor every target, hand the leftover
+    to the largest fractional remainders (ties by stratum name).
+    Returns integer targets summing to EXACTLY ``total_n``.
+
+    The negative-leftover branch (ADVICE r16): at huge total_n × many
+    strata, accumulated float error in Σ(w/s)·total_n can push Σfloor
+    past total_n. The excess is taken back from the strata with the
+    SMALLEST fractional remainders (the mirror of largest-remainder,
+    ties by name), never below zero — a plain clamp-to-zero would
+    quietly overshoot total_n by the excess instead. Unreachable at
+    gate scale, reachable at the module's own 100 TB framing."""
+    import math
+
+    targets = {k: math.floor(v) for k, v in raw.items()}
+    leftover = total_n - sum(targets.values())
+    if leftover >= 0:
+        for k in sorted(raw, key=lambda k: (-(raw[k] - targets[k]), k))[:leftover]:
+            targets[k] += 1
+    else:
+        # while: in the (astronomically unlikely) case the excess
+        # exceeds the positive-target stratum count, sweep again;
+        # terminates because Σtargets > total_n ≥ 0 guarantees a
+        # positive target exists while leftover < 0
+        while leftover < 0:
+            for k in sorted(raw, key=lambda k: (raw[k] - targets[k], k)):
+                if leftover == 0:
+                    break
+                if targets[k] > 0:
+                    targets[k] -= 1
+                    leftover += 1
+    return targets
+
+
 def stratified_sample_fraction(
     df: DataFrame,
     stratum_col: str,
@@ -81,8 +116,6 @@ def resample_to_mixture(
     matters: integer sums are exact in doubles, so the floor/remainder
     arithmetic is bit-identical everywhere.
     """
-    import math
-
     if total_n < 0:
         raise ValueError(f"total_n must be >= 0, got {total_n}")
     if not weights:
@@ -93,16 +126,7 @@ def resample_to_mixture(
     if s == 0:
         raise ValueError("weights must not all be zero")
     raw = {k: (w / s) * total_n for k, w in weights.items()}
-    targets = {k: math.floor(v) for k, v in raw.items()}
-    # max(0, ·): at huge total_n × many strata, accumulated float error
-    # in Σ(w/s)·total_n can push Σfloor past total_n, making leftover
-    # negative — and a negative slice below would increment all-but-one
-    # stratum, silently overshooting the exact-total contract (r16
-    # review; unreachable at gate scale, reachable at the module's own
-    # 100 TB framing)
-    leftover = max(0, total_n - sum(targets.values()))
-    for k in sorted(raw, key=lambda k: (-(raw[k] - targets[k]), k))[:leftover]:
-        targets[k] += 1
+    targets = _apportion(raw, total_n)
 
     spark = df.sparkSession
     # stratum type follows the input column — an int-typed domain key

@@ -39,6 +39,7 @@ operators/cluster.py's connected components instead.
 
 from __future__ import annotations
 
+from py4j.protocol import Py4JError
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -111,7 +112,14 @@ def _plan_is_cached(df: DataFrame) -> bool:
     persist() alias someone else's cache?" test. `DataFrame.is_cached`
     is only a per-Python-object flag, so a caller that cached a
     DIFFERENT but plan-equivalent frame (a second read of the same
-    path, a no-op projection) is invisible to it."""
+    path, a no-op projection) is invisible to it.
+
+    A failed lookup answers "not cached" (ADVICE r16): falling back to
+    ``df.is_cached`` would reintroduce the stale-flag hazard this
+    function exists to remove (True after clearCache() → skip the
+    persist → one source rescan PER PASS), whereas wrongly persisting
+    an already-default-persisted frame is a no-op. Only the py4j
+    surface errors are caught — anything else is a real bug."""
     try:
         return (
             df.sparkSession._jsparkSession.sharedState()
@@ -119,8 +127,8 @@ def _plan_is_cached(df: DataFrame) -> bool:
             .lookupCachedData(df._jdf)
             .isDefined()
         )
-    except Exception:  # py4j surface shift — fall back to the local flag
-        return bool(df.is_cached)
+    except (AttributeError, Py4JError):  # py4j surface shift → not cached
+        return False
 
 
 def lloyd_kmeans(

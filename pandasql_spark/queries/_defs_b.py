@@ -910,6 +910,21 @@ def q50_jaccard_verified(spark: SparkSession, sf: str) -> SparkDataFrame:
       at both gate SFs), while scaling near-linearly on duplicate-rich
       corpora where the exact self-join is quadratic (measured
       131 s → 21 s at the 10× scale test).
+
+      ACCEPTED RECALL GAP (ADVICE r16): the oracle's ``pairs`` CTE is
+      the exact all-pairs set while the Spark side emits LSH-candidate
+      pairs — equality holds because every J≥0.5 pair in the gate data
+      happens to share a band slice, a property of the DATA, not the
+      algorithm (the 32-band curve guarantees only ~0.999 recall at
+      the threshold). If regenerated gate data ever reddens this row
+      with values that check out pairwise, the correct read is "a
+      near-threshold pair missed by banding", not a code defect — the
+      documented remedy is to relax the oracle to subset + recall ≥
+      0.99 (TESTDATA.md's corpus is duplicate-planted, so the planted
+      pairs sit far above threshold; random-text pairs near 0.5 are
+      the only exposure). Conversely, a red row whose missing pairs
+      sit WELL above threshold is a real recall regression — do not
+      wave it off as the known flake.
     - stage ``survivors`` — the one-call `dedup_corpus` composition
       (exact dedup → verified pairs over exact survivors → connected
       components → keep min id per cluster). The oracle recomputes the

@@ -190,3 +190,47 @@ def test_session_cache_swap_and_dead_session_finalizer(spark):
     # cleanup the surviving entry for test hygiene
     cache[spark]()
     assert storage_count(spark) == base
+
+
+def test_cleanup_propagates_blocking_through_composed_hooks(spark):
+    """ADVICE r16: composed callables receive the blocking flag when
+    their signature can take it; legacy zero-arg hooks still run."""
+    from pandasql_spark.operators.cache import attach_cleanup
+
+    seen = []
+
+    def hook(blocking=False):
+        seen.append(blocking)
+
+    def kw_hook(**kw):
+        seen.append(kw.get("blocking"))
+
+    def legacy_hook():
+        seen.append("legacy")
+
+    out = attach_cleanup(spark.range(1), hook, kw_hook, legacy_hook)
+    out.cleanup(blocking=True)
+    assert seen == [True, True, "legacy"]
+    seen.clear()
+    out.cleanup()
+    assert seen == [False, False, "legacy"]
+
+
+def test_cleanup_hook_internal_typeerror_not_double_called(spark):
+    """The blocking dispatch is a signature probe, not try/except
+    TypeError: an error raised INSIDE the hook must propagate without
+    triggering a second (zero-arg) invocation."""
+    import pytest as _pytest
+
+    from pandasql_spark.operators.cache import attach_cleanup
+
+    calls = []
+
+    def bad(blocking=False):
+        calls.append(blocking)
+        raise TypeError("internal bug, not a signature mismatch")
+
+    out = attach_cleanup(spark.range(1), bad)
+    with _pytest.raises(TypeError, match="internal bug"):
+        out.cleanup(blocking=True)
+    assert calls == [True]

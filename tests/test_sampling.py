@@ -276,3 +276,32 @@ def test_resample_zero_weight_stratum_pruned(spark):
     # the zero stratum is pruned BEFORE the window: with one surviving
     # stratum the isin collapses to an EqualTo pushed to the scan
     assert f"EqualTo(lang,{keep})" in plan, plan
+
+
+def test_apportion_negative_leftover_restores_exact_total():
+    """ADVICE r16: when float error pushes Σfloor past total_n the
+    excess is taken back from the SMALLEST fractional remainders (ties
+    by name), never clamped away — the output must sum to exactly
+    total_n in every corner."""
+    from pandasql_spark.operators.sampling import _apportion
+
+    # crafted raw dict standing in for the float-error corner: the
+    # floors already sum past total_n
+    got = _apportion({"a": 2.0, "b": 2.0, "c": 1.0}, 4)
+    assert sum(got.values()) == 4
+    # all remainders 0.0 → tie broken by name → 'a' loses the excess
+    assert got == {"a": 1, "b": 2, "c": 1}
+
+    # smallest remainder loses first when remainders differ
+    got = _apportion({"a": 1.9, "b": 2.2}, 2)
+    assert got == {"a": 1, "b": 1}
+
+    # zero-target strata are never decremented below zero
+    assert _apportion({"a": 0.0, "b": 3.0}, 2) == {"a": 0, "b": 2}
+
+    # excess exceeding the positive-stratum count needs a second sweep
+    assert _apportion({"a": 1.0, "b": 1.0}, 0) == {"a": 0, "b": 0}
+
+    # and the normal largest-remainder path is unchanged
+    got = _apportion({"a": 1.5, "b": 1.5, "c": 0.9}, 4)
+    assert sum(got.values()) == 4 and got["c"] == 1

@@ -274,3 +274,27 @@ def test_kmeans_respects_plan_equivalent_cache(spark):
         assert cached.storageLevel.useMemory
     finally:
         cached.unpersist()
+
+
+def test_plan_is_cached_failed_lookup_means_not_cached():
+    """ADVICE r16: a failed CacheManager lookup answers 'not cached' —
+    never the object-local is_cached flag, which goes stale (True after
+    clearCache()) and would skip the persist, costing one source rescan
+    per k-means pass."""
+    from py4j.protocol import Py4JError
+
+    from pandasql_spark.operators.semantic import _plan_is_cached
+
+    class _RaisingJSession:
+        def sharedState(self):
+            raise Py4JError("py4j surface shift")
+
+    class _FakeSession:
+        _jsparkSession = _RaisingJSession()
+
+    class _FakeDF:
+        sparkSession = _FakeSession()
+        is_cached = True  # the stale flag the fallback must NOT trust
+        _jdf = None
+
+    assert _plan_is_cached(_FakeDF()) is False
