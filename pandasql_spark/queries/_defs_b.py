@@ -821,7 +821,19 @@ def q47_funnel(spark: SparkSession, sf: str) -> SparkDataFrame:
     stage-N event strictly follows their first stage-N−1 completion.
     One aggregation per stage + two broadcast-size joins (the per-user
     stage tables shrink to |users| rows immediately) — no window scan
-    over the raw stream needed."""
+    over the raw stream needed.
+
+    The per-stage frames ``v`` and ``c`` each feed TWO consumers (the
+    next stage's join and their own count), so without a cache every
+    consumer re-ran the whole upstream chain — 5 events scans where 3
+    (one per stage filter) is the floor (r16 full-registry sweep; at
+    100 TB that is two wasted full passes). They are persisted and
+    EAGERLY filled in dependency order (the r15 lazy-persist-race
+    lesson: concurrent builds each recompute a lazily persisted frame)
+    — the metadata-cache pattern: tiny (user_id, prev_ts) aggregates,
+    never the raw events. ``p`` has one consumer; no cache."""
+    from pandasql_spark.operators.cache import attach_cleanup
+
     ev = load_events(spark, sf)
 
     def first_after(event_type: str, prev: SparkDataFrame | None) -> SparkDataFrame:
@@ -833,14 +845,17 @@ def q47_funnel(spark: SparkSession, sf: str) -> SparkDataFrame:
             )
         return e.groupBy("user_id").agg(F.min("ts").alias("prev_ts"))
 
-    v = first_after("view", None)
-    c = first_after("click", v)
+    v = first_after("view", None).persist()
+    v.count()  # eager fill: c's build must hit the cache, not race it
+    c = first_after("click", v).persist()
+    c.count()
     p = first_after("purchase", c)
-    return (
+    out = (
         v.agg(F.count(F.lit(1)).alias("n_view"))
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
     )
+    return attach_cleanup(out, v, c)
 
 
 Q47_SQL = """
