@@ -93,33 +93,26 @@ def hh_min_count(threshold: float, n: int) -> int:
     return math.ceil(round(threshold * n, 9))
 
 
-def heavy_hitters(
-    df: DataFrame,
-    item_col: str,
-    threshold: float = 0.001,
-    capacity: int | None = None,
-) -> DataFrame:
-    """Exact (item, cnt) for every item occurring in at least
-    ``ceil(threshold * n)`` of the n non-NULL rows.
+def mg_candidate_counts(
+    df: DataFrame, item_col: str, capacity: int
+) -> tuple[list, int]:
+    """The fused Misra-Gries candidate+count pass of
+    :func:`heavy_hitters`, exposed: ONE corpus scan returning
+    ``(sorted candidate values, non-NULL row count n)``. The candidate
+    list is a superset of every item with global count > n/(capacity+1)
+    and is bounded by P·capacity values (driver-safe by construction —
+    the same ≤P·(capacity+1)-row collect discipline as ranking.py).
 
-    ``capacity`` defaults to ``ceil(1/threshold)`` — the smallest value
-    for which the Misra-Gries candidate pass provably misses no heavy
-    hitter. A larger capacity only adds candidate rows; a smaller one
-    voids the recall guarantee, so it is rejected."""
-    if not 0 < threshold <= 1:
-        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    floor_cap = math.ceil(1 / threshold)
-    if capacity is None:
-        capacity = floor_cap
-    elif capacity < floor_cap:
-        raise ValueError(
-            f"capacity={capacity} voids the recall guarantee for "
-            f"threshold={threshold}; need >= {floor_cap}"
-        )
-    # Single fused candidate pass (two corpus scans total, down from
-    # three): the MG kernel also emits one (item=NULL, __pn=n_p) row per
-    # partition, so the global non-NULL row count comes from the same
-    # scan that builds the summaries instead of a dedicated count() job.
+    Use directly when several candidate stages share one exact-count
+    verify (:func:`verify_stage_candidates`); :func:`heavy_hitters` is
+    the one-call single-stage composition."""
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    # Single fused candidate pass (two corpus scans total for the
+    # composed operator, down from three): the MG kernel also emits one
+    # (item=NULL, __pn=n_p) row per partition, so the global non-NULL
+    # row count comes from the same scan that builds the summaries
+    # instead of a dedicated count() job.
     field = df.schema[item_col]
     out_schema = f"`{field.name}` {field.dataType.simpleString()}, `__pn` long"
 
@@ -155,6 +148,33 @@ def heavy_hitters(
     cand_values = sorted(
         {r[item_col] for r in rows if r[item_col] is not None}
     )
+    return cand_values, int(n)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    threshold: float = 0.001,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Exact (item, cnt) for every item occurring in at least
+    ``ceil(threshold * n)`` of the n non-NULL rows.
+
+    ``capacity`` defaults to ``ceil(1/threshold)`` — the smallest value
+    for which the Misra-Gries candidate pass provably misses no heavy
+    hitter. A larger capacity only adds candidate rows; a smaller one
+    voids the recall guarantee, so it is rejected."""
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    floor_cap = math.ceil(1 / threshold)
+    if capacity is None:
+        capacity = floor_cap
+    elif capacity < floor_cap:
+        raise ValueError(
+            f"capacity={capacity} voids the recall guarantee for "
+            f"threshold={threshold}; need >= {floor_cap}"
+        )
+    cand_values, n = mg_candidate_counts(df, item_col, capacity)
     if n == 0 or not cand_values:
         return (
             df.select(item_col)
@@ -174,6 +194,68 @@ def heavy_hitters(
     )
 
 
+def verify_stage_candidates(
+    df: DataFrame,
+    item_col: str,
+    stages: dict,
+    threshold: float,
+) -> DataFrame:
+    """ONE exact-count pass serving several candidate stages: counts
+    the UNION of all stages' candidate items over ``df``, then filters
+    per stage by membership and that stage's own cutoff. Returns
+    (stage, <item_col>, cnt) — a stage's rows are exactly what a
+    standalone verify of its candidate set would produce.
+
+    ``stages`` maps stage name → (candidate values, n) as returned by
+    :func:`mg_candidate_counts` (batch) or derived from
+    streaming/hitters shard summaries (Σ n_shard). The point at 100 TB:
+    a batch pass and a streaming replay that verify independently each
+    scan the corpus once; counting the union once and filtering per
+    stage deletes all but one of those passes (VERDICT r16 task 4).
+    The counted frame is candidate-bounded (≤ Σ|stage candidates|
+    rows), persisted and eagerly filled for its per-stage consumers;
+    the returned frame carries the standard ``cleanup()`` hook."""
+    from .cache import attach_cleanup
+
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    spark = df.sparkSession
+    item_schema = df.select(item_col).schema
+    out_schema = (
+        f"stage string, `{item_col}` "
+        f"{item_schema[item_col].dataType.simpleString()}, cnt long"
+    )
+    union_vals = sorted({v for vals, _ in stages.values() for v in vals})
+    if not union_vals:
+        return spark.createDataFrame([], out_schema)
+    cand = spark.createDataFrame([(v,) for v in union_vals], schema=item_schema)
+    counts = (
+        df.join(F.broadcast(cand), item_col, "leftsemi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    counts.count()  # eager fill: one count job, per-stage filters hit cache
+    parts = []
+    for name in sorted(stages):
+        vals, n = stages[name]
+        if not vals or n <= 0:
+            continue
+        members = spark.createDataFrame([(v,) for v in sorted(set(vals))], schema=item_schema)
+        parts.append(
+            counts.join(F.broadcast(members), item_col, "leftsemi")
+            .filter(F.col("cnt") >= F.lit(hh_min_count(threshold, n)))
+            .select(F.lit(name).alias("stage"), item_col, "cnt")
+        )
+    if not parts:
+        counts.unpersist()
+        return spark.createDataFrame([], out_schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return attach_cleanup(out, counts)
+
+
 def heavy_hitter_tokens(
     df: DataFrame,
     text_col: str = "text",
@@ -183,8 +265,15 @@ def heavy_hitter_tokens(
     """Frequent tokens across a document corpus: whitespace-tokenize,
     explode, then :func:`heavy_hitters` over the token rows. The explode
     never materializes a distinct-token table — exactly the case where
-    the sketch path beats the naive groupBy at scale."""
-    toks = df.select(
-        F.explode(F.split(F.col(text_col), " ")).alias("token")
-    )
+    the sketch path beats the naive groupBy at scale.
+
+    Tokenization contract (r16 review → r17 lockstep): this operator
+    uses the canonical ``functions.text.tokens`` helper — single-space
+    split, the engine-wide convention that keeps exact parity with
+    DuckDB's ``string_split(text, ' ')`` in the q62 oracle. Changing
+    the tokenizer means changing text.tokens, the q62 oracle, and the
+    q16 profile together."""
+    from ..functions.text import tokens
+
+    toks = df.select(F.explode(tokens(text_col)).alias("token"))
     return heavy_hitters(toks, "token", threshold, capacity)

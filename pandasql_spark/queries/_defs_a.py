@@ -1243,38 +1243,45 @@ def q62_heavy_hitters(spark: SparkSession, sf: str) -> SparkDataFrame:
       stages ride one oracle. Thirteenth gate-checked streaming
       surface. Both cutoffs use freq.hh_min_count — ceil(round(t·n,9)),
       mirrored in the oracle — so an exact-boundary hitter survives the
-      binary-float ceil artifact on both engines (ADVICE r14)."""
-    from pandasql_spark.operators.freq import heavy_hitter_tokens
-    from pandasql_spark.streaming.hitters import (
-        replay_mg_candidates,
-        verify_heavy_hitters,
+      binary-float ceil artifact on both engines (ADVICE r14).
+
+    Unified verify (r17, VERDICT r16 task 4): the two stages used to
+    run INDEPENDENT exact-count passes (one corpus scan each). Now
+    `freq.verify_stage_candidates` counts the UNION of both candidate
+    sets in ONE pass and filters per stage by membership + that
+    stage's own hh_min_count cutoff — same rows per stage by
+    construction (each stage's candidate set is a superset of the true
+    hitters, and the per-stage filter reproduces its standalone
+    verify), one fewer full corpus pass. Tokenization is the canonical
+    `functions.text.tokens` single-space split, in documented lockstep
+    with the oracle's string_split(text, ' ')."""
+    from pandasql_spark.functions.text import tokens
+    from pandasql_spark.operators.freq import (
+        mg_candidate_counts,
+        verify_stage_candidates,
     )
+    from pandasql_spark.streaming.hitters import replay_mg_candidates
 
     path = f"{sf}/documents.parquet"
     docs = spark.read.parquet(path)
-    out = heavy_hitter_tokens(docs, "text", threshold=0.01)
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    b_vals, n_b = mg_candidate_counts(toks, "token", capacity=100)
     cands = replay_mg_candidates(
         spark, path, "text", capacity=100, num_shards=16, n_batches=3,
         query_name="q62_hitters_replay",
     )
-    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
-    # n from the shard states (Σ n_shard — exact by construction, the
-    # replay test pins it) instead of a second corpus count pass;
-    # sum() is NULL over an empty sink (empty corpus) → 0 hitters
-    n_tok = int(cands.agg(F.sum("n_shard")).first()[0] or 0)
-    streamed = verify_heavy_hitters(
-        toks, cands, "token", threshold=0.01, total_count=n_tok
-    )
-    return out.select(
-        F.lit("batch").alias("stage"),
+    # one bounded collect: ≤ num_shards rows of ≤ capacity items each
+    # (S × capacity strings total), carrying BOTH the streamed candidate
+    # set and the exact per-shard row counts (Σ n_shard = n; empty sink
+    # on an empty corpus → n_s = 0, the r16 empty-sink guard)
+    srows = cands.collect()
+    s_vals = sorted({t for r in srows for t in (r["items"] or [])})
+    n_s = sum(int(r["n_shard"]) for r in srows)
+    return verify_stage_candidates(
+        toks,
         "token",
-        F.col("cnt").cast("long").alias("cnt"),
-    ).unionByName(
-        streamed.select(
-            F.lit("stream").alias("stage"),
-            "token",
-            F.col("cnt").cast("long").alias("cnt"),
-        )
+        {"batch": (b_vals, n_b), "stream": (s_vals, n_s)},
+        threshold=0.01,
     )
 
 

@@ -200,3 +200,67 @@ def test_boundary_heavy_hitter_kept(spark):
         for r in freq.heavy_hitters(df, "item", threshold=0.07).collect()
     }
     assert got == {("hot", 7)}
+
+
+def test_verify_stage_candidates_matches_standalone_verifies(spark):
+    """r17 unification (VERDICT r16 task 4): one exact-count pass over
+    the candidate UNION, filtered per stage, must reproduce each
+    stage's standalone verify rows exactly."""
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({"item": [str(x) for x in rng.zipf(1.6, 3000)]})
+    src = spark.createDataFrame(pdf).repartition(4)
+
+    t = 0.02
+    vals, n = freq.mg_candidate_counts(src, "item", capacity=50)
+    # a second "stage" with a DIFFERENT candidate superset: the true
+    # hitters plus some non-hitters — verify must filter per stage
+    extra = sorted(set(vals[: len(vals) // 2]) | {"999991", "999992"})
+    out = freq.verify_stage_candidates(
+        src, "item", {"a": (vals, n), "b": (extra, n)}, threshold=t
+    )
+    got = out.toPandas()
+    standalone_a = freq.heavy_hitters(src, "item", threshold=t, capacity=50).toPandas()
+    a_rows = got[got.stage == "a"][["item", "cnt"]].reset_index(drop=True)
+    assert sorted(map(tuple, a_rows.values.tolist())) == sorted(
+        map(tuple, standalone_a[["item", "cnt"]].values.tolist())
+    )
+    # stage b's rows = true hitters restricted to b's candidate set
+    b_rows = got[got.stage == "b"]
+    truth = {(r["item"], r.cnt) for _, r in standalone_a.iterrows() if r["item"] in set(extra)}
+    assert {(r["item"], r.cnt) for _, r in b_rows.iterrows()} == truth
+    out.cleanup(blocking=True)
+
+
+def test_verify_stage_candidates_single_count_pass(spark):
+    """The unified verify reads the corpus once for ALL stages — the
+    accumulator must see exactly n rows (the old shape read n per
+    stage)."""
+    pdf = pd.DataFrame({"item": ["a"] * 40 + ["b"] * 30 + [str(i) for i in range(30)]})
+    src = spark.createDataFrame(pdf).repartition(4)
+    acc = spark.sparkContext.accumulator(0)
+
+    def tap(batches):
+        for b in batches:
+            acc.add(len(b))
+            yield b
+
+    tapped = src.mapInPandas(tap, schema="item string")
+    out = freq.verify_stage_candidates(
+        tapped,
+        "item",
+        {"x": (["a", "b"], 100), "y": (["a"], 100)},
+        threshold=0.25,
+    )
+    got = out.toPandas()
+    assert acc.value == len(pdf), acc.value
+    assert {(r.stage, r["item"], r.cnt) for _, r in got.iterrows()} == {
+        ("x", "a", 40), ("x", "b", 30), ("y", "a", 40)
+    }
+    out.cleanup(blocking=True)
+
+
+def test_verify_stage_candidates_empty_stages(spark):
+    df = spark.createDataFrame([("a",)], "item string")
+    out = freq.verify_stage_candidates(df, "item", {"x": ([], 0)}, threshold=0.5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["stage", "item", "cnt"]
