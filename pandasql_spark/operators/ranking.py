@@ -280,17 +280,20 @@ def grouped_exact_percentiles(
             "value",
             F.explode(
                 F.filter(
-                    # Deliberately a BARE double ceil — the opposite
-                    # convention from the global path. This path's
-                    # oracle twins (q91's `ceil(i / 20.0 * n)` shape)
-                    # compute q·n in DOUBLES, sharing the artifact
-                    # bit-for-bit, so rounding HERE alone breaks
-                    # hash-equality (tried r15: q91's sf0.01 replica
-                    # went red; reverted). Exactness at integer-q·n
-                    # boundaries needs BOTH sides to move — queued as
-                    # an oracle+code lockstep change for a round where
-                    # q91/q16 are active.
-                    qarr, lambda q: F.ceil(q * F.col("__n")) == F.col(_RN)
+                    # ceil(round(q·n, 9)) — the SAME exact-boundary
+                    # convention as the global path and hh_min_count:
+                    # the 9-digit round kills the binary-product
+                    # artifact (0.55·3020 → 1661.0000000000002 → a
+                    # bare ceil reads 1662 where the exact inverse-CDF
+                    # position is 1661). Moved in LOCKSTEP with the
+                    # q91/q16 oracles (r17; both compute q·n in
+                    # doubles too — ceil(round(i/20.0*n, 9))): r15
+                    # proved a one-sided fix breaks hash-equality (the
+                    # q91 sf0.01 replica went red on exactly the
+                    # n=3020, q=0.55 boundary, pinned in
+                    # test_ranking.py).
+                    qarr,
+                    lambda q: F.ceil(F.round(q * F.col("__n"), 9)) == F.col(_RN),
                 )
             ).alias("q"),
         )

@@ -456,7 +456,7 @@ sl AS (
 cuts AS (
   SELECT lang, logprob AS v
   FROM sl JOIN (SELECT unnest(range(1, 3)) AS i) qs
-    ON rn = CAST(ceil(i / 3.0 * nn) AS BIGINT)
+    ON rn = CAST(ceil(round(i / 3.0 * nn, 9)) AS BIGINT)
 ),
 cuta AS (SELECT lang, list(v ORDER BY v) AS cut_arr FROM cuts GROUP BY lang),
 tiers AS (

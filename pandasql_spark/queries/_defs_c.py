@@ -1158,7 +1158,7 @@ WITH r AS (
 cuts AS (
   SELECT g, v
   FROM r JOIN (SELECT unnest(range(1, 20)) AS i) qs
-    ON rn = CAST(ceil(i / 20.0 * n) AS BIGINT)
+    ON rn = CAST(ceil(round(i / 20.0 * n, 9)) AS BIGINT)
 ),
 agg AS (
   SELECT g, list(v ORDER BY v) AS cut_arr FROM cuts GROUP BY g

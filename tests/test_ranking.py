@@ -169,7 +169,7 @@ def test_grouped_exact_percentiles(spark, orders):
     for g, grp in pdf.groupby("o_orderstatus"):
         vals = sorted(grp.o_totalprice)
         for q in qs:
-            rows.append((g, q, vals[math.ceil(q * len(vals)) - 1]))
+            rows.append((g, q, vals[math.ceil(round(q * len(vals), 9)) - 1]))
     exp = pd.DataFrame(rows, columns=["o_orderstatus", "q", "value"]).sort_values(
         ["o_orderstatus", "q"], ignore_index=True
     )
@@ -275,13 +275,35 @@ def test_quantile_rank_no_float_artifact(spark):
     df = spark.createDataFrame(pdf)
     got = {r.q: r.value for r in exact_percentiles(df, "v", [0.07, 0.25]).collect()}
     assert got == {0.07: 7, 0.25: 25}, got
-    # the GROUPED path deliberately keeps the bare double ceil — its
-    # oracle twins (q91's `ceil(i / 20.0 * n)`) share the double
-    # artifact bit-for-bit, so it picks rank 8 here; pin the
-    # convention so a one-sided "fix" (which breaks the q91 oracle —
-    # tried r15) fails loudly
+    # r17 lockstep: the grouped path now shares the exact-boundary
+    # convention (ceil(round(q·n, 9))) with the global path AND the
+    # q91/q16 oracles — both sides moved together; the r15 one-sided
+    # fix (code only) turned the q91 sf0.01 replica red and was the
+    # documented regression this pin guards
     gg = {
         r.q: r.value
         for r in grouped_exact_percentiles(df, ["g"], "v", [0.07, 0.25]).collect()
     }
-    assert gg == {0.07: 8, 0.25: 25}, gg
+    assert gg == {0.07: 7, 0.25: 25}, gg
+
+
+def test_grouped_quantile_boundary_matches_exact_rank(spark):
+    """The REAL gate boundary (q91 at sf0.01): group n=3020, q=0.55 —
+    0.55·3020 = 1661.0000000000002 in doubles, so a bare ceil picked
+    rank 1662 where the exact inverse-CDF position is 1661. Since the
+    r17 code+oracle lockstep both paths pick 1661."""
+    import pandas as pd
+
+    from pandasql_spark.operators.ranking import (
+        exact_percentiles,
+        grouped_exact_percentiles,
+    )
+
+    assert 0.55 * 3020 > 1661  # the artifact this test pins
+
+    pdf = pd.DataFrame({"v": range(1, 3021), "g": ["a"] * 3020})
+    df = spark.createDataFrame(pdf)
+    gg = {r.q: r.value for r in grouped_exact_percentiles(df, ["g"], "v", [0.55]).collect()}
+    assert gg == {0.55: 1661}, gg
+    glob = {r.q: r.value for r in exact_percentiles(df, "v", [0.55]).collect()}
+    assert glob == {0.55: 1661}, glob
