@@ -745,8 +745,22 @@ def q10_embedding_neardup(spark: SparkSession, sf: str) -> SparkDataFrame:
     brute-force all-pairs ground truth at the same threshold, so a green
     row proves the multi-table sign-bit LSH achieves EXACT recall here —
     per-pair miss probability (1 − (1−θ/π)^8)^8 ≈ 2e-6 at cosine 0.996,
-    and the seeded hyperplanes make the outcome deterministic."""
-    from pandasql_spark.operators.dedup import embedding_neardup_pairs
+    and the seeded hyperplanes make the outcome deterministic.
+
+    r17 fold (VERDICT r16 task 6 — the q50 `survivors` recipe): a
+    second stage gates the one-call `dedup_embeddings` COMPOSITION
+    (sign-LSH pairs → exact cosine → connected components → keep min
+    id per component) end-to-end; the oracle recomputes components
+    over the exact pair set with the recursive-CTE min-label closure.
+    DELIBERATE double pipeline, exactly like q50: deriving the
+    composition's pairs from the standalone stage would re-implement
+    the glue here and defeat the fold's purpose (scan floor
+    re-recorded with reason)."""
+    from pandasql_spark.operators.cache import attach_cleanup
+    from pandasql_spark.operators.dedup import (
+        dedup_embeddings,
+        embedding_neardup_pairs,
+    )
 
     e = spark.read.parquet(f"{sf}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -758,13 +772,30 @@ def q10_embedding_neardup(spark: SparkSession, sf: str) -> SparkDataFrame:
         ),
     )
     corpus = e.unionByName(planted)
-    return embedding_neardup_pairs(
+    pairs = embedding_neardup_pairs(
         corpus, vec_col="embedding", id_col="vec_id", dim=64, threshold=0.95
     )
+    surv = dedup_embeddings(
+        corpus, vec_col="embedding", id_col="vec_id", dim=64, threshold=0.95
+    )
+    out = pairs.select(
+        F.lit("pairs").alias("stage"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "cos_sim",
+    ).unionByName(
+        surv.select(
+            F.lit("survivors").alias("stage"),
+            F.col("vec_id").cast("long").alias("id_a"),
+            F.lit(None).cast("long").alias("id_b"),
+            F.lit(None).cast("double").alias("cos_sim"),
+        )
+    )
+    return attach_cleanup(out, pairs.cleanup, surv.cleanup)
 
 
 Q10_SQL = """
-WITH corpus AS (
+WITH RECURSIVE corpus AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
   UNION ALL
   SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x * 0.9 + 0.01)
@@ -777,8 +808,27 @@ WITH corpus AS (
             * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))),
            6) AS cos_sim
   FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+), hits AS (
+  SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.95
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM hits
+  UNION SELECT id_b AS u, id_a AS v FROM hits
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+nonreps AS (
+  SELECT u FROM reach GROUP BY u HAVING least(u, min(v)) <> u
 )
-SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.95
+SELECT 'pairs' AS stage, CAST(id_a AS BIGINT) AS id_a,
+       CAST(id_b AS BIGINT) AS id_b, cos_sim FROM hits
+UNION ALL
+SELECT 'survivors' AS stage, CAST(vec_id AS BIGINT) AS id_a,
+       CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS DOUBLE) AS cos_sim
+FROM corpus WHERE vec_id NOT IN (SELECT u FROM nonreps)
 """
 
 

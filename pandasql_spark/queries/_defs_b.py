@@ -581,8 +581,25 @@ def q41_multimodal(spark: SparkSession, sf: str) -> SparkDataFrame:
     The discriminative behavior (re-encoded/resized copies pair up,
     unrelated images stay apart, banded hamming join) is pinned by
     test_image_dedup.py — planted near-dups can't ride this host
-    because its render is deliberately flat."""
-    from pandasql_spark.operators.dedup import image_dhash
+    because its render is deliberately flat.
+
+    r17 fold (VERDICT r16 task 6 — the q50/q10 composition-gating
+    recipe): `dd_survivor` marks each media row's fate under the
+    one-call `dedup_images` composition (exact byte-dedup →
+    perceptual pairs over exact survivors → connected components →
+    keep min id). The oracle derives the survivor set in CLOSED FORM
+    from the render arithmetic: byte-identity groups are exactly the
+    derived payload keys (JFIF: (n%16, n%13); PNG: (n%13, n%16,
+    n%251, n%5) — encode_png/jfif_header_bytes are deterministic),
+    and since every flat tile's dhash is 0, ALL PNG exact-survivors
+    form ONE hamming-0 clique, so precisely the minimum PNG survivor
+    id survives the perceptual stage while JFIF rows (no decode → no
+    signature) ride through untouched — the corrupt-media contract
+    under the composition. This gates the GLUE (stage order,
+    survivor semi-join, min-id retention, cleanup composition); the
+    discriminative pairing stays pinned by test_image_dedup.py."""
+    from pandasql_spark.operators.cache import attach_cleanup
+    from pandasql_spark.operators.dedup import dedup_images, image_dhash
     from pandasql_spark.operators.multimodal import image_meta, resize_images
 
     d = _codec_corpus(spark, sf, "doc_id", "text")
@@ -635,7 +652,9 @@ def q41_multimodal(spark: SparkSession, sf: str) -> SparkDataFrame:
     dh = image_dhash(media).select(
         "media_id", F.when(F.col("decode_ok"), F.col("dhash")).alias("dhash")
     )
-    return (
+    dd = dedup_images(media)
+    surv = dd.select("media_id", F.lit(True).alias("dd_survivor"))
+    out = (
         stats.select(
             "media_id",
             F.col("format").alias("fmt"),
@@ -648,10 +667,28 @@ def q41_multimodal(spark: SparkSession, sf: str) -> SparkDataFrame:
         )
         .join(fold, "media_id", "left")
         .join(dh, "media_id", "left")
+        .join(surv, "media_id", "left")
+        .withColumn("dd_survivor", F.coalesce("dd_survivor", F.lit(False)))
     )
+    return attach_cleanup(out, dd.cleanup)
 
 
 Q41_SQL = """
+WITH keys AS (
+  SELECT doc_id,
+         CASE WHEN length(text) % 7 = 0
+              THEN 'j:' || (length(text) % 16) || ':' || (length(text) % 13)
+              ELSE 'p:' || (length(text) % 13) || ':' || (length(text) % 16)
+                   || ':' || (length(text) % 251) || ':' || (length(text) % 5)
+         END AS k
+  FROM documents
+),
+es AS (SELECT k, min(doc_id) AS id FROM keys GROUP BY k),
+survivors AS (
+  SELECT id FROM es WHERE k LIKE 'j:%'
+  UNION ALL
+  SELECT min(id) AS id FROM es WHERE k LIKE 'p:%' HAVING min(id) IS NOT NULL
+)
 SELECT doc_id AS media_id,
        CASE WHEN length(text) % 7 = 0 THEN 'jpeg' ELSE 'png' END AS fmt,
        CAST(1 + length(text) % 16 AS INT) AS width,
@@ -674,7 +711,8 @@ SELECT doc_id AS media_id,
             ELSE round(CAST(length(text) % 251 AS DOUBLE), 6)
        END AS rs_mean_px,
        CASE WHEN length(text) % 7 = 0 THEN NULL
-            ELSE CAST(0 AS BIGINT) END AS dhash
+            ELSE CAST(0 AS BIGINT) END AS dhash,
+       doc_id IN (SELECT id FROM survivors) AS dd_survivor
 FROM documents
 """
 
