@@ -1286,8 +1286,10 @@ def q62_heavy_hitters(spark: SparkSession, sf: str) -> SparkDataFrame:
       counters of state TOTAL — independent of the distinct-item
       domain), replayed over THREE doc_id-ordered micro-batches so the
       shard summaries genuinely fold across batch boundaries, then
-      `verify_heavy_hitters` exact counts of the streamed candidate
-      set. The sharding recall guarantee (capacity ≥ ⌈1/t⌉ ⇒ the
+      exact counts of the streamed candidate set (via the unified
+      verify below; `streaming.hitters.verify_heavy_hitters` remains
+      the standalone/nightly-reconciliation shape, pytest-covered).
+      The sharding recall guarantee (capacity ≥ ⌈1/t⌉ ⇒ the
       shard-summary union is a superset of every global heavy hitter)
       makes the verified result equal the SAME naive groupBy, so both
       stages ride one oracle. Thirteenth gate-checked streaming
