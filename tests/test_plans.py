@@ -249,20 +249,28 @@ def test_doc_profile_perplexity_fold_plan(spark):
 
 
 def test_multimodal_resize_fold_single_corpus_render(spark):
-    """q41 + the folded resize (r11) + the folded dHash (r12): the
-    rendered media is persisted and ALL THREE branches (image_meta
-    stats, resize→re-decode, image_dhash) read the InMemoryRelation —
-    exactly ONE parquet scan / ONE render mapInPandas underneath the
-    cache, and each fold joins back via broadcast. At 100 TB the
-    alternative is re-rendering the corpus per branch (the q96
-    lesson)."""
+    """q41 + the folded resize (r11) + the folded dHash (r12) + the
+    folded dedup_images composition (r17): the rendered media is
+    persisted and EVERY branch — image_meta stats, resize→re-decode,
+    image_dhash, and the composition's three consumers (exact-keep
+    build, perceptual-pair decode, final anti-join) — reads the
+    InMemoryRelation. The file-byte gate pins the TRUE read cost at
+    1.00 × documents (tools/scan_floors.json; plan text overcounts
+    under persist because InMemoryTableScan prints its cached child).
+    Each fold joins back via broadcast. At 100 TB the alternative is
+    re-rendering the corpus per branch (the q96 lesson)."""
     from collections import Counter
 
     df = _q(spark, "q41_multimodal")
     ops = Counter(operator_names(df))
-    assert ops["InMemoryTableScan"] == 3, dict(ops)  # one per branch
-    assert ops["Scan"] == 1, dict(ops)  # only inside the cached relation
-    assert ops["BroadcastHashJoin"] == 2, dict(ops)  # resize + dhash folds
+    # 3 original branches + the dd composition's 3 media consumers
+    assert ops["InMemoryTableScan"] == 6, dict(ops)
+    # parquet scan inside the media cache + the exact-keep cache's
+    # printed child; file bytes (the authoritative metric) stay 1.00
+    assert ops["Scan"] <= 2, dict(ops)
+    # resize + dhash + dd_survivor folds + the composition's survivor
+    # semi-join — all broadcast, never shuffled corpus joins
+    assert ops["BroadcastHashJoin"] == 4, dict(ops)
     assert "CartesianProduct" not in ops, dict(ops)
 
 
