@@ -17,15 +17,24 @@ from pyspark.sql import DataFrame
 
 
 def _accepts_blocking(fn) -> bool:
-    """True when ``fn(blocking=...)`` is a valid call — a ``blocking``
-    parameter or ``**kwargs``. Unsignaturable callables (some builtins)
-    conservatively get the zero-arg call."""
+    """True when ``fn(blocking=...)`` is a valid call — a KEYWORD-pass
+    able ``blocking`` parameter or ``**kwargs``. A positional-only or
+    ``*args`` parameter that merely happens to be NAMED blocking does
+    not count (calling it by keyword would raise the very signature
+    TypeError this probe exists to avoid — r17 review). Unsignaturable
+    callables (some builtins) conservatively get the zero-arg call."""
     try:
         params = inspect.signature(fn).parameters
     except (TypeError, ValueError):
         return False
-    return "blocking" in params or any(
-        p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
+    p = params.get("blocking")
+    if p is not None and p.kind in (
+        inspect.Parameter.POSITIONAL_OR_KEYWORD,
+        inspect.Parameter.KEYWORD_ONLY,
+    ):
+        return True
+    return any(
+        q.kind is inspect.Parameter.VAR_KEYWORD for q in params.values()
     )
 
 

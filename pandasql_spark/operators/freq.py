@@ -227,7 +227,10 @@ def verify_stage_candidates(
     )
     union_vals = sorted({v for vals, _ in stages.values() for v in vals})
     if not union_vals:
-        return spark.createDataFrame([], out_schema)
+        # empty path keeps the documented cleanup() contract (no-op
+        # hook) so consumers compose it unconditionally — the
+        # exact_percentiles empty-path precedent (r16/r17 review)
+        return attach_cleanup(spark.createDataFrame([], out_schema))
     cand = spark.createDataFrame([(v,) for v in union_vals], schema=item_schema)
     counts = (
         df.join(F.broadcast(cand), item_col, "leftsemi")
@@ -249,7 +252,7 @@ def verify_stage_candidates(
         )
     if not parts:
         counts.unpersist()
-        return spark.createDataFrame([], out_schema)
+        return attach_cleanup(spark.createDataFrame([], out_schema))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

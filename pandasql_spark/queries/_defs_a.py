@@ -1314,12 +1314,20 @@ def q62_heavy_hitters(spark: SparkSession, sf: str) -> SparkDataFrame:
     )
     from pandasql_spark.streaming.hitters import replay_mg_candidates
 
+    import math
+
+    # capacity is DERIVED from the threshold (r17 review): the
+    # Misra-Gries recall guarantee needs capacity >= ceil(1/t), the
+    # validation heavy_hitters enforces — hardcoding 100 next to
+    # t=0.01 would let a future threshold edit silently void it
+    threshold = 0.01
+    capacity = max(100, math.ceil(1 / threshold))
     path = f"{sf}/documents.parquet"
     docs = spark.read.parquet(path)
     toks = docs.select(F.explode(tokens("text")).alias("token"))
-    b_vals, n_b = mg_candidate_counts(toks, "token", capacity=100)
+    b_vals, n_b = mg_candidate_counts(toks, "token", capacity=capacity)
     cands = replay_mg_candidates(
-        spark, path, "text", capacity=100, num_shards=16, n_batches=3,
+        spark, path, "text", capacity=capacity, num_shards=16, n_batches=3,
         query_name="q62_hitters_replay",
     )
     # one bounded collect: ≤ num_shards rows of ≤ capacity items each
@@ -1333,7 +1341,7 @@ def q62_heavy_hitters(spark: SparkSession, sf: str) -> SparkDataFrame:
         toks,
         "token",
         {"batch": (b_vals, n_b), "stream": (s_vals, n_s)},
-        threshold=0.01,
+        threshold=threshold,
     )
 
 

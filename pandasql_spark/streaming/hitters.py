@@ -209,9 +209,13 @@ def replay_mg_candidates(
             .option("maxFilesPerTrigger", 1)
             .parquet(os.path.join(stage, "*.parquet"))
         )
-        toks = stream.select(
-            F.explode(F.split(F.col(text_col), " ")).alias("token")
-        )
+        # canonical tokenizer — the same functions.text.tokens the
+        # batch stage (freq.heavy_hitter_tokens) and the q62 oracle
+        # use; a tokenizer change must move all three together (the
+        # r17 split-parity contract)
+        from ..functions.text import tokens
+
+        toks = stream.select(F.explode(tokens(text_col)).alias("token"))
         with bounded_replay_shuffle(spark):
             q = (
                 mg_stream_candidates(toks, "token", capacity, num_shards)

@@ -234,3 +234,22 @@ def test_cleanup_hook_internal_typeerror_not_double_called(spark):
     with _pytest.raises(TypeError, match="internal bug"):
         out.cleanup(blocking=True)
     assert calls == [True]
+
+
+def test_cleanup_positional_only_blocking_gets_zero_arg_call(spark):
+    """r17 review: a hook whose 'blocking' parameter cannot be passed
+    by keyword (positional-only / *args) must get the zero-arg call,
+    not a signature TypeError that skips its work."""
+    from pandasql_spark.operators.cache import attach_cleanup
+
+    seen = []
+
+    def pos_only(blocking=False, /):
+        seen.append("pos_only")
+
+    def star_args(*blocking):
+        seen.append(("star", blocking))
+
+    out = attach_cleanup(spark.range(1), pos_only, star_args)
+    out.cleanup(blocking=True)
+    assert seen == ["pos_only", ("star", ())]

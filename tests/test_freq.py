@@ -264,3 +264,13 @@ def test_verify_stage_candidates_empty_stages(spark):
     out = freq.verify_stage_candidates(df, "item", {"x": ([], 0)}, threshold=0.5)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["stage", "item", "cnt"]
+
+
+def test_verify_stage_candidates_empty_keeps_cleanup_contract(spark):
+    """r17 review: the empty paths carry the documented no-op cleanup()
+    hook so consumers compose it unconditionally."""
+    df = spark.createDataFrame([("a",)], "item string")
+    out = freq.verify_stage_candidates(df, "item", {"x": ([], 0)}, threshold=0.5)
+    out.cleanup(blocking=True)  # must not raise
+    out2 = freq.verify_stage_candidates(df, "item", {}, threshold=0.5)
+    out2.cleanup()  # no stages at all — same contract

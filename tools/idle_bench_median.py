@@ -66,8 +66,14 @@ def one_run(i: int) -> dict:
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     runs = [one_run(i) for i in range(n)]
+    runs = [r for r in runs if isinstance(r.get("value"), (int, float))]
+    if not runs:
+        raise RuntimeError("no bench run produced a usable 'value'")
     clean = [r for r in runs if not r.get("contaminated")]
-    pool = clean if len(clean) >= 2 else runs
+    # ANY clean run beats every contaminated one — with a single clean
+    # run it IS the artifact (falling back to the full pool could
+    # select a contaminated run while a clean one exists; r17 review)
+    pool = clean if clean else runs
     pool_sorted = sorted(pool, key=lambda r: r["value"])
     median = pool_sorted[len(pool_sorted) // 2]
 
