@@ -40,8 +40,17 @@ def _apportion(raw: dict, total_n: int) -> dict:
     targets = {k: math.floor(v) for k, v in raw.items()}
     leftover = total_n - sum(targets.values())
     if leftover >= 0:
-        for k in sorted(raw, key=lambda k: (-(raw[k] - targets[k]), k))[:leftover]:
-            targets[k] += 1
+        # while: float error can make the undershoot exceed the
+        # stratum count (the mirror of the negative branch below —
+        # r17 review: a single [:leftover] slice over len(raw) strata
+        # would silently sum short of total_n); each sweep hands out
+        # min(leftover, len(raw)) rows, so it terminates
+        while leftover > 0:
+            for k in sorted(raw, key=lambda k: (-(raw[k] - targets[k]), k))[
+                :leftover
+            ]:
+                targets[k] += 1
+                leftover -= 1
     else:
         # while: in the (astronomically unlikely) case the excess
         # exceeds the positive-target stratum count, sweep again;

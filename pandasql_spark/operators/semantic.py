@@ -106,29 +106,33 @@ def assign_cells(
     return df.withColumn("cid", F.array_min(dists)["cid"])
 
 
-def _plan_is_cached(df: DataFrame) -> bool:
-    """True when the CacheManager holds an entry whose plan is
-    semantically equivalent to ``df``'s — the authoritative "will
+def _plan_is_cached(df: DataFrame) -> bool | None:
+    """True/False when the CacheManager answers whether it holds an
+    entry plan-equivalent to ``df``'s — the authoritative "will
     persist() alias someone else's cache?" test. `DataFrame.is_cached`
     is only a per-Python-object flag, so a caller that cached a
     DIFFERENT but plan-equivalent frame (a second read of the same
     path, a no-op projection) is invisible to it.
 
-    A failed lookup answers "not cached" (ADVICE r16): falling back to
-    ``df.is_cached`` would reintroduce the stale-flag hazard this
-    function exists to remove (True after clearCache() → skip the
-    persist → one source rescan PER PASS), whereas wrongly persisting
-    an already-default-persisted frame is a no-op. Only the py4j
-    surface errors are caught — anything else is a real bug."""
+    A failed lookup answers ``None`` — UNKNOWN (ADVICE r16 + r17
+    review). Falling back to ``df.is_cached`` would reintroduce the
+    stale-flag hazard this function exists to remove (True after
+    clearCache() → skip the persist → one source rescan PER PASS);
+    treating the failure as plain False would let the caller attach
+    an unpersist to a frame it may NOT own (evicting the caller's
+    cache on cleanup). Callers should persist on None (persisting an
+    already-default-persisted frame is a no-op) but leave the cache's
+    lifecycle to LRU. Only the py4j surface errors are caught —
+    anything else is a real bug."""
     try:
-        return (
+        return bool(
             df.sparkSession._jsparkSession.sharedState()
             .cacheManager()
             .lookupCachedData(df._jdf)
             .isDefined()
         )
-    except (AttributeError, Py4JError):  # py4j surface shift → not cached
-        return False
+    except (AttributeError, Py4JError):  # py4j surface shift → unknown
+        return None
 
 
 def lloyd_kmeans(
@@ -169,10 +173,25 @@ def lloyd_kmeans(
     # misses plan-equivalent caches AND goes stale (clearCache() or an
     # equivalent frame's unpersist() leave it True with no entry
     # behind it — short-circuiting on it would skip the persist and
-    # re-scan the source every pass; r16 review). _plan_is_cached
-    # falls back to the flag only if the py4j surface shifts.
-    owns_cache = not _plan_is_cached(df)
-    src = df.persist() if owns_cache else df
+    # re-scan the source every pass; r16 review). If the lookup itself
+    # FAILS (py4j surface shift → None, r17 review) ownership is
+    # unknowable: persist anyway (no-op when the caller already
+    # persisted at the default level; restores the multi-pass cache
+    # otherwise) but do NOT claim ownership — cleanup() stays a no-op
+    # and the cache is left to LRU rather than risking eviction of a
+    # frame the caller owns.
+    cached = _plan_is_cached(df)
+    owns_cache = cached is False
+    if cached is True:
+        src = df
+    else:
+        try:
+            src = df.persist()
+        except Py4JError:
+            # only reachable on the UNKNOWN path: the input was in
+            # fact persisted at a non-default level — ride it as-is
+            src = df
+            owns_cache = False
     # the init collect is the first action: it fills the cache, so the
     # iteration/assignment passes below never touch the source again
     init_rows = src.orderBy(id_col).limit(k).select(vec_col).collect()

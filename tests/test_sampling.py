@@ -305,3 +305,10 @@ def test_apportion_negative_leftover_restores_exact_total():
     # and the normal largest-remainder path is unchanged
     got = _apportion({"a": 1.5, "b": 1.5, "c": 0.9}, 4)
     assert sum(got.values()) == 4 and got["c"] == 1
+
+    # the POSITIVE mirror (r17 review): an undershoot larger than the
+    # stratum count needs repeated sweeps too — a single [:leftover]
+    # slice would quietly sum short of total_n
+    got = _apportion({"a": 1.0, "b": 1.0}, 5)
+    assert sum(got.values()) == 5
+    assert got == {"a": 3, "b": 2}  # extra rows by remainder order, ties by name

@@ -276,11 +276,13 @@ def test_kmeans_respects_plan_equivalent_cache(spark):
         cached.unpersist()
 
 
-def test_plan_is_cached_failed_lookup_means_not_cached():
-    """ADVICE r16: a failed CacheManager lookup answers 'not cached' —
-    never the object-local is_cached flag, which goes stale (True after
-    clearCache()) and would skip the persist, costing one source rescan
-    per k-means pass."""
+def test_plan_is_cached_failed_lookup_is_unknown():
+    """ADVICE r16 + r17 review: a failed CacheManager lookup answers
+    None (UNKNOWN) — never the object-local is_cached flag, which goes
+    stale (True after clearCache()) and would skip the persist; and
+    never plain False, which would let the caller attach an unpersist
+    to a frame it may not own (evicting the caller's cache). Callers
+    persist on None but leave the lifecycle to LRU."""
     from py4j.protocol import Py4JError
 
     from pandasql_spark.operators.semantic import _plan_is_cached
@@ -297,4 +299,4 @@ def test_plan_is_cached_failed_lookup_means_not_cached():
         is_cached = True  # the stale flag the fallback must NOT trust
         _jdf = None
 
-    assert _plan_is_cached(_FakeDF()) is False
+    assert _plan_is_cached(_FakeDF()) is None
