@@ -333,7 +333,8 @@ REGISTRY: dict[str, QueryDef] = {
 # dedup_embeddings/dedup_images composition folds (hosts q10/q41
 # active).
 # r17 rest-round exceptions (policy cap: <=2, see COVERAGE.md):
-# 1. The r16 ADVICE closure set (commit a6226b9; hosts q50/q69/q70/
+# 1. The r16 ADVICE closure set + review refinements (commits
+#    a6226b9/188ceed/2b51aa8; hosts q50/q69/q70/
 #    q71 rest): attach_cleanup blocking propagation (hook never
 #    invoked by the gate), _plan_is_cached fallback -> False (dead
 #    branch on this py4j surface), _apportion negative-leftover
