@@ -265,9 +265,11 @@ def test_multimodal_resize_fold_single_corpus_render(spark):
     ops = Counter(operator_names(df))
     # 3 original branches + the dd composition's 3 media consumers
     assert ops["InMemoryTableScan"] == 6, dict(ops)
-    # parquet scan inside the media cache + the exact-keep cache's
-    # printed child; file bytes (the authoritative metric) stay 1.00
-    assert ops["Scan"] <= 2, dict(ops)
+    # NO bare-Scan pin: plan text prints cached children (overcount)
+    # and the count varies with session-cache warmth (cold 2, warm 3 —
+    # order-dependent in the full suite). File bytes are the
+    # authoritative read-cost metric and the scan gate pins them at
+    # 1.00 × documents (tools/scan_floors.json).
     # resize + dhash + dd_survivor folds + the composition's survivor
     # semi-join — all broadcast, never shuffled corpus joins
     assert ops["BroadcastHashJoin"] == 4, dict(ops)
