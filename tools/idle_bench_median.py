@@ -26,12 +26,31 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 
+#: bench.py's loaded-host guard flags load_avg_start > 2.0 — but a
+#: back-to-back run inherits the PREVIOUS run's 1-min load average and
+#: flags itself even on an otherwise idle host (first median-runner
+#: attempt: 3/3 contaminated, every sentinel_end ~0.156 s). Wait out
+#: the decay between runs.
+COOLDOWN_TARGET = 1.2
+COOLDOWN_MAX_S = 420
+
+
+def cooldown() -> None:
+    t0 = time.time()
+    while (
+        time.time() - t0 < COOLDOWN_MAX_S
+        and os.getloadavg()[0] > COOLDOWN_TARGET
+    ):
+        time.sleep(15)
+
 
 def one_run(i: int) -> dict:
+    cooldown()
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True,
