@@ -194,6 +194,22 @@ def heavy_hitters(
     )
 
 
+def _candidate_counts_frame(df: DataFrame, item_col: str, union_vals) -> DataFrame:
+    """The one corpus pass of :func:`verify_stage_candidates`: exact
+    counts of the candidate union via broadcast semi-join + partial-
+    aggregated groupBy — the corpus never shuffles by item. Exposed so
+    plan tests can pin the broadcast shape (the composed result frame
+    is a literal and hides this join from its own plan)."""
+    cand = df.sparkSession.createDataFrame(
+        [(v,) for v in union_vals], schema=df.select(item_col).schema
+    )
+    return (
+        df.join(F.broadcast(cand), item_col, "leftsemi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def verify_stage_candidates(
     df: DataFrame,
     item_col: str,
@@ -236,13 +252,8 @@ def verify_stage_candidates(
     union_vals = sorted({v for vals, _ in stages.values() for v in vals})
     if not union_vals:
         return attach_cleanup(spark.createDataFrame([], out_schema))
-    cand = spark.createDataFrame([(v,) for v in union_vals], schema=item_schema)
-    counted = (
-        df.join(F.broadcast(cand), item_col, "leftsemi")
-        .groupBy(item_col)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()  # bounded: ≤ |union_vals| rows
-    )
+    # bounded collect: ≤ |union_vals| rows
+    counted = _candidate_counts_frame(df, item_col, union_vals).collect()
     counts = {r[item_col]: r["cnt"] for r in counted}
     rows = []
     for name in sorted(stages):

