@@ -43,6 +43,7 @@ from .cache import attach_cleanup
 
 _PID = "__psql_pid"
 _RN = "__psql_rn"
+_TB = "__psql_tb"
 
 
 def _partitioned_with_offsets(
@@ -196,10 +197,23 @@ def exact_percentiles(
     for q in quantiles:
         if not 0 < q <= 1:
             raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    # Project to (value, tiebreak) BEFORE the range shuffle: the
+    # recipe's persist is a column-pruning barrier (the cache build
+    # materializes every column the frame carries), so without this an
+    # N-column input scans, shuffles and caches N columns to produce a
+    # 2-column answer — the r17 ReadSchema audit caught q65/q78 reading
+    # all six orders columns for (o_totalprice, o_orderkey). A Column
+    # tiebreak is aliased in (it must be deterministic anyway for the
+    # ranking to be well-defined, so evaluating it pre-shuffle is
+    # value-identical).
     order: list[str | Column] = [value_col]
-    if tiebreak is not None:
-        order.append(tiebreak)
-    ranked, total = _ranked_with_total(df, order, _RN, num_partitions)
+    if tiebreak is None:
+        slim = df.select(value_col)
+    else:
+        tb = F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak
+        slim = df.select(F.col(value_col), tb.alias(_TB))
+        order.append(F.col(_TB))
+    ranked, total = _ranked_with_total(slim, order, _RN, num_partitions)
     if total == 0:
         ranked.cleanup()  # the empty frame was still persisted+counted
         # keep the cleanup contract on the empty path too — consumers

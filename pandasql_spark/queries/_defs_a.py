@@ -1809,7 +1809,13 @@ def q69_semantic_dedup(spark: SparkSession, sf: str) -> SparkDataFrame:
     left-to-right fold order (list_reduce ↔ aggregate())."""
     from pandasql_spark.operators.semantic import semantic_dedup
 
-    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    # project to the two columns the operator uses BEFORE the k-means
+    # persist: the Arrow assignment kernel is opaque to Catalyst, so
+    # without this the unused `label` column rides through the scan,
+    # the cache and every Lloyd pass (r17 ReadSchema audit)
+    e = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
     planted = e.filter(F.col("vec_id") % 100 == 0).withColumn(
         "vec_id", F.col("vec_id") + 100000
     )
