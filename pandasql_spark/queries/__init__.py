@@ -319,81 +319,68 @@ REGISTRY: dict[str, QueryDef] = {
 # flipped to the cohort that was gated twice running, so nothing rests
 # twice in a row. Resting queries stay fully covered by pytest.
 #
-# Round-17 roster (the planned flip): the 50 r16-gated queries rest
-# (all green in CORRECTNESS_r16.json); the 50 r16-resting queries
-# rotate IN (all green r15), preserving the 100/100 two-round
-# invariant. The r17 gate collects BOTH r16 rest-round exceptions on
-# their return (VERDICT r16 task 1, release-blocker if red): q62
-# (empty-sink guard + replay schema derived from the staged frame)
-# and q73/q81 (corpus_report text+audio single-pass fusion). This
-# round's planned output-affecting work all lands with hosts ACTIVE:
-# q47 funnel stage-frame persists, q62 verify-pass unification +
-# heavy-hitter tokenization contract, grouped_exact_percentiles
-# exact-arithmetic lockstep (hosts q91/q16 active), and the
-# dedup_embeddings/dedup_images composition folds (hosts q10/q41
-# active).
-# r17 rest-round exceptions (policy cap: <=2, see COVERAGE.md):
-# 1. The r16 ADVICE closure set + review refinements (commits
-#    a6226b9/188ceed/2b51aa8; hosts q50/q69/q70/
-#    q71 rest): attach_cleanup blocking propagation (hook never
-#    invoked by the gate), _plan_is_cached fallback -> False (dead
-#    branch on this py4j surface), _apportion negative-leftover
-#    decrement (unreachable at gate scale) + q50 docstring note.
-#    Executed path on gate data is IDENTICAL for all four hosts;
-#    replicas green at sf0.001 AND sf0.01 pre-commit (q50/q69/q70);
-#    all gate on their r18 return.
+# Round-18 roster (the planned flip): the 50 r17-gated queries rest
+# (all green in CORRECTNESS_r17.json); the 50 r17-resting queries
+# rotate IN (all green r16), preserving the 100/100 two-round
+# invariant. The r18 gate collects the r17 rest-round exception debts
+# on their return (VERDICT r17 task 1, release-blocker if red):
+# q50/q69/q70/q71 (the r16 ADVICE-closure change-set, commits
+# a6226b9/188ceed/2b51aa8) AND q65/q78/q69 (commit 8d326f6 — the
+# exact_percentiles pre-shuffle projection + q69 label pruning that
+# was omitted from COVERAGE.md's r17 row, now amended there). All of
+# them are in the returning cohort below and gate directly.
 # COVERAGE.md's roster table is the authoritative per-round record.
 _RESTING: tuple[str, ...] = (
-    "q02_filter_distinct",
-    "q03_predicates",
-    "q04_topk",
-    "q05_join_groupby",
-    "q07_join_diffkeys",
-    "q08_composite_join",
-    "q09_union",
-    "q100_bpe_pair_stats",
-    "q11_derived_columns",
-    "q12_having",
-    "q13_rename_sort_limit",
-    "q14_agg_global",
-    "q15_window_topn",
-    "q20_cosine_topk",
-    "q28_outer_join",
-    "q29_anti_join",
-    "q30_set_ops",
-    "q31_rollup",
-    "q32_stats_agg",
-    "q33_count_distinct",
-    "q35_shipping_priority",
-    "q36_array_dims",
-    "q37_string_funcs",
-    "q38_pivot",
-    "q42_salted_agg",
-    "q50_jaccard_verified",
-    "q51_tfidf",
-    "q52_distribution",
-    "q55_csv_roundtrip",
-    "q57_moving_avg",
-    "q61_stratified_sample",
-    "q63_incremental_dedup",
-    "q64_sequence_packing",
-    "q65_exact_percentiles",
-    "q66_contamination",
-    "q67_repetition_signals",
-    "q68_pii_redaction",
-    "q69_semantic_dedup",
-    "q70_mixture_resample",
-    "q71_curation_pipeline",
-    "q72_unigram_logprob",
-    "q74_kmv_distinct",
-    "q75_kmv_set_overlap",
-    "q77_source_caps",
-    "q78_sampled_quantiles",
-    "q93_url_normalize",
-    "q94_crawl_pipeline",
-    "q95_export_shards",
-    "q97_stream_admission",
-    "q98_bigram_lm",
+    "q01_pricing_summary",
+    "q06_multijoin_region",
+    "q10_embedding_neardup",
+    "q16_doc_profile",
+    "q17_session_windows_stream",
+    "q18_sliding_windows_stream",
+    "q19_dedup_exact",
+    "q21_events_hourly",
+    "q22_ngram_jaccard",
+    "q23_minhash_neardup",
+    "q24_simhash_neardup",
+    "q25_embedding_topk_pairs",
+    "q26_sessionize",
+    "q27_asof_join",
+    "q34_range_join",
+    "q39_winnowing",
+    "q40_ann_ivf",
+    "q41_multimodal",
+    "q43_decorrelated_scalar",
+    "q44_in_subquery",
+    "q45_cross_join",
+    "q46_json_props",
+    "q47_funnel",
+    "q48_write_roundtrip",
+    "q49_dedup_clusters",
+    "q53_stateful_running_totals",
+    "q54_fuzzy_match",
+    "q56_interval_join_stream",
+    "q58_stream_dedup",
+    "q59_stream_sink_roundtrip",
+    "q60_zorder_pruned_scan",
+    "q62_heavy_hitters",
+    "q73_corpus_report",
+    "q76_windowed_kmv_stream",
+    "q79_snapshot_diff",
+    "q80_audio",
+    "q81_audio_report",
+    "q82_bm25_topk",
+    "q83_scd2_merge",
+    "q84_hash_split",
+    "q85_chunking",
+    "q86_gif",
+    "q87_ann_join",
+    "q88_line_dedup",
+    "q89_quantize",
+    "q90_jpeg",
+    "q91_quantile_normalize",
+    "q92_html_extract",
+    "q96_video_frames",
+    "q99_crawl_ingest_stream",
 )
 assert set(_RESTING) <= set(REGISTRY), "roster names must exist"
 assert len(set(_RESTING)) == len(_RESTING), "duplicate resting entry"
