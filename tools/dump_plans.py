@@ -35,15 +35,23 @@ def explain_str(df) -> str:
 
 
 def main() -> int:
+    # ADVICE r17: validate argv (bare IndexError otherwise) and keep a
+    # typo'd query name from aborting the remaining dumps.
+    if len(sys.argv) < 3:
+        print(
+            "usage: PYTHONPATH=. python tools/dump_plans.py OUTDIR "
+            "qNN_name [qNN_name ...]",
+            file=sys.stderr,
+        )
+        return 2
     outdir = sys.argv[1]
     names = sys.argv[2:]
     os.makedirs(outdir, exist_ok=True)
     spark = get_spark("pandasql-spark-dump-plans")
     spark.sparkContext.setLogLevel("ERROR")
     for name in names:
-        fn = REGISTRY[name].fn
         try:
-            df = fn(spark, SF_DIR)
+            df = REGISTRY[name].fn(spark, SF_DIR)
             txt = explain_str(df)
         except Exception as exc:  # noqa: BLE001 — keep dumping
             txt = f"ERROR building {name}: {type(exc).__name__}: {exc}\n"
@@ -55,14 +63,18 @@ def main() -> int:
             try:
                 from pyspark.sql import functions as F
 
+                from pandasql_spark.functions.text import tokens
                 from pandasql_spark.operators.freq import (
                     _candidate_counts_frame,
                 )
 
+                # the canonical tokenizer heavy_hitter_tokens uses
+                # (ADVICE r17: an inline re-implementation here would go
+                # silently stale if the tokenization contract changed)
                 docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
                 toks = docs.select(
-                    F.explode(F.split(F.col("text"), " ")).alias("token")
-                ).where(F.col("token") != "")
+                    F.explode(tokens("text")).alias("token")
+                )
                 sub = _candidate_counts_frame(toks, "token", ["the", "a"])
                 with open(
                     os.path.join(outdir, f"{name}__verify_counts.txt"), "w"
