@@ -329,6 +329,11 @@ REGISTRY: dict[str, QueryDef] = {
 # exact_percentiles pre-shuffle projection + q69 label pruning that
 # was omitted from COVERAGE.md's r17 row, now amended there). All of
 # them are in the returning cohort below and gate directly.
+# r18 rest-round exceptions (policy cap: <=2, see COVERAGE.md):
+# 1. q99 (rests) — process_crawl_batch persists the extracted frame so
+#    the URL-store and corpus writes stop re-evaluating the micro-batch
+#    (execution-only; replica green at sf0.001 AND sf0.01 pre-commit;
+#    gates on its r19 return).
 # COVERAGE.md's roster table is the authoritative per-round record.
 _RESTING: tuple[str, ...] = (
     "q01_pricing_summary",

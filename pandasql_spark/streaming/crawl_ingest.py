@@ -71,7 +71,18 @@ def process_crawl_batch(
     append. Exposed separately so tests can drive replay/idempotency
     without a streaming query."""
     spark = batch.sparkSession
-    extracted = extract_crawl_columns(batch, html_col, url_col, id_col)
+    # Persist the extracted frame: this function runs TWO actions (the
+    # URL-store write and the corpus write), and a foreachBatch frame is
+    # lazily re-evaluated per action — without the cache each write
+    # re-read the staged micro-batch, re-ran the admission stateful op
+    # against the state store AND re-ran the HTML extraction (guide §6:
+    # one logical pass was executing twice per micro-batch; the
+    # incremental.py dedup sink has persisted its batch this way since
+    # r13). The two writes run sequentially, so a lazy persist fills on
+    # the first action — no concurrent-materialization race (the r15
+    # class needs racing consumers). Values unchanged; unpersisted in
+    # the finally below.
+    extracted = extract_crawl_columns(batch, html_col, url_col, id_col).persist()
 
     w = Window.partitionBy("url_norm").orderBy(F.col(id_col).asc())
     batch_first = (
@@ -109,6 +120,7 @@ def process_crawl_batch(
         ).mode("overwrite").parquet(corpus_dir)
     finally:
         conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        extracted.unpersist()
 
 
 def crawl_ingest_stream(

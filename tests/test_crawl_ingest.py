@@ -232,3 +232,28 @@ def test_fully_filtered_crawl_yields_empty_corpus(spark):
     assert set(out.columns) == {
         "doc_id", "url_norm", "host", "title", "text", "n_tokens",
     }
+
+
+def test_batch_computed_once_per_invocation(spark, crawl, dirs):
+    """process_crawl_batch runs TWO actions (URL-store write + corpus
+    write); the persisted extracted frame must make the upstream batch
+    compute ONCE per invocation (r18: without the cache a foreachBatch
+    frame is lazily re-evaluated per action, so the staged read, the
+    admission stateful op and the HTML extraction all ran twice per
+    micro-batch). Accumulator-tap pattern: a pass-through mapInPandas
+    counts every row that flows out of the batch source."""
+    store, corpus = dirs
+    acc = spark.sparkContext.accumulator(0)
+
+    def tap(batches):
+        for b in batches:
+            acc.add(len(b))
+            yield b
+
+    n = crawl.count()
+    tapped = crawl.mapInPandas(tap, schema=crawl.schema)
+    process_crawl_batch(tapped, 0, store, corpus, min_tokens=MIN_TOKENS)
+    assert acc.value == n, (
+        f"batch source computed {acc.value / n:.1f}x; the extracted "
+        f"persist must bound it to one pass per invocation"
+    )
