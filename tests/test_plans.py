@@ -367,3 +367,19 @@ def test_scan_floor_watchlist_structure():
     for must in ("q10_embedding_neardup", "q50_jaccard_verified",
                  "q69_semantic_dedup", "q72_unigram_logprob"):
         assert must in floors
+
+
+def test_q64_bpe_reattach_never_broadcasts_tokens(spark):
+    """pack_bpe_corpus re-attaches the chunk plan to the encoded-token
+    payload with a SHUFFLED HASH join built on the metadata side (r18):
+    left to its estimates Catalyst broadcast the whole token corpus
+    (checkpointed-RDD stats undersell it), which is a driver OOM at
+    scale. q64's only join is that re-attach, so the assertion is
+    plan-wide: the shuffled-hash join is present and no broadcast join
+    exists anywhere in the query."""
+    df = _q(spark, "q64_sequence_packing")
+    from pandasql_spark.plans import explain_str
+
+    plan = explain_str(df)
+    assert "ShuffledHashJoin" in plan, plan[:2000]
+    assert "BroadcastHashJoin" not in plan, plan[:2000]

@@ -51,6 +51,23 @@ KEY_GROUPS: dict[str, dict[str, str]] = {
 FIXED_TABLES = ("region", "nation")
 SRC = "/root/testdata/sf0.1"
 
+#: output files per table (at K=10): a 100 TB table arrives as tens of
+#: thousands of row groups, so scan parallelism is never file-bound.
+#: The K-fold copy written naively lands ~K single-row-group part files
+#: per table (one per unioned copy), capping every scan at K tasks and
+#:  muting the c8-vs-c32 probe for reasons that have nothing to do with
+#: the plans. Write enough files that task counts are data-shaped.
+OUT_FILES = {
+    "lineitem": 64,
+    "orders": 32,
+    "events": 32,
+    "customer": 16,
+    "documents": 16,
+    "embeddings": 16,
+    "part": 8,
+    "supplier": 4,
+}
+
 
 def main() -> int:
     if len(sys.argv) != 3:
@@ -93,7 +110,9 @@ def main() -> int:
         out = copies[0]
         for c in copies[1:]:
             out = out.unionByName(c)
-        out.write.mode("overwrite").parquet(f"{outdir}/{table}.parquet")
+        out.repartition(OUT_FILES.get(table, 8)).write.mode(
+            "overwrite"
+        ).parquet(f"{outdir}/{table}.parquet")
         n = spark.read.parquet(f"{outdir}/{table}.parquet").count()
         print(f"{table}: {n} rows ({k}x)")
     spark.stop()
