@@ -276,14 +276,27 @@ def grouped_exact_percentiles(
     for q in quantiles:
         if not 0 < q <= 1:
             raise ValueError(f"quantiles must be in (0, 1], got {q}")
-    order: list = [F.col(value_col)]
+    # Project to (group_cols, value[, tiebreak]) BEFORE the window and
+    # order the window by the ALIAS, not the original column (r18, the
+    # same guide-§2.3 slimming exact_percentiles got in r17): ordering
+    # by the original name kept BOTH the alias and the raw column alive
+    # through the group exchange — the q91 plan shipped
+    # (o_orderpriority, value, o_totalprice), a duplicated 8-byte
+    # double on every row, one third of that exchange. Value-identical:
+    # the alias IS the value column, so the sort keys and the emitted
+    # value are unchanged.
+    slim_cols = [*group_cols, F.col(value_col).alias("value")]
+    order: list = [F.col("value")]
     if tiebreak is not None:
-        order.append(F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak)
+        tb = F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak
+        slim_cols.append(tb.alias(_TB))
+        order.append(F.col(_TB))
+    slim = df.select(*slim_cols)
     w = Window.partitionBy(*group_cols).orderBy(*order)
     wn = Window.partitionBy(*group_cols)
-    ranked = df.select(
+    ranked = slim.select(
         *group_cols,
-        F.col(value_col).alias("value"),
+        "value",
         F.row_number().over(w).alias(_RN),
         F.count(F.lit(1)).over(wn).alias("__n"),
     )

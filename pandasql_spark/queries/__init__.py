@@ -334,6 +334,10 @@ REGISTRY: dict[str, QueryDef] = {
 #    the URL-store and corpus writes stop re-evaluating the micro-batch
 #    (execution-only; replica green at sf0.001 AND sf0.01 pre-commit;
 #    gates on its r19 return).
+# 2. q91/q16 (rest) — grouped_exact_percentiles pre-window projection
+#    + order-by-alias drops the duplicated raw value column from the
+#    rank exchange (execution-only; both replicas green at sf0.001 AND
+#    sf0.01 pre-commit; both gate on their r19 return). Cap reached.
 # COVERAGE.md's roster table is the authoritative per-round record.
 _RESTING: tuple[str, ...] = (
     "q01_pricing_summary",

@@ -383,3 +383,25 @@ def test_q64_bpe_reattach_never_broadcasts_tokens(spark):
     plan = explain_str(df)
     assert "ShuffledHashJoin" in plan, plan[:2000]
     assert "BroadcastHashJoin" not in plan, plan[:2000]
+
+
+def test_q91_grouped_rank_exchange_is_slim(spark):
+    """grouped_exact_percentiles projects to (group, value[, tiebreak])
+    BEFORE the group window and orders by the ALIAS (r18): ordering by
+    the original column name kept both the alias and the raw column
+    alive through the exchange — q91 shipped a duplicated 8-byte double
+    on every row (one third of the exchange). The rank-window exchange
+    must carry exactly [group, value]."""
+    import re
+
+    from pandasql_spark.plans import explain_str
+
+    plan = explain_str(_q(spark, "q91_quantile_normalize"), "formatted")
+    m = re.search(
+        r"Exchange\nInput \[(\d+)\]: \[([^\]]*)\]\n"
+        r"Arguments: hashpartitioning\(o_orderpriority",
+        plan,
+    )
+    assert m, plan[:3000]
+    assert m.group(1) == "2", m.group(0)
+    assert "o_totalprice" not in m.group(2), m.group(0)
