@@ -184,15 +184,19 @@ COMPOSITION_FOLD_QUERIES = frozenset({
 
 
 def _exec_totals(spark) -> dict | None:
-    """Cumulative executor totals from the REST status API — the
-    host-independent cost axes (VERDICT r17 task 2): summed task time,
-    GC time, shuffle read/write bytes and input bytes. Diffing two
-    snapshots brackets one query's cost without wall-clock noise. The
-    /executors payload is O(#executors) (one entry on local[N]), so the
-    per-query polling cost is flat no matter how long the run gets —
-    unlike /stages, whose payload grows with retained history."""
-    import urllib.request
+    """Cumulative executor totals — the host-independent cost axes
+    (VERDICT r17 task 2): summed task time, GC time, shuffle read/write
+    bytes and input bytes. Diffing two snapshots brackets one query's
+    cost without wall-clock noise.
 
+    r18 (same round, measurement hardening): read the in-process
+    AppStatusStore directly over py4j instead of the REST /executors
+    endpoint. The REST handler serves the SAME store (verified
+    byte-identical metric deltas across six interleaved REST-vs-store
+    probe arms, plans/r18/early_abba.jsonl), but the store read needs no
+    jetty server, so the bench session keeps the exact r17 config
+    (spark.ui.enabled=false) and the metrics cannot perturb or depend on
+    the UI stack."""
     sc = spark.sparkContext
     try:
         # drain the async listener bus so task-end events from the job
@@ -201,10 +205,7 @@ def _exec_totals(spark) -> dict | None:
     except Exception:  # noqa: BLE001 — best-effort; store lag is ~ms
         pass
     try:
-        base = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
-        execs = json.loads(
-            urllib.request.urlopen(f"{base}/executors", timeout=10).read()
-        )
+        execs = sc._jsc.sc().statusStore().executorList(True)
         tot = {
             "task_time_ms": 0,
             "gc_time_ms": 0,
@@ -212,15 +213,57 @@ def _exec_totals(spark) -> dict | None:
             "shuffle_write_b": 0,
             "input_b": 0,
         }
-        for e in execs:
-            tot["task_time_ms"] += e.get("totalDuration", 0)
-            tot["gc_time_ms"] += e.get("totalGCTime", 0)
-            tot["shuffle_read_b"] += e.get("totalShuffleRead", 0)
-            tot["shuffle_write_b"] += e.get("totalShuffleWrite", 0)
-            tot["input_b"] += e.get("totalInputBytes", 0)
+        for i in range(execs.size()):
+            e = execs.apply(i)
+            tot["task_time_ms"] += e.totalDuration()
+            tot["gc_time_ms"] += e.totalGCTime()
+            tot["shuffle_read_b"] += e.totalShuffleRead()
+            tot["shuffle_write_b"] += e.totalShuffleWrite()
+            tot["input_b"] += e.totalInputBytes()
         return tot
     except Exception:  # noqa: BLE001 — metrics must not kill the bench
         return None
+
+
+def _cpu_stat() -> tuple[float, float, float] | None:
+    """(busy, steal, total) jiffies from /proc/stat — the whole-VM CPU
+    ledger. `steal` is time the hypervisor ran someone else while this
+    VM wanted CPU: the r18 host-instability investigation (SCALING.md
+    round 18, steal section) caught neighbor-steal bursts inflating
+    identical-code queries 3–6x while load_avg read idle, so every
+    query now records the steal it ran under and adjudication stops
+    guessing."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [float(x) for x in parts[1:]]
+        user, nice, system, idle, iowait, irq, softirq, steal = (
+            vals + [0.0] * 8
+        )[:8]
+        busy = user + nice + system + irq + softirq
+        return busy, steal, busy + idle + iowait + steal
+    except Exception:  # noqa: BLE001 — non-Linux / unreadable: skip
+        return None
+
+
+def _cpu_probe(window_s: float = 1.0) -> dict | None:
+    """Direct idleness probe: busy/steal fraction of total capacity over
+    ``window_s``. Replaces trusting load_avg, whose floor on this VM
+    generation is ~2.5 at a measured 97%-idle (vmstat) — the load guard
+    can no longer distinguish idle from busy here."""
+    a = _cpu_stat()
+    if a is None:
+        return None
+    time.sleep(window_s)
+    b = _cpu_stat()
+    if b is None:
+        return None
+    span = max(b[2] - a[2], 1e-9)
+    return {
+        "busy_frac": round((b[0] - a[0]) / span, 4),
+        "steal_frac": round((b[1] - a[1]) / span, 4),
+        "window_s": window_s,
+    }
 
 
 def _totals_delta(before: dict | None, after: dict | None,
@@ -318,14 +361,19 @@ def idle_probe_main() -> None:
 
 
 def main() -> None:
-    # UI on for the REST status endpoints that back the host-independent
-    # cost metrics (VERDICT r17 task 2). The status listener that feeds
-    # them runs regardless of this flag; the flag only starts the jetty
-    # server the /api/v1 reads need. All REST reads happen OUTSIDE the
-    # perf_counter windows, so the timing methodology is unchanged.
-    spark = get_spark("pandasql-spark-bench", **{"spark.ui.enabled": "true"})
+    # Session config identical to the r17 bench (UI stays off): the cost
+    # metrics (VERDICT r17 task 2) read the in-process AppStatusStore
+    # over py4j, outside the perf_counter windows — no jetty needed. An
+    # interleaved 6-arm A/B (REST+UI / store / r17-no-metrics, committed
+    # as plans/r18/early_abba.jsonl) showed no arm effect on timings and
+    # byte-identical metric deltas between the REST and store readers.
+    spark = get_spark("pandasql-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     load_start = os.getloadavg()
+    # direct CPU idleness/steal probe at start (see _cpu_probe): load_avg
+    # has a ~2.5 floor on this VM generation at measured 97% idle, so the
+    # start-state record needs a signal that actually reads the CPU
+    cpu_start = _cpu_probe()
 
     # warmup: JVM, codegen, parquet footer cache
     REGISTRY["q02_filter_distinct"].fn(spark, SF_DIR).write.format("noop").mode(
@@ -374,6 +422,7 @@ def main() -> None:
         fn = REGISTRY[name].fn
         before_rdds = _rdd_ids(spark)
         totals_before = _exec_totals(spark)
+        cpu_before = _cpu_stat()
         try:
             runs = []
             for _ in range(3):
@@ -390,6 +439,18 @@ def main() -> None:
             delta = _totals_delta(totals_before, _exec_totals(spark),
                                   len(runs))
             if delta is not None:
+                cpu_after = _cpu_stat()
+                if cpu_before is not None and cpu_after is not None:
+                    span = max(cpu_after[2] - cpu_before[2], 1e-9)
+                    # steal this query's timed runs sat under — the r18
+                    # drift-adjudication axis (steal bursts inflated
+                    # identical code 3–6x; SCALING.md round 18)
+                    delta["steal_frac"] = round(
+                        (cpu_after[1] - cpu_before[1]) / span, 4
+                    )
+                    delta["busy_frac"] = round(
+                        (cpu_after[0] - cpu_before[0]) / span, 4
+                    )
                 cost_metrics[name] = delta
         except Exception as exc:  # noqa: BLE001 — keep benching
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
@@ -487,6 +548,33 @@ def main() -> None:
     if load_start[0] > LOAD_AVG_CEILING:
         contamination.append(
             f"load_avg_start {round(load_start[0], 2)} > {LOAD_AVG_CEILING}"
+        )
+    # r18: direct CPU-state flags. The start probe catches a busy host
+    # the moment the run begins (load_avg cannot — its floor on this VM
+    # generation is ~2.5 at measured 97% idle); the per-query steal
+    # summary catches neighbor-steal bursts DURING the run (measured
+    # inflating identical-code queries 3–6x, SCALING.md round 18).
+    if cpu_start is not None:
+        out["cpu_probe_start"] = cpu_start
+        if cpu_start["busy_frac"] > 0.25:
+            contamination.append(
+                f"cpu_busy_frac_start {cpu_start['busy_frac']} > 0.25"
+            )
+    steal_hit = {
+        n: m["steal_frac"]
+        for n, m in cost_metrics.items()
+        if m.get("steal_frac", 0) > 0.05
+    }
+    if steal_hit:
+        out["steal_affected_queries"] = {
+            n: round(v, 3) for n, v in sorted(
+                steal_hit.items(), key=lambda kv: -kv[1]
+            )
+        }
+        contamination.append(
+            f"hypervisor steal > 5% of CPU capacity during "
+            f"{len(steal_hit)} queries (max "
+            f"{max(steal_hit.values()):.3f})"
         )
     if contamination:
         out["contaminated"] = True

@@ -36,17 +36,55 @@ REPO = os.path.dirname(HERE)
 #: flags itself even on an otherwise idle host (first median-runner
 #: attempt: 3/3 contaminated, every sentinel_end ~0.156 s). Wait out
 #: the decay between runs.
+#:
+#: r18: the gate reads /proc/stat busy+steal directly instead of
+#: load_avg. On this VM generation load_avg has a ~2.5 floor at a
+#: measured 97%-idle (vmstat; SCALING.md round 18), so the old
+#: load-based loop NEVER passed and every "cooldown" was just the
+#: 420 s timeout — while actual neighbor-steal bursts (the thing that
+#: really inflates runs) sailed through it. Now: proceed once a 2 s
+#: window shows the machine quiet (<10% busy) and not being stolen
+#: from (<3%); fall back to load_avg only if /proc/stat is unreadable.
 COOLDOWN_TARGET = 1.2
 COOLDOWN_MAX_S = 420
+BUSY_TARGET = 0.10
+STEAL_TARGET = 0.03
+
+
+def _cpu_window(window_s: float = 2.0) -> tuple[float, float] | None:
+    """(busy_frac, steal_frac) of total CPU capacity over window_s."""
+    try:
+        def snap() -> tuple[float, float, float]:
+            with open("/proc/stat") as f:
+                v = [float(x) for x in f.readline().split()[1:]]
+            user, nice, system, idle, iowait, irq, softirq, steal = (
+                v + [0.0] * 8
+            )[:8]
+            busy = user + nice + system + irq + softirq
+            return busy, steal, busy + idle + iowait + steal
+
+        a = snap()
+        time.sleep(window_s)
+        b = snap()
+        span = max(b[2] - a[2], 1e-9)
+        return (b[0] - a[0]) / span, (b[1] - a[1]) / span
+    except Exception:  # noqa: BLE001 — non-Linux: no probe
+        return None
 
 
 def cooldown() -> None:
     t0 = time.time()
-    while (
-        time.time() - t0 < COOLDOWN_MAX_S
-        and os.getloadavg()[0] > COOLDOWN_TARGET
-    ):
-        time.sleep(15)
+    while time.time() - t0 < COOLDOWN_MAX_S:
+        w = _cpu_window()
+        if w is None:
+            if os.getloadavg()[0] <= COOLDOWN_TARGET:
+                return
+            time.sleep(15)
+            continue
+        busy, steal = w
+        if busy <= BUSY_TARGET and steal <= STEAL_TARGET:
+            return
+        time.sleep(8)
 
 
 def one_run(i: int) -> dict:
@@ -109,6 +147,8 @@ def main() -> int:
             "value": r.get("value"),
             "sentinel": r.get("sentinel"),
             "load_avg": r.get("load_avg"),
+            "cpu_probe_start": r.get("cpu_probe_start"),
+            "steal_affected_queries": r.get("steal_affected_queries"),
             "contaminated": bool(r.get("contaminated")),
             "contamination_reasons": r.get("contamination_reasons"),
         }
