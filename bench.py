@@ -445,11 +445,20 @@ def main() -> None:
                     # steal this query's timed runs sat under — the r18
                     # drift-adjudication axis (steal bursts inflated
                     # identical code 3–6x; SCALING.md round 18)
-                    delta["steal_frac"] = round(
-                        (cpu_after[1] - cpu_before[1]) / span, 4
-                    )
-                    delta["busy_frac"] = round(
-                        (cpu_after[0] - cpu_before[0]) / span, 4
+                    steal = (cpu_after[1] - cpu_before[1]) / span
+                    busy = (cpu_after[0] - cpu_before[0]) / span
+                    delta["steal_frac"] = round(steal, 4)
+                    delta["busy_frac"] = round(busy, 4)
+                    # steal as a share of the CPU the query actually
+                    # contended for: a SINGLE-core phase (1-task stage,
+                    # one python worker) can run 10–50x slow while
+                    # global steal reads ~3% (one core of 32) — q66's
+                    # 40 s reading carried steal_frac 0.027 but
+                    # steal_share 0.46 (SCALING.md round 18, microbench:
+                    # identical numpy on identical data 9.05/6.02/0.19 s
+                    # back-to-back). This is the detector for it.
+                    delta["steal_share"] = round(
+                        steal / max(steal + busy, 1e-9), 4
                     )
                 cost_metrics[name] = delta
         except Exception as exc:  # noqa: BLE001 — keep benching
@@ -564,6 +573,10 @@ def main() -> None:
         n: m["steal_frac"]
         for n, m in cost_metrics.items()
         if m.get("steal_frac", 0) > 0.05
+        # single-core phases: global steal stays tiny (1 core of 32
+        # ≈ 3%) while the one core the phase runs on is mostly stolen —
+        # catch it by steal's share of the contended CPU instead
+        or (m.get("steal_share", 0) > 0.25 and m.get("steal_frac", 0) > 0.005)
     }
     if steal_hit:
         out["steal_affected_queries"] = {
@@ -572,9 +585,9 @@ def main() -> None:
             )
         }
         contamination.append(
-            f"hypervisor steal > 5% of CPU capacity during "
-            f"{len(steal_hit)} queries (max "
-            f"{max(steal_hit.values()):.3f})"
+            f"hypervisor steal during {len(steal_hit)} queries "
+            f"(>5% of capacity or >25% of the query's contended CPU; "
+            f"max steal_frac {max(steal_hit.values()):.3f})"
         )
     if contamination:
         out["contaminated"] = True
